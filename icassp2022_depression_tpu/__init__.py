@@ -1,0 +1,28 @@
+"""icassp2022_depression_tpu — a TPU-native (JAX/XLA/Pallas) framework for
+automatic depression detection on the EATD-Corpus and DAIC-WOZ.
+
+This is a from-scratch re-design of the capabilities of the reference
+repository ``speechandlanguageprocessing/ICASSP2022-Depression`` (the
+GRU/BiLSTM + attention-fusion models of arXiv 2202.08210) for TPU hardware:
+
+* All compute-path kernels (log-mel frontend, NetVLAD pooling, GRU/BiLSTM
+  recurrences, additive attention, fusion heads) are pure JAX/XLA with fused
+  Pallas kernels for the recurrent hot loops.
+* Entire training folds compile to a single XLA program (``lax.scan`` over
+  epochs and minibatches with on-device metric-gated best-checkpoint
+  tracking), instead of a Python step loop.
+* Scale-out is expressed with ``jax.sharding.Mesh`` + ``shard_map`` data
+  parallelism over ICI (see :mod:`icassp2022_depression_tpu.parallel`).
+
+Layer map (mirrors SURVEY.md §1):
+
+* L1 frontends      -> :mod:`.frontend` (+ :mod:`.ops.mel`, :mod:`.ops.netvlad`)
+* L2 folds/augment  -> :mod:`.data`
+* L3 models         -> :mod:`.models` (each defined exactly once)
+* L4 training       -> :mod:`.train`
+* L5 evaluation     -> :mod:`.eval`
+"""
+
+__version__ = "0.1.0"
+
+from icassp2022_depression_tpu import config  # noqa: F401

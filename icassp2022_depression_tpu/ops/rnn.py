@@ -1,0 +1,158 @@
+"""TPU-native recurrent layers (GRU / LSTM, multi-layer, bidirectional).
+
+Replaces the reference's ``nn.GRU`` (``Classification/audio_gru_whole.py:59``)
+and ``nn.LSTM`` (``Classification/text_bilstm_whole.py:54``) with a design
+shaped for the MXU rather than a per-timestep translation:
+
+* The input projection ``x @ W_ih^T + b_ih`` for *all* timesteps is hoisted
+  out of the recurrence into one large batched matmul ``[B*T, D] @ [D, G*H]``
+  that tiles onto the 128x128 systolic array.
+* The sequential part runs under ``jax.lax.scan`` with only the small
+  recurrent matmul ``[B, H] @ [H, G*H]`` per step; XLA fuses the gate
+  nonlinearities into it.
+* A fused Pallas kernel that keeps the hidden state resident in VMEM across
+  the whole sequence is available in :mod:`.rnn_pallas` (used on the
+  inference path; the scan path is used under autodiff).
+
+Gate maths and parameter layout match torch exactly (weights are the
+row-stacked ``[G*H, D]`` matrices, gate order r,z,n for GRU and i,f,g,o for
+LSTM), so reference checkpoints can be ported tensor-for-tensor.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from icassp2022_depression_tpu.ops import initializers
+from icassp2022_depression_tpu.ops.nn import dropout as _dropout
+
+GATES = {"gru": 3, "lstm": 4}
+
+
+def init_params(key, cell: str, input_size: int, hidden: int, num_layers: int,
+                bidirectional: bool, init: str = "torch", dtype=jnp.float32):
+    """Parameter pytree: list over layers; each layer is a dict with
+    direction keys ``fwd`` (and ``bwd`` when bidirectional)."""
+    gates = GATES[cell]
+    num_dirs = 2 if bidirectional else 1
+    layers = []
+    keys = jax.random.split(key, num_layers * num_dirs)
+    for layer in range(num_layers):
+        in_size = input_size if layer == 0 else hidden * num_dirs
+        entry = {
+            "fwd": initializers.rnn_layer(
+                keys[layer * num_dirs], gates, hidden, in_size, init, dtype)
+        }
+        if bidirectional:
+            entry["bwd"] = initializers.rnn_layer(
+                keys[layer * num_dirs + 1], gates, hidden, in_size, init, dtype)
+        layers.append(entry)
+    return layers
+
+
+def _gru_scan(p, x, h0):
+    """x: [B, T, D] -> outputs [B, T, H]; h0: [B, H]."""
+    # Hoisted input projection: one MXU-friendly matmul for the whole sequence.
+    xp = jnp.einsum("btd,gd->btg", x, p["w_ih"],
+                    preferred_element_type=jnp.float32) + p["b_ih"]
+    w_hh_t = p["w_hh"].T  # [H, 3H]
+    b_hh = p["b_hh"]
+    hidden = p["w_hh"].shape[1]
+
+    def step(h, xp_t):
+        hp = jnp.dot(h, w_hh_t, preferred_element_type=jnp.float32) + b_hh
+        xr, xz, xn = jnp.split(xp_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(hp, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    h_last, ys = jax.lax.scan(step, h0, jnp.swapaxes(xp, 0, 1))
+    return jnp.swapaxes(ys, 0, 1), h_last
+
+
+def _lstm_scan(p, x, h0, c0):
+    xp = jnp.einsum("btd,gd->btg", x, p["w_ih"],
+                    preferred_element_type=jnp.float32) + p["b_ih"]
+    w_hh_t = p["w_hh"].T
+    b_hh = p["b_hh"]
+
+    def step(carry, xp_t):
+        h, c = carry
+        gp = xp_t + jnp.dot(h, w_hh_t, preferred_element_type=jnp.float32) + b_hh
+        gi, gf, gg, go = jnp.split(gp, 4, axis=-1)
+        i = jax.nn.sigmoid(gi)
+        f = jax.nn.sigmoid(gf)
+        g = jnp.tanh(gg)
+        o = jax.nn.sigmoid(go)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    (h_last, c_last), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(xp, 0, 1))
+    return jnp.swapaxes(ys, 0, 1), h_last, c_last
+
+
+def _run_direction(p, x, cell: str, reverse: bool):
+    b, _, _ = x.shape
+    hidden = p["w_hh"].shape[1]
+    h0 = jnp.zeros((b, hidden), x.dtype)
+    xs = jnp.flip(x, axis=1) if reverse else x
+    if cell == "gru":
+        ys, h_last = _gru_scan(p, xs, h0)
+        c_last = None
+    else:
+        c0 = jnp.zeros((b, hidden), x.dtype)
+        ys, h_last, c_last = _lstm_scan(p, xs, h0, c0)
+    if reverse:
+        ys = jnp.flip(ys, axis=1)
+    return ys, h_last, c_last
+
+
+def rnn(params: Sequence[dict], x: jnp.ndarray, cell: str,
+        dropout: float = 0.0, train: bool = False,
+        key: Optional[jax.Array] = None):
+    """Multi-layer (bi)directional RNN.
+
+    Args:
+      params: pytree from :func:`init_params`.
+      x: [B, T, D] batch-first input.
+      cell: "gru" | "lstm".
+      dropout: inter-layer dropout rate (applied to every layer's output
+        except the last, matching torch's RNN ``dropout=`` semantics).
+      train: enables dropout.
+      key: PRNG key (required when train and dropout > 0).
+
+    Returns:
+      (output [B, T, H*num_dirs],
+       h_n [B, num_layers*num_dirs, H]  — torch layout, batch-first,
+       c_n or None)
+    """
+    h_finals = []
+    c_finals = []
+    y = x
+    num_layers = len(params)
+    for layer_idx, layer in enumerate(params):
+        ys_f, h_f, c_f = _run_direction(layer["fwd"], y, cell, reverse=False)
+        h_finals.append(h_f)
+        if c_f is not None:
+            c_finals.append(c_f)
+        if "bwd" in layer:
+            ys_b, h_b, c_b = _run_direction(layer["bwd"], y, cell, reverse=True)
+            h_finals.append(h_b)
+            if c_b is not None:
+                c_finals.append(c_b)
+            y = jnp.concatenate([ys_f, ys_b], axis=-1)
+        else:
+            y = ys_f
+        if train and dropout > 0.0 and layer_idx < num_layers - 1:
+            key, sub = jax.random.split(key)
+            y = _dropout(sub, y, dropout, train=True)
+    h_n = jnp.stack(h_finals, axis=1)  # [B, L*D, H]
+    c_n = jnp.stack(c_finals, axis=1) if c_finals else None
+    return y, h_n, c_n
