@@ -1,0 +1,144 @@
+"""Permutation augmentation of the 3 interview answers, as pure functions.
+
+The reference grows the global feature array in place inside every fold loop
+(``Classification/audio_gru_whole.py:264-298``,
+``Regression/audio_bilstm_perm.py:215-241``,
+``Classification/fuse_net_whole.py:533-564``): each depressed sample's
+``[3, D]`` feature block is expanded into ``itertools.permutations`` of its
+3 rows (6 orders, lexicographic by index: 012, 021, 102, 120, 201, 210);
+*train* keeps permutation ids [0..5], *test* keeps [0,1,4,5] (test-set
+augmentation — methodologically questionable but reproduced exactly), and
+indices into the mutated array are collected.
+
+Here the same selection is computed functionally: given the pristine arrays
+and a fold's train indices, we materialise the augmented train/test feature
+and target arrays in exactly the row order the reference's index
+bookkeeping would produce (proved by the oracle test in
+``tests/test_augment.py`` which replays the reference's vstack-growth
+algorithm).  Fusion-style lockstep augmentation (audio and text permuted by
+``zip`` in the same order, ``fuse_net_whole.py:541``) falls out by passing
+multiple feature arrays.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Sequence
+
+import numpy as np
+
+#: the 6 permutations of (0,1,2) in itertools order
+PERMS = tuple(itertools.permutations(range(3)))
+
+TRAIN_PERM_IDS = (0, 1, 2, 3, 4, 5)
+TEST_PERM_IDS = (0, 1, 4, 5)
+
+
+def _expand(feature_arrays: Sequence[np.ndarray], idx: int,
+            perm_ids: Sequence[int]):
+    """Rows for sample ``idx`` of each array under the selected perms."""
+    out = []
+    for pid in perm_ids:
+        perm = PERMS[pid]
+        out.append(tuple(arr[idx][list(perm)] for arr in feature_arrays))
+    return out
+
+
+def augment_split(feature_arrays: Sequence[np.ndarray],
+                  targets: np.ndarray,
+                  idxs: Sequence[int],
+                  dep_idxs: Sequence[int],
+                  perm_ids: Sequence[int],
+                  augment_first_n: int | None = None,
+                  dep_target_value=None):
+    """Materialise one (train or test) split with permutation augmentation.
+
+    Args:
+      feature_arrays: one or more pristine [N, 3, ...] arrays permuted in
+        lockstep (1 for unimodal, 2 for fusion).
+      targets: pristine [N] targets.
+      idxs: the split's speaker indices, in reference iteration order.
+      dep_idxs: indices of depressed speakers (augmentation applies to them).
+      perm_ids: which of the 6 permutations to keep for augmented samples.
+      augment_first_n: if set, only the first n *depressed* samples
+        encountered get augmented (regression-track rule,
+        ``audio_bilstm_perm.py:225``); later depressed samples pass through
+        unaugmented.  None = augment all depressed samples.
+      dep_target_value: target written for augmented rows; None copies the
+        sample's own target (regression), otherwise the constant is used
+        (classification writes literal 1 — ``audio_gru_whole.py:279``).
+
+    Returns:
+      (list of augmented feature arrays, augmented targets) with rows in the
+      exact order the reference's index lists would select.
+    """
+    dep_set = set(int(i) for i in np.asarray(dep_idxs).ravel())
+    rows = [[] for _ in feature_arrays]
+    tgts = []
+    dep_seen = 0
+    for idx in idxs:
+        idx = int(idx)
+        is_dep = idx in dep_set
+        do_augment = is_dep and (augment_first_n is None or dep_seen < augment_first_n)
+        if is_dep:
+            dep_seen += 1
+        if do_augment:
+            for row_tuple in _expand(feature_arrays, idx, perm_ids):
+                for arr_rows, row in zip(rows, row_tuple):
+                    arr_rows.append(row)
+                tgts.append(targets[idx] if dep_target_value is None
+                            else dep_target_value)
+        else:
+            for arr_rows, arr in zip(rows, feature_arrays):
+                arr_rows.append(arr[idx])
+            tgts.append(targets[idx])
+    out_feats = [np.stack(r, axis=0) if r else
+                 np.empty((0,) + arr.shape[1:], arr.dtype)
+                 for r, arr in zip(rows, feature_arrays)]
+    return out_feats, np.asarray(tgts)
+
+
+def augment_classification_fold(feature_arrays, targets, train_idxs_tmp,
+                                dep_idxs, non_idxs,
+                                train_perm_ids=TRAIN_PERM_IDS,
+                                test_perm_ids=TEST_PERM_IDS):
+    """One classification fold: train gets all 6 perms for depressed
+    speakers, test gets perms [0,1,4,5]; non-depressed pass through.
+    Augmented rows are labelled 1 (``audio_gru_whole.py:279,294``).
+
+    Test indices are the complement of ``train_idxs_tmp`` in ascending
+    order (the reference's ``list(set(...) - set(...))`` — CPython int-set
+    iteration is ascending for these index magnitudes).
+    """
+    all_idxs = sorted(set(int(i) for i in np.asarray(dep_idxs).ravel()) |
+                      set(int(i) for i in np.asarray(non_idxs).ravel()))
+    train_set = set(int(i) for i in np.asarray(train_idxs_tmp).ravel())
+    test_idxs_tmp = [i for i in all_idxs if i not in train_set]
+    train = augment_split(feature_arrays, targets, list(train_idxs_tmp),
+                          dep_idxs, train_perm_ids, dep_target_value=1)
+    test = augment_split(feature_arrays, targets, test_idxs_tmp,
+                         dep_idxs, test_perm_ids, dep_target_value=1)
+    return train, test
+
+
+def augment_regression_fold(feature_arrays, targets,
+                            train_dep_idxs_tmp, train_non_idxs,
+                            test_dep_idxs, test_non_idxs,
+                            augment_first_n: int = 14):
+    """One regression fold: only the first ``augment_first_n`` train
+    depressed speakers get all 6 perms (labels copied, not constant);
+    the test split is never augmented (``audio_bilstm_perm.py:221-241``).
+
+    Row order matches the reference: depressed train rows first (in
+    ``train_dep_idxs_tmp`` order, expanded), then non-depressed train rows;
+    test = depressed then non-depressed.
+    """
+    train_idxs = list(train_dep_idxs_tmp) + list(train_non_idxs)
+    train = augment_split(feature_arrays, targets, train_idxs,
+                          train_dep_idxs_tmp, TRAIN_PERM_IDS,
+                          augment_first_n=augment_first_n,
+                          dep_target_value=None)
+    test_idxs = list(test_dep_idxs) + list(test_non_idxs)
+    test_feats = [arr[np.asarray(test_idxs, dtype=np.int64)]
+                  for arr in feature_arrays]
+    return train, (test_feats, targets[np.asarray(test_idxs, dtype=np.int64)])
