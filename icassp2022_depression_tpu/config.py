@@ -111,6 +111,13 @@ class GateConfig:
     train_acc_frac: float = 0.9
     mae_ceiling: float = 8.5
     train_mae_ceiling: float = 13.0
+    #: branch trainers update best on ties (``max_f1 <= f1_score``,
+    #: ``audio_gru_whole.py:233``); the clf fusion trainer requires strict
+    #: improvement (``max_f1 < f1_score``, ``fuse_net_whole.py:513``)
+    f1_tie_update: bool = True
+    #: branch trainers require ``train_acc > 0.9*n`` (strict); the clf
+    #: fusion trainer uses ``>=`` (``fuse_net_whole.py:513``)
+    train_acc_strict: bool = True
 
 
 @dataclass(frozen=True)
@@ -244,7 +251,8 @@ FUSE_CLF = FusionConfig(
 FUSE_CLF_TRAINER = TrainerConfig(
     model=RNNConfig(num_classes=2, dropout=0.3),
     optimizer=OptimizerConfig(name="adam", learning_rate=8e-6, weight_decay=0.0),
-    gate=GateConfig(f1_floor=0.61, train_acc_frac=0.9),
+    gate=GateConfig(f1_floor=0.61, train_acc_frac=0.9,
+                    f1_tie_update=False, train_acc_strict=False),
     batch_size=2, epochs=100, loss="myloss_ce", track="classification",
 )
 

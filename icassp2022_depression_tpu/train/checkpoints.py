@@ -1,0 +1,115 @@
+"""Checkpoint I/O: pytree <-> npz, plus the gated "save best" naming scheme.
+
+The reference pickles whole torch modules gated on metric improvement
+(``audio_gru_whole.py:123-126,233-243``) and never resumes.  Here
+checkpoints are flat param pytrees written as ``.npz`` with '/'-joined key
+paths (framework-neutral, no pickling), carrying a JSON metadata sidecar
+(metrics, fold, epoch, config name) — and a full resume bundle
+(params + opt_state + PRNG key) is supported at fold granularity, since one
+fold is a single compiled program.
+
+Checkpoint filenames mirror the reference's metric-encoded names, e.g.
+``BiLSTM_gru_vlad256_256_{f1:.2f}_{fold}`` (``audio_gru_whole.py:239``) and
+``gru_vlad256_256_{mae:.2f}`` (``audio_bilstm_perm.py:208``).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    elif tree is None:
+        pass
+    else:
+        out[prefix[:-1]] = np.asarray(jax.device_get(tree))
+    return out
+
+
+def save(path, params, meta: dict | None = None) -> Path:
+    """Write params pytree to ``<path>.npz`` (+ ``<path>.json`` metadata)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    flat = _flatten(params)
+    np.savez(str(path) + ".npz", **flat)
+    if meta is not None:
+        Path(str(path) + ".json").write_text(json.dumps(meta, indent=2))
+    return Path(str(path) + ".npz")
+
+
+def load(path, like=None):
+    """Read ``<path>.npz`` back into a pytree.  With ``like`` (a template
+    pytree), the structure is reconstructed to match it exactly; without it,
+    a nested dict keyed by path segments (ints become list indices only with
+    ``like``)."""
+    path = str(path)
+    if not path.endswith(".npz"):
+        path += ".npz"
+    data = dict(np.load(path))
+    if like is None:
+        nested: dict = {}
+        for key, val in data.items():
+            parts = key.split("/")
+            d = nested
+            for p in parts[:-1]:
+                d = d.setdefault(p, {})
+            d[parts[-1]] = val
+        return nested
+
+    def rebuild(template, prefix=""):
+        if isinstance(template, dict):
+            return {k: rebuild(v, f"{prefix}{k}/") for k, v in template.items()}
+        if isinstance(template, (list, tuple)):
+            seq = [rebuild(v, f"{prefix}{i}/") for i, v in enumerate(template)]
+            return type(template)(seq) if isinstance(template, tuple) else seq
+        if template is None:
+            return None
+        return data[prefix[:-1]]
+
+    return rebuild(like)
+
+
+def load_meta(path) -> dict:
+    p = str(path)
+    if p.endswith(".npz"):
+        p = p[:-4]
+    return json.loads(Path(p + ".json").read_text())
+
+
+# -- reference-style checkpoint names ---------------------------------------
+
+
+def audio_clf_name(embedding_size: int, hidden_dims: int, f1: float,
+                   fold: int) -> str:
+    return f"BiLSTM_gru_vlad{embedding_size}_{hidden_dims}_{f1:.2f}_{fold}"
+
+
+def text_clf_name(hidden_dims: int, f1: float, fold: int) -> str:
+    return f"BiLSTM_{hidden_dims}_{f1:.2f}_{fold}"
+
+
+def fuse_clf_name(f1: float, fold: int) -> str:
+    return f"fuse_{f1:.2f}_{fold}"
+
+
+def audio_reg_name(embedding_size: int, hidden_dims: int, mae: float) -> str:
+    return f"gru_vlad{embedding_size}_{hidden_dims}_{mae:.2f}"
+
+
+def text_reg_name(hidden_dims: int, mae: float) -> str:
+    return f"BiLSTM_{hidden_dims}_{mae:.2f}"
+
+
+def fuse_reg_name(mae: float) -> str:
+    return f"fuse_{mae:.2f}"

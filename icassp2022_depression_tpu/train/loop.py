@@ -1,0 +1,203 @@
+"""Whole-fold training as a single compiled XLA program.
+
+The reference trains with a Python step loop: 100-170 epochs x minibatch
+slices, evaluating on the full test split every epoch and torch-saving
+whenever the metric gate fires (``Classification/audio_gru_whole.py:161-245,
+316-318``).  On TPU that structure would round-trip host<->device every
+step.
+
+Here the *entire fold* — every epoch, every minibatch, per-epoch full-batch
+eval, and the metric-gated best-checkpoint selection — is one
+``lax.scan``-over-epochs program compiled once and dispatched once:
+
+* minibatches are pre-padded to static shapes ``[n_batches, B, ...]`` with
+  validity masks (the reference's ragged last slice becomes a masked batch);
+* the reference does not reshuffle between epochs (fixed row order,
+  consecutive slices — ``audio_gru_whole.py:170-175``), so the batched
+  arrays are constants across the epoch scan;
+* "save best" becomes an on-device pytree ``jnp.where`` select against the
+  gate condition, reproducing the thresholds exactly (f1/train-acc floors
+  for classification, MAE ceilings for regression);
+* dropout PRNG keys are split per batch from a fold key — fully
+  deterministic and resumable.
+
+The per-epoch metric log is returned to the host for observability.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from icassp2022_depression_tpu.config import GateConfig
+from icassp2022_depression_tpu.eval import metrics as M
+
+
+class FoldData(NamedTuple):
+    """Device-ready fold tensors.  ``train_x``/``test_x`` are tuples of
+    arrays (length 1 for unimodal, 2 for fusion), batched as
+    ``[n_batches, B, ...]`` for train and flat ``[N, ...]`` for test."""
+
+    train_x: tuple
+    train_y: jnp.ndarray       # [NB, B]
+    train_mask: jnp.ndarray    # [NB, B]
+    test_x: tuple
+    test_y: jnp.ndarray        # [N]
+    test_mask: jnp.ndarray     # [N]
+
+
+def batchify(xs: Sequence[np.ndarray], y: np.ndarray, batch_size: int,
+             total_rows: int | None = None):
+    """Pad row count to a multiple of ``batch_size`` (or to ``total_rows``,
+    used to give every fold identical shapes so the compiled fold program is
+    built once and reused) and reshape to [n_batches, B, ...] plus a
+    validity mask."""
+    n = len(y)
+    nb = -(-(total_rows if total_rows is not None else n) // batch_size)
+    pad = nb * batch_size - n
+    assert pad >= 0
+
+    def p(a):
+        a = np.asarray(a)
+        padded = np.concatenate(
+            [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        return padded.reshape(nb, batch_size, *a.shape[1:])
+
+    mask = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    return (tuple(p(a) for a in xs), p(np.asarray(y)),
+            mask.reshape(nb, batch_size))
+
+
+def pad_rows(xs: Sequence[np.ndarray], y: np.ndarray, total: int):
+    """Pad a flat eval split to ``total`` rows with a validity mask (used to
+    give all folds identical shapes for cross-fold vmap)."""
+    n = len(y)
+    pad = total - n
+    assert pad >= 0
+
+    def p(a):
+        a = np.asarray(a)
+        return np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+
+    mask = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    return tuple(p(a) for a in xs), p(np.asarray(y)), mask
+
+
+def make_fold_data(train_xs, train_y, test_xs, test_y, batch_size,
+                   test_total=None, train_total=None) -> FoldData:
+    bx, by, bm = batchify(train_xs, train_y, batch_size, train_total)
+    if test_total is None:
+        test_total = len(test_y)
+    tx, ty, tm = pad_rows(test_xs, test_y, test_total)
+    return FoldData(tuple(jnp.asarray(a) for a in bx), jnp.asarray(by),
+                    jnp.asarray(bm), tuple(jnp.asarray(a) for a in tx),
+                    jnp.asarray(ty), jnp.asarray(tm))
+
+
+def _select(cond, new, old):
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(cond, a, b), new, old)
+
+
+def make_fold_runner(train_loss_fn: Callable, eval_fn: Callable,
+                     optimizer: optax.GradientTransformation,
+                     track: str, gate: GateConfig, epochs: int,
+                     jit: bool = True):
+    """Build the compiled fold program.
+
+    Args:
+      train_loss_fn: ``(params, xs_tuple, y, mask, key) -> (loss, pred)``
+        with train-mode dropout.
+      eval_fn: ``(params, xs_tuple) -> pred`` (deterministic).
+      track: "classification" | "regression".
+      epochs: the config value; the program runs ``epochs - 1`` epochs,
+        reproducing the reference's ``range(1, epochs)``.
+
+    Returns ``run(params, opt_state, data: FoldData, key) ->
+    (final_params, final_opt_state, best, logs)`` where ``best`` carries the
+    gated best params + metrics and ``logs`` per-epoch metric arrays.
+    """
+    grad_fn = jax.value_and_grad(train_loss_fn, has_aux=True)
+    n_epochs = epochs - 1
+
+    def batch_step(carry, batch):
+        params, opt_state, key = carry
+        x, y, mask = batch
+        key, sub = jax.random.split(key)
+        (loss, pred), grads = grad_fn(params, x, y, mask, sub)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        # Fully-padded batches (added only to unify shapes across folds so
+        # the program compiles once) must be exact no-ops: no parameter
+        # update, no optimizer-state advance (an extra Adam step would shift
+        # bias correction), no decoupled weight decay.
+        has_valid = jnp.sum(mask) > 0
+        params = _select(has_valid, new_params, params)
+        opt_state = _select(has_valid, new_opt_state, opt_state)
+        loss = jnp.where(has_valid, loss, 0.0)
+        return (params, opt_state, key), (loss, pred)
+
+    def epoch_step(carry, epoch_idx, data: FoldData, n_train):
+        params, opt_state, key, best = carry
+        (params, opt_state, key), (losses, preds) = jax.lax.scan(
+            batch_step, (params, opt_state, key),
+            (data.train_x, data.train_y, data.train_mask))
+
+        test_pred = eval_fn(params, data.test_x)
+
+        if track == "classification":
+            train_correct = jnp.sum(
+                data.train_mask *
+                (jnp.argmax(preds, axis=-1) == data.train_y))
+            yp = jnp.argmax(test_pred, axis=-1)
+            tp, fp, fn, tn = M.confusion_counts(data.test_y, yp, data.test_mask)
+            acc, prec, rec, f1 = M.f1_from_counts(tp, fp, fn, tn)
+            improve = (f1 >= best["f1"]) if gate.f1_tie_update else (f1 > best["f1"])
+            acc_ok = (train_correct > gate.train_acc_frac * n_train
+                      if gate.train_acc_strict
+                      else train_correct >= gate.train_acc_frac * n_train)
+            should = improve & acc_ok & (f1 > gate.f1_floor)
+            new_best = {"params": params, "f1": f1, "accuracy": acc,
+                        "precision": prec, "recall": rec,
+                        "epoch": epoch_idx.astype(jnp.float32)}
+            best = _select(should, new_best, best)
+            log = {"loss": jnp.sum(losses), "train_correct": train_correct,
+                   "f1": f1, "accuracy": acc, "precision": prec,
+                   "recall": rec}
+        else:
+            train_mae = M.masked_mae(data.train_y, preds.squeeze(-1),
+                                     data.train_mask)
+            pred_flat = test_pred.squeeze(-1)
+            mae = M.masked_mae(data.test_y, pred_flat, data.test_mask)
+            rmse = M.masked_rmse(data.test_y, pred_flat, data.test_mask)
+            should = ((mae <= best["mae"]) & (mae < gate.mae_ceiling) &
+                      (train_mae < gate.train_mae_ceiling))
+            new_best = {"params": params, "mae": mae, "rmse": rmse,
+                        "epoch": epoch_idx.astype(jnp.float32)}
+            best = _select(should, new_best, best)
+            log = {"loss": jnp.sum(losses), "train_mae": train_mae,
+                   "mae": mae, "rmse": rmse}
+        return (params, opt_state, key, best), log
+
+    def run(params, opt_state, data: FoldData, key):
+        n_train = jnp.sum(data.train_mask)
+        if track == "classification":
+            best = {"params": params, "f1": jnp.float32(-1.0),
+                    "accuracy": jnp.float32(-1.0),
+                    "precision": jnp.float32(-1.0),
+                    "recall": jnp.float32(-1.0),
+                    "epoch": jnp.float32(-1.0)}
+        else:
+            best = {"params": params, "mae": jnp.float32(100.0),
+                    "rmse": jnp.float32(100.0), "epoch": jnp.float32(-1.0)}
+        step = functools.partial(epoch_step, data=data, n_train=n_train)
+        (params, opt_state, key, best), logs = jax.lax.scan(
+            step, (params, opt_state, key, best), jnp.arange(n_epochs))
+        return params, opt_state, best, logs
+
+    return jax.jit(run) if jit else run

@@ -1,0 +1,293 @@
+"""The six track trainers (L4), each a thin wiring of: fold recipe ->
+permutation augmentation -> compiled whole-fold program -> gated-best
+checkpoint on disk.
+
+Reference counterparts:
+
+* audio clf  — ``Classification/audio_gru_whole.py`` (AdamW lr 6e-6, CE,
+  batch 8, 170 epochs, LayerNorm-exempt weight decay)
+* text clf   — ``Classification/text_bilstm_whole.py`` (AdamW lr 1e-5,
+  batch 4, 150 epochs)
+* fusion clf — ``Classification/fuse_net_whole.py`` (Adam lr 8e-6, MyLoss,
+  batch 2, 100 epochs, branch init + only fc_final trainable)
+* audio reg  — ``Regression/audio_bilstm_perm.py`` (Adam lr 1e-5, L1,
+  batch 2, 120 epochs)
+* text reg   — ``Regression/text_bilstm_perm.py`` (Adam lr 1e-5, SmoothL1)
+* fusion reg — ``Regression/fuse_net.py`` (Adam lr 8e-5, SmoothL1 MyLoss)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icassp2022_depression_tpu import config as C
+from icassp2022_depression_tpu.data import augment, folds
+from icassp2022_depression_tpu.models import audio_net, fusion, losses, text_net
+from icassp2022_depression_tpu.ops.nn import (
+    l1_loss,
+    masked_cross_entropy_on_probs,
+    smooth_l1_loss,
+)
+from icassp2022_depression_tpu.train import checkpoints, loop, optim
+
+
+def _branch_fns(model_module, mcfg: C.RNNConfig, trainer_cfg: C.TrainerConfig):
+    track = trainer_cfg.track
+
+    def train_loss(params, xs, y, mask, key):
+        pred = model_module.apply(params, mcfg, xs[0], train=True, key=key)
+        if track == "classification":
+            loss = masked_cross_entropy_on_probs(
+                pred, y.astype(jnp.int32), mask, mcfg.num_classes)
+        elif trainer_cfg.loss == "l1":
+            loss = l1_loss(pred.squeeze(-1), y.astype(jnp.float32), mask)
+        else:
+            loss = smooth_l1_loss(pred.squeeze(-1), y.astype(jnp.float32), mask)
+        return loss, pred
+
+    def eval_fn(params, xs):
+        return model_module.apply(params, mcfg, xs[0], train=False)
+
+    return train_loss, eval_fn
+
+
+def _host_best(best):
+    out = {k: (float(v) if k != "params" else v) for k, v in best.items()}
+    return out
+
+
+def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
+               seed: int, init_params_per_fold=None):
+    """Shared fold loop: init -> compiled fold program -> host summary.
+
+    All folds are padded to identical shapes (``_clf_fold_datas`` /
+    ``_reg_fold_datas``) and share ONE compiled program — the optimizer and
+    runner are built once from the first fold's param structure."""
+    results = []
+    run = None
+    optimizer = None
+    for fold_idx, data in enumerate(fold_datas, start=1):
+        if init_params_per_fold is not None:
+            params = init_params_per_fold[fold_idx - 1]
+        else:
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), fold_idx)
+            params = model_module.init(key, tcfg.model)
+        if run is None:
+            optimizer = optim.build(tcfg.optimizer, params)
+            train_loss, eval_fn = _branch_fns(model_module, tcfg.model, tcfg)
+            run = loop.make_fold_runner(train_loss, eval_fn, optimizer,
+                                        tcfg.track, tcfg.gate, tcfg.epochs)
+        opt_state = optimizer.init(params)
+        fold_key = jax.random.fold_in(jax.random.PRNGKey(seed + 1000), fold_idx)
+        _, _, best, logs = run(params, opt_state, data, fold_key)
+        results.append({"fold": fold_idx, "best": _host_best(best),
+                        "logs": jax.device_get(logs)})
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Classification track
+# ---------------------------------------------------------------------------
+
+
+def _clf_fold_datas(feature_arrays, targets, train_folds_idx, batch_size):
+    dep = np.where(np.asarray(targets) == 1)[0]
+    non = np.where(np.asarray(targets) == 0)[0]
+    raw = []
+    for tr_idx in train_folds_idx:
+        (xtr, ytr), (xte, yte) = augment.augment_classification_fold(
+            feature_arrays, targets, tr_idx, dep, non)
+        raw.append((xtr, ytr, xte, yte))
+    test_total = max(len(yte) for _, _, _, yte in raw)
+    train_total = max(len(ytr) for _, ytr, _, _ in raw)
+    return [loop.make_fold_data(xtr, ytr, xte, yte, batch_size, test_total,
+                                train_total)
+            for xtr, ytr, xte, yte in raw]
+
+
+def train_audio_clf(features: np.ndarray, targets: np.ndarray,
+                    train_folds_idx: Sequence[np.ndarray],
+                    tcfg: C.TrainerConfig = C.AUDIO_CLF,
+                    out_dir: Optional[Path] = None, seed: int = 0):
+    """3-fold audio GRU classifier.  ``features``: [N, 3, 256]."""
+    datas = _clf_fold_datas([features], targets, train_folds_idx,
+                            tcfg.batch_size)
+    results = _run_folds(audio_net, tcfg, datas, seed)
+    if out_dir is not None:
+        for r in results:
+            name = checkpoints.audio_clf_name(
+                tcfg.model.embedding_size, tcfg.model.hidden_dims,
+                r["best"]["f1"], r["fold"])
+            checkpoints.save(Path(out_dir) / name, r["best"]["params"],
+                             {k: v for k, v in r["best"].items() if k != "params"})
+    return results
+
+
+def train_text_clf(features: np.ndarray, targets: np.ndarray,
+                   train_folds_idx: Sequence[np.ndarray],
+                   tcfg: C.TrainerConfig = C.TEXT_CLF,
+                   out_dir: Optional[Path] = None, seed: int = 0):
+    """3-fold text BiLSTM classifier.  ``features``: [N, 3, 1024]."""
+    datas = _clf_fold_datas([features], targets, train_folds_idx,
+                            tcfg.batch_size)
+    results = _run_folds(text_net, tcfg, datas, seed)
+    if out_dir is not None:
+        for r in results:
+            name = checkpoints.text_clf_name(
+                tcfg.model.hidden_dims, r["best"]["f1"], r["fold"])
+            checkpoints.save(Path(out_dir) / name, r["best"]["params"],
+                             {k: v for k, v in r["best"].items() if k != "params"})
+    return results
+
+
+def _fusion_fns(fcfg: C.FusionConfig, tcfg: C.TrainerConfig):
+    track = tcfg.track
+
+    def train_loss(params, xs, y, mask, key):
+        x_audio, x_text = xs
+        tf, af = fusion.pretrained_feature(params, fcfg, x_audio, x_text,
+                                           train=True, key=key)
+        w = params["fc_final"]["w"]
+        if track == "classification":
+            loss = losses.myloss_ce(tf, af, y.astype(jnp.int32), w,
+                                    fcfg.text_hidden_dims, mask)
+        else:
+            loss = losses.myloss_smooth_l1(tf, af, y, w,
+                                           fcfg.text_hidden_dims, mask)
+        pred = fusion.forward(params, fcfg, jnp.concatenate([tf, af], axis=-1))
+        return loss, pred
+
+    def eval_fn(params, xs):
+        x_audio, x_text = xs
+        tf, af = fusion.pretrained_feature(params, fcfg, x_audio, x_text,
+                                           train=False)
+        return fusion.forward(params, fcfg, jnp.concatenate([tf, af], axis=-1))
+
+    return train_loss, eval_fn
+
+
+def _run_fusion_folds(fcfg, tcfg, fold_datas, branch_params, seed, track):
+    results = []
+    run = None
+    optimizer = None
+    for fold_idx, data in enumerate(fold_datas, start=1):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), fold_idx)
+        params = fusion.init(key, fcfg)
+        text_p, audio_p = branch_params[fold_idx - 1]
+        params = fusion.init_from_branches(params, fcfg, text_p, audio_p, track)
+        if run is None:
+            optimizer = optim.build(tcfg.optimizer, params)
+            train_loss, eval_fn = _fusion_fns(fcfg, tcfg)
+            run = loop.make_fold_runner(train_loss, eval_fn, optimizer,
+                                        tcfg.track, tcfg.gate, tcfg.epochs)
+        opt_state = optimizer.init(params)
+        fold_key = jax.random.fold_in(jax.random.PRNGKey(seed + 1000), fold_idx)
+        _, _, best, logs = run(params, opt_state, data, fold_key)
+        results.append({"fold": fold_idx, "best": _host_best(best),
+                        "logs": jax.device_get(logs)})
+    return results
+
+
+def train_fuse_clf(audio_features: np.ndarray, text_features: np.ndarray,
+                   targets: np.ndarray,
+                   train_folds_idx: Sequence[np.ndarray],
+                   branch_params: Sequence[tuple],
+                   fcfg: C.FusionConfig = C.FUSE_CLF,
+                   tcfg: C.TrainerConfig = C.FUSE_CLF_TRAINER,
+                   out_dir: Optional[Path] = None, seed: int = 0):
+    """3-fold multimodal fusion classifier.  ``branch_params[fold]`` is the
+    (text_params, audio_params) pair from the pretrained branch trainers
+    (replacing the reference's state-dict surgery)."""
+    datas = _clf_fold_datas([audio_features, text_features], targets,
+                            train_folds_idx, tcfg.batch_size)
+    results = _run_fusion_folds(fcfg, tcfg, datas, branch_params, seed,
+                                "classification")
+    if out_dir is not None:
+        for r in results:
+            name = checkpoints.fuse_clf_name(r["best"]["f1"], r["fold"])
+            checkpoints.save(Path(out_dir) / name, r["best"]["params"],
+                             {k: v for k, v in r["best"].items() if k != "params"})
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Regression track
+# ---------------------------------------------------------------------------
+
+
+def _reg_fold_datas(feature_arrays, targets, dep_idxs, non_idxs, batch_size,
+                    fold_cfg: C.FoldConfig = C.FoldConfig()):
+    raw = []
+    for fold in range(fold_cfg.n_folds):
+        tr_d, tr_n, te_d, te_n = folds.reg_fold_split(
+            dep_idxs, non_idxs, fold, fold_cfg.reg_test_dep,
+            fold_cfg.reg_test_non)
+        (xtr, ytr), (xte, yte) = augment.augment_regression_fold(
+            feature_arrays, targets, tr_d, tr_n, te_d, te_n,
+            fold_cfg.reg_augment_first_n)
+        raw.append((xtr, ytr, xte, yte))
+    test_total = max(len(yte) for _, _, _, yte in raw)
+    train_total = max(len(ytr) for _, ytr, _, _ in raw)
+    return [loop.make_fold_data(xtr, ytr, xte, yte, batch_size, test_total,
+                                train_total)
+            for xtr, ytr, xte, yte in raw]
+
+
+def train_audio_reg(features: np.ndarray, targets: np.ndarray,
+                    dep_idxs: np.ndarray, non_idxs: np.ndarray,
+                    tcfg: C.TrainerConfig = C.AUDIO_REG,
+                    out_dir: Optional[Path] = None, seed: int = 0):
+    """3-fold audio GRU SDS-score regressor (L1 loss, MAE gating)."""
+    datas = _reg_fold_datas([features], targets, dep_idxs, non_idxs,
+                            tcfg.batch_size)
+    results = _run_folds(audio_net, tcfg, datas, seed)
+    if out_dir is not None:
+        for r in results:
+            name = checkpoints.audio_reg_name(
+                tcfg.model.embedding_size, tcfg.model.hidden_dims,
+                r["best"]["mae"])
+            checkpoints.save(Path(out_dir) / f"Audio{r['fold']}" / name,
+                             r["best"]["params"],
+                             {k: v for k, v in r["best"].items() if k != "params"})
+    return results
+
+
+def train_text_reg(features: np.ndarray, targets: np.ndarray,
+                   dep_idxs: np.ndarray, non_idxs: np.ndarray,
+                   tcfg: C.TrainerConfig = C.TEXT_REG,
+                   out_dir: Optional[Path] = None, seed: int = 0):
+    datas = _reg_fold_datas([features], targets, dep_idxs, non_idxs,
+                            tcfg.batch_size)
+    results = _run_folds(text_net, tcfg, datas, seed)
+    if out_dir is not None:
+        for r in results:
+            name = checkpoints.text_reg_name(tcfg.model.hidden_dims,
+                                             r["best"]["mae"])
+            checkpoints.save(Path(out_dir) / f"Text{r['fold']}" / name,
+                             r["best"]["params"],
+                             {k: v for k, v in r["best"].items() if k != "params"})
+    return results
+
+
+def train_fuse_reg(audio_features: np.ndarray, text_features: np.ndarray,
+                   targets: np.ndarray, dep_idxs: np.ndarray,
+                   non_idxs: np.ndarray, branch_params: Sequence[tuple],
+                   fcfg: C.FusionConfig = C.FUSE_REG,
+                   tcfg: C.TrainerConfig = C.FUSE_REG_TRAINER,
+                   out_dir: Optional[Path] = None, seed: int = 0):
+    datas = _reg_fold_datas([audio_features, text_features], targets,
+                            dep_idxs, non_idxs, tcfg.batch_size)
+    results = _run_fusion_folds(fcfg, tcfg, datas, branch_params, seed,
+                                "regression")
+    if out_dir is not None:
+        for r in results:
+            name = checkpoints.fuse_reg_name(r["best"]["mae"])
+            checkpoints.save(Path(out_dir) / f"Fuse{r['fold']}" / name,
+                             r["best"]["params"],
+                             {k: v for k, v in r["best"].items() if k != "params"})
+    return results
