@@ -1,0 +1,121 @@
+"""EATD text frontend: host tokenisation + device sentence embedding.
+
+Reference (``Classification/text_features_whole.py:23-47``): per speaker,
+per topic, read the transcript line, jieba-segment it, run
+ELMoForManyLangs and mean over tokens -> 1024-d per answer; save
+``whole_samples_{reg,clf}_avg.npz`` / labels.
+
+Here tokenisation stays on host (string work), embedding runs as one
+padded, jitted batch on device for the whole corpus instead of
+sentence-at-a-time.  jieba is used when importable; otherwise a
+CJK-aware fallback segmenter (per-character for CJK runs, whitespace for
+the rest) keeps the pipeline self-contained.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icassp2022_depression_tpu.data import eatd
+from icassp2022_depression_tpu.models import elmo
+
+try:
+    import jieba  # type: ignore
+
+    _HAS_JIEBA = True
+except Exception:  # pragma: no cover
+    _HAS_JIEBA = False
+
+
+def _is_cjk(ch: str) -> bool:
+    return "一" <= ch <= "鿿"
+
+
+def fallback_segment(text: str) -> List[str]:
+    """CJK chars become single tokens, latin/digit runs stay together."""
+    tokens, buf = [], ""
+    for ch in text.strip():
+        if _is_cjk(ch):
+            if buf:
+                tokens.append(buf)
+                buf = ""
+            tokens.append(ch)
+        elif ch.isspace():
+            if buf:
+                tokens.append(buf)
+                buf = ""
+        else:
+            buf += ch
+    if buf:
+        tokens.append(buf)
+    return tokens
+
+
+def tokenize(text: str, use_jieba: bool = True) -> List[str]:
+    if use_jieba and _HAS_JIEBA:
+        return [t for t in jieba.cut(text.strip(), cut_all=False)
+                if t.strip()]
+    return fallback_segment(text)
+
+
+def embed_sentences(params, sentences: Sequence[List[str]],
+                    cfg: elmo.ElmoConfig = elmo.ElmoConfig(),
+                    batch_size: int = 512) -> np.ndarray:
+    """Tokenised sentences -> [N, 1024] mean-pooled embeddings, batched and
+    padded to a shared token length per batch."""
+    n = len(sentences)
+    out = np.zeros((n, cfg.output_dim), np.float32)
+    for start in range(0, n, batch_size):
+        chunk = sentences[start:start + batch_size]
+        max_t = max(1, max(len(s) for s in chunk))
+        ids = np.zeros((len(chunk), max_t), np.int32)
+        lengths = np.zeros((len(chunk),), np.int32)
+        for i, toks in enumerate(chunk):
+            for j, tok in enumerate(toks):
+                ids[i, j] = elmo.token_id(tok, cfg.vocab_size)
+            lengths[i] = max(1, len(toks))
+        _, pooled = elmo.encode(params, jnp.asarray(ids), jnp.asarray(lengths),
+                                cfg)
+        out[start:start + len(chunk)] = np.asarray(pooled)
+    return out
+
+
+def extract_eatd(root: Path, params=None,
+                 cfg: elmo.ElmoConfig = elmo.ElmoConfig(),
+                 out_dir: Optional[Path] = None, seed: int = 0,
+                 max_id: int = eatd.MAX_SPEAKER_ID):
+    """Full EATD text pass -> ([N, 3, 1024] features, sds, clf labels)."""
+    if params is None:
+        params = elmo.init(jax.random.PRNGKey(seed), cfg)
+    sentences: List[List[str]] = []
+    sds: List[float] = []
+    for sp in eatd.iter_speakers(root, max_id=max_id, read_text=True):
+        assert sp.texts is not None, f"missing transcripts for {sp.number}"
+        for text in sp.texts:
+            sentences.append(tokenize(text))
+        sds.append(sp.sds)
+    flat = embed_sentences(params, sentences, cfg)
+    n = len(sds)
+    features = flat.reshape(n, 3, cfg.output_dim)
+    sds_targets = np.asarray(sds, np.float32)
+    clf_targets = (sds_targets >= 53.0).astype(np.int64)
+    if out_dir is not None:
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        np.savez(out_dir / "whole_samples_reg_avg.npz", features)
+        np.savez(out_dir / "whole_labels_reg_avg.npz", sds_targets)
+        np.savez(out_dir / "whole_samples_clf_avg.npz", features)
+        np.savez(out_dir / "whole_labels_clf_avg.npz", clf_targets)
+    return features, sds_targets, clf_targets
+
+
+def load_features(features_dir: Path, track: str = "clf"):
+    features_dir = Path(features_dir)
+    feats = np.load(features_dir / f"whole_samples_{track}_avg.npz")["arr_0"]
+    labels = np.load(features_dir / f"whole_labels_{track}_avg.npz")["arr_0"]
+    return feats, labels

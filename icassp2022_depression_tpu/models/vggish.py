@@ -1,0 +1,162 @@
+"""VGGish audio embedding (capability parity component).
+
+The reference defines ``to_vggish_embedds`` — waveform -> TF1 slim VGGish
+-> PCA/whitening postprocessor — but never calls it in the committed
+pipeline (``Classification/audio_features_whole.py:39-55``; wav2vlad is
+used instead).  It is part of the capability surface, so the full path is
+implemented TPU-native:
+
+* :func:`waveform_to_examples`: VGGish's own frontend — resample to 16 kHz,
+  25 ms / 10 ms magnitude STFT, 64 HTK-mel bins in [125, 7500] Hz,
+  log(mel + 0.01), framed into non-overlapping 0.96 s examples [N, 96, 64];
+* :func:`apply`: the VGG conv stack (64-128-256x2-512x2 + 4096-4096-128 FC,
+  ReLU throughout, as in the torchvggish port of the TF checkpoint) as one
+  jitted XLA program (convs tile onto the MXU);
+* :class:`Postprocessor`: PCA projection + [-2, 2] clip + uint8 quantise
+  (``vggish_postprocess`` semantics).
+
+Pretrained weights: convert the released checkpoint to npz and pass the
+param pytree; otherwise deterministic PRNG init (documented stand-in, as
+with NetVLAD/ELMo).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icassp2022_depression_tpu.ops import mel as mel_ops
+
+SAMPLE_RATE = 16000
+STFT_WINDOW = 400   # 25 ms
+STFT_HOP = 160      # 10 ms
+NUM_MEL_BINS = 64
+MEL_MIN_HZ = 125.0
+MEL_MAX_HZ = 7500.0
+LOG_OFFSET = 0.01
+EXAMPLE_FRAMES = 96  # 0.96 s of 10 ms frames
+EMBEDDING_SIZE = 128
+
+_CONV_CHANNELS = [(1, 64), (64, 128), (128, 256), (256, 256),
+                  (256, 512), (512, 512)]
+#: pool after these conv indices (VGG-ish layout: 1, 1, 2, 2 convs/block)
+_POOL_AFTER = {0, 1, 3, 5}
+
+
+def resample(x: np.ndarray, sr: int, target_sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Linear-interpolation resampler (host-side, matches scipy within the
+    tolerance the log-mel frontend cares about)."""
+    if sr == target_sr:
+        return x
+    n_out = int(round(len(x) * target_sr / sr))
+    t_in = np.arange(len(x)) / sr
+    t_out = np.arange(n_out) / target_sr
+    return np.interp(t_out, t_in, x).astype(x.dtype)
+
+
+def waveform_to_examples(x: np.ndarray, sr: int) -> np.ndarray:
+    """[T] waveform (any rate, float) -> [N, 96, 64] log-mel examples."""
+    x = np.asarray(x, np.float32)
+    if x.max(initial=1.0) > 1.0 or x.min(initial=-1.0) < -1.0:
+        x = x / 32768.0  # int16-scaled input -> [-1, 1]
+    x = resample(x, sr)
+    n_frames = 1 + (len(x) - STFT_WINDOW) // STFT_HOP if len(x) >= STFT_WINDOW else 0
+    if n_frames <= 0:
+        return np.zeros((0, EXAMPLE_FRAMES, NUM_MEL_BINS), np.float32)
+    idx = np.arange(n_frames)[:, None] * STFT_HOP + np.arange(STFT_WINDOW)
+    window = mel_ops.hann_window(STFT_WINDOW)
+    frames = x[idx] * window
+    spec = np.abs(np.fft.rfft(frames, n=512, axis=-1))  # magnitude, fft 512
+    fb = mel_ops.mel_filterbank(SAMPLE_RATE, 512, NUM_MEL_BINS,
+                                fmin=MEL_MIN_HZ, fmax=MEL_MAX_HZ, htk=True)
+    # VGGish mel weights have no Slaney normalisation; undo it
+    # (mel_filterbank applies slaney enorm unconditionally)
+    log_mel = np.log(spec @ _unnormalised(fb).T + LOG_OFFSET)
+    n_examples = log_mel.shape[0] // EXAMPLE_FRAMES
+    return log_mel[:n_examples * EXAMPLE_FRAMES].reshape(
+        n_examples, EXAMPLE_FRAMES, NUM_MEL_BINS).astype(np.float32)
+
+
+def _unnormalised(fb: np.ndarray) -> np.ndarray:
+    peaks = fb.max(axis=1, keepdims=True)
+    return np.where(peaks > 0, fb / peaks, fb)
+
+
+def init(key):
+    params = {"convs": [], "fcs": []}
+    keys = jax.random.split(key, len(_CONV_CHANNELS) + 3)
+    for i, (cin, cout) in enumerate(_CONV_CHANNELS):
+        bound = 1.0 / np.sqrt(cin * 9)
+        params["convs"].append({
+            "w": jax.random.uniform(keys[i], (3, 3, cin, cout),
+                                    minval=-bound, maxval=bound),
+            "b": jnp.zeros((cout,)),
+        })
+    dims = [(EXAMPLE_FRAMES // 16 * NUM_MEL_BINS // 16 * 512, 4096),
+            (4096, 4096), (4096, EMBEDDING_SIZE)]
+    for j, (din, dout) in enumerate(dims):
+        bound = 1.0 / np.sqrt(din)
+        params["fcs"].append({
+            "w": jax.random.uniform(keys[len(_CONV_CHANNELS) + j],
+                                    (din, dout), minval=-bound, maxval=bound),
+            "b": jnp.zeros((dout,)),
+        })
+    return params
+
+
+@jax.jit
+def apply(params, examples: jnp.ndarray) -> jnp.ndarray:
+    """[N, 96, 64] log-mel examples -> [N, 128] embeddings."""
+    x = examples[..., None]  # NHWC
+    for i, conv in enumerate(params["convs"]):
+        x = jax.lax.conv_general_dilated(
+            x, conv["w"], window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = jax.nn.relu(x + conv["b"])
+        if i in _POOL_AFTER:
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    x = x.reshape(x.shape[0], -1)
+    for fc in params["fcs"]:
+        x = jax.nn.relu(jnp.dot(x, fc["w"],
+                                preferred_element_type=jnp.float32) + fc["b"])
+    return x
+
+
+class Postprocessor:
+    """PCA + clip + uint8 quantise (``vggish_postprocess.Postprocessor``)."""
+
+    def __init__(self, pca_matrix: np.ndarray, pca_means: np.ndarray,
+                 clip_min: float = -2.0, clip_max: float = 2.0):
+        self.pca_matrix = np.asarray(pca_matrix, np.float32)
+        self.pca_means = np.asarray(pca_means, np.float32).reshape(-1, 1)
+        self.clip_min, self.clip_max = clip_min, clip_max
+
+    @classmethod
+    def random(cls, key, dim: int = EMBEDDING_SIZE):
+        q, _ = jnp.linalg.qr(jax.random.normal(key, (dim, dim)))
+        return cls(np.asarray(q), np.zeros(dim))
+
+    def __call__(self, embeddings: np.ndarray) -> np.ndarray:
+        applied = np.dot(self.pca_matrix,
+                         (np.asarray(embeddings).T - self.pca_means)).T
+        clipped = np.clip(applied, self.clip_min, self.clip_max)
+        quantized = ((clipped - self.clip_min) *
+                     (255.0 / (self.clip_max - self.clip_min)))
+        return quantized.astype(np.uint8)
+
+
+def to_vggish_embedds(params, x: np.ndarray, sr: int,
+                      postprocessor: Postprocessor | None = None):
+    """Full reference path: waveform -> examples -> embeddings
+    (-> postprocessed), as float32 (``audio_features_whole.py:39-55``)."""
+    examples = waveform_to_examples(x, sr)
+    if examples.shape[0] == 0:
+        return np.zeros((0, EMBEDDING_SIZE), np.float32)
+    emb = np.asarray(apply(params, jnp.asarray(examples)))
+    if postprocessor is not None:
+        emb = postprocessor(emb).astype(np.float32)
+    return emb

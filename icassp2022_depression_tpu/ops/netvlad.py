@@ -75,3 +75,16 @@ def per_utterance_params(seed: int, ordinal: int, feature_size: int,
     utterance policy: the key is folded from (seed, ordinal)."""
     key = jax.random.fold_in(jax.random.PRNGKey(seed), ordinal)
     return init_params(key, feature_size, cluster_size, output_dim)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("feature_size", "cluster_size",
+                                    "output_dim"))
+def batched_per_utterance_params(seed, ordinals, feature_size: int,
+                                 cluster_size: int, output_dim: int):
+    """Stacked per-utterance params for a whole batch in one device program
+    (row i == ``per_utterance_params(seed, ordinals[i], ...)``)."""
+    keys = jax.vmap(lambda o: jax.random.fold_in(jax.random.PRNGKey(seed), o))(
+        ordinals)
+    return jax.vmap(lambda k: init_params(k, feature_size, cluster_size,
+                                          output_dim))(keys)

@@ -1,0 +1,142 @@
+"""Frontend pipelines end-to-end on synthetic corpora (CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from icassp2022_depression_tpu.data import eatd
+from icassp2022_depression_tpu.frontend import audio as audio_fe
+from icassp2022_depression_tpu.frontend import daic as daic_fe
+from icassp2022_depression_tpu.frontend import text as text_fe
+from icassp2022_depression_tpu.config import FrontendConfig
+from icassp2022_depression_tpu.models import elmo, vggish
+
+
+CFG = FrontendConfig()
+
+
+def test_extract_batch_bucketing_matches_single(tmp_path):
+    rng = np.random.default_rng(0)
+    wavs = [rng.standard_normal(n).astype(np.float32) * 1000
+            for n in (5000, 17000, 5000)]
+    feats = audio_fe.extract_batch(wavs, [16000] * 3, CFG)
+    assert feats.shape == (3, 256)
+    # per-utterance call with the matching ordinal reproduces the same row
+    single = audio_fe.extract_batch([wavs[1]], [16000], CFG, start_ordinal=1)
+    np.testing.assert_allclose(feats[1], single[0], atol=1e-5)
+
+
+def test_extract_eatd_audio(tmp_path):
+    eatd.make_synthetic_corpus(tmp_path, n_data=4, n_validation=2,
+                               seconds=0.4, seed=0)
+    feats, sds, clf, manifest = audio_fe.extract_eatd(
+        tmp_path, CFG, out_dir=tmp_path / "Features" / "AudioWhole")
+    assert feats.shape == (6, 3, 1, 256)
+    assert len(manifest) == 6
+    assert set(clf.tolist()) <= {0, 1}
+    # reference npz layout roundtrip (squeeze axis=2 like the trainers)
+    x, y = audio_fe.load_features(tmp_path / "Features" / "AudioWhole", "clf")
+    assert x.shape == (6, 3, 256)
+    np.testing.assert_array_equal(y, clf)
+    # determinism
+    feats2, _, _, _ = audio_fe.extract_eatd(tmp_path, CFG)
+    np.testing.assert_array_equal(feats, feats2)
+
+
+def test_tokenize_fallback():
+    toks = text_fe.fallback_segment("我今天 feels good 123")
+    assert "我" in toks and "feels" in toks and "123" in toks
+    assert text_fe.tokenize("") == []
+
+
+def test_elmo_padding_invariance():
+    cfg = elmo.ElmoConfig(vocab_size=128, embed_dim=8, hidden=8, layers=2)
+    params = elmo.init(jax.random.PRNGKey(0), cfg)
+    ids = np.array([[5, 9, 3]], np.int32)
+    ids_padded = np.array([[5, 9, 3, 0, 0, 0]], np.int32)
+    _, p1 = elmo.encode(params, jnp.asarray(ids), jnp.asarray([3]), cfg)
+    _, p2 = elmo.encode(params, jnp.asarray(ids_padded), jnp.asarray([3]), cfg)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+
+def test_extract_eatd_text(tmp_path):
+    eatd.make_synthetic_corpus(tmp_path, n_data=3, n_validation=1,
+                               seconds=0.1, seed=1)
+    cfg = elmo.ElmoConfig(vocab_size=512, embed_dim=16, hidden=16, layers=1,
+                          output_dim=32)
+    feats, sds, clf = text_fe.extract_eatd(
+        tmp_path, cfg=cfg, out_dir=tmp_path / "Features" / "TextWhole")
+    assert feats.shape == (4, 3, 32)
+    x, y = text_fe.load_features(tmp_path / "Features" / "TextWhole", "reg")
+    np.testing.assert_array_equal(x, feats)
+    np.testing.assert_array_equal(y, sds)
+
+
+def _make_daic(tmp_path, pid=300):
+    d = tmp_path / f"{pid}_P"
+    d.mkdir(parents=True)
+    sr = 16000
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(sr * 6) * 3000)
+    eatd.write_wav(d / f"{pid}_AUDIO.wav", wav, sr)
+    rows = [
+        "start_time\tstop_time\tspeaker\tvalue",
+        "0.0\t0.5\tEllie\thow are you doing today",     # matching question
+        "0.6\t1.4\tParticipant\tpretty good",
+        "1.5\t1.8\tParticipant\tscrubbed_entry",         # skipped
+        "2.0\t2.5\tEllie\twhat are you like when you don't sleep well",
+        "2.6\t4.0\tParticipant\tnot great honestly",
+        "4.2\t4.5\tEllie\ti think i have asked everything i need to",
+    ]
+    (d / f"{pid}_TRANSCRIPT.csv").write_text("\n".join(rows) + "\n")
+    queries = tmp_path / "queries.txt"
+    queries.write_text("how are you doing today\n"
+                       "what are you like when you don't sleep well\n")
+    split = tmp_path / "train_split.csv"
+    split.write_text("Participant_ID,PHQ8_Binary,PHQ8_Score\n"
+                     f"{pid},1,15\n")
+    return queries, split
+
+
+def test_daic_segmentation_and_extraction(tmp_path):
+    queries_path, split_csv = _make_daic(tmp_path)
+    queries = daic_fe.load_queries(queries_path)
+    transcript = daic_fe.read_transcript(
+        tmp_path / "300_P" / "300_TRANSCRIPT.csv")
+    wave_data, sr = eatd.read_wav(tmp_path / "300_P" / "300_AUDIO.wav")
+    signals = daic_fe.segment_responses(transcript, wave_data, sr, queries)
+    # 2 responses: "pretty good" (scrubbed skipped) and "not great honestly"
+    assert len(signals) == 2
+    assert len(signals[0]) == int(1.4 * sr) - int(0.6 * sr)
+    assert len(signals[1]) == int(4.0 * sr) - int(2.6 * sr)
+
+    features, clabels, rlabels = daic_fe.extract_split(
+        tmp_path, split_csv, queries_path, CFG,
+        out_prefix=tmp_path / "Features", split_name="train")
+    assert len(features) == 1 and features[0].shape == (2, 1, 256)
+    assert clabels == [1] and rlabels == [15.0]
+    dense, mask = daic_fe.pad_responses(features, max_responses=4)
+    assert dense.shape == (1, 4, 256) and mask.sum() == 2
+
+
+def test_vggish_pipeline():
+    rng = np.random.default_rng(1)
+    wav = rng.standard_normal(16000 * 2).astype(np.float32) * 8000
+    examples = vggish.waveform_to_examples(wav, 16000)
+    assert examples.shape[1:] == (96, 64)
+    assert examples.shape[0] == 2  # two 0.96s examples in 2s
+    params = vggish.init(jax.random.PRNGKey(0))
+    emb = vggish.apply(params, jnp.asarray(examples))
+    assert emb.shape == (2, 128)
+    post = vggish.Postprocessor.random(jax.random.PRNGKey(1))
+    q = post(np.asarray(emb))
+    assert q.dtype == np.uint8
+    out = vggish.to_vggish_embedds(params, wav, 16000, post)
+    assert out.shape == (2, 128) and out.dtype == np.float32
+
+
+def test_vggish_resample():
+    x = np.sin(np.linspace(0, 100, 44100)).astype(np.float32)
+    y = vggish.resample(x, 44100, 16000)
+    assert abs(len(y) - 16000) <= 1
