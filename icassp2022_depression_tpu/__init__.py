@@ -25,4 +25,19 @@ Layer map (mirrors SURVEY.md §1):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: whole-fold training programs and frontend
+# bucket pipelines are large XLA programs whose (possibly remote) compiles
+# dominate cold-start time; the cache makes every repeat invocation start
+# warm.  Opt out with ICASSP_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("ICASSP_TPU_NO_COMPILE_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("ICASSP_TPU_COMPILE_CACHE",
+                        _os.path.expanduser("~/.cache/icassp2022_tpu_xla")))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from icassp2022_depression_tpu import config  # noqa: F401

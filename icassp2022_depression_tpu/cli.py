@@ -1,0 +1,281 @@
+"""Command-line entry points.
+
+The reference's "CLI" is ``python <script>.py`` with module-level side
+effects (most scripts train at import — SURVEY.md §2).  Here every pipeline
+stage is an explicit subcommand:
+
+  python -m icassp2022_depression_tpu.cli synth-corpus --root ./corpus
+  python -m icassp2022_depression_tpu.cli extract-audio --root ./corpus
+  python -m icassp2022_depression_tpu.cli extract-text  --root ./corpus
+  python -m icassp2022_depression_tpu.cli extract-daic  --daic-dir ... --split-csv ... --queries ...
+  python -m icassp2022_depression_tpu.cli train --task audio_clf --root ./corpus
+  python -m icassp2022_depression_tpu.cli pipeline --track clf --root ./corpus
+  python -m icassp2022_depression_tpu.cli baselines --task audio_clf --root ./corpus
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _features_dirs(root: Path):
+    return (root / "Features" / "AudioWhole", root / "Features" / "TextWhole")
+
+
+def cmd_synth_corpus(args):
+    from icassp2022_depression_tpu.data import eatd
+
+    eatd.make_synthetic_corpus(Path(args.root), n_data=args.n_data,
+                               n_validation=args.n_validation,
+                               seconds=args.seconds, seed=args.seed)
+    print(f"synthetic EATD-shaped corpus written to {args.root}")
+
+
+def cmd_extract_audio(args):
+    from icassp2022_depression_tpu.frontend import audio
+
+    root = Path(args.root)
+    out = Path(args.out) if args.out else root / "Features" / "AudioWhole"
+    feats, sds, clf, manifest = audio.extract_eatd(root, out_dir=out)
+    print(f"audio features {feats.shape} -> {out} "
+          f"({len(manifest)} speakers, {int(clf.sum())} depressed)")
+
+
+def cmd_extract_text(args):
+    from icassp2022_depression_tpu.frontend import text
+
+    root = Path(args.root)
+    out = Path(args.out) if args.out else root / "Features" / "TextWhole"
+    feats, sds, clf = text.extract_eatd(root, out_dir=out, seed=args.seed)
+    print(f"text features {feats.shape} -> {out}")
+
+
+def cmd_extract_daic(args):
+    from icassp2022_depression_tpu.frontend import daic
+
+    features, clabels, rlabels = daic.extract_split(
+        Path(args.daic_dir), Path(args.split_csv), Path(args.queries),
+        out_prefix=Path(args.out), split_name=args.split_name)
+    counts = [f.shape[0] for f in features]
+    print(f"{len(features)} participants, responses per participant: "
+          f"min {min(counts, default=0)} max {max(counts, default=0)} -> {args.out}")
+
+
+def _load_clf_inputs(root: Path):
+    from icassp2022_depression_tpu.frontend import audio as afe
+    from icassp2022_depression_tpu.frontend import text as tfe
+
+    audio_dir, text_dir = _features_dirs(root)
+    xa, ya = afe.load_features(audio_dir, "clf")
+    xt, yt = tfe.load_features(text_dir, "clf")
+    return xa, ya, xt, yt
+
+
+def _train_folds(root: Path, targets, seed: int, idx_files=None):
+    from icassp2022_depression_tpu.data import folds
+
+    if idx_files:
+        return [folds.load_index_file(p) for p in idx_files]
+    return folds.generate_clf_folds(targets, 3, seed=seed)
+
+
+def cmd_train(args):
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu.data import folds
+    from icassp2022_depression_tpu.frontend import audio as afe
+    from icassp2022_depression_tpu.frontend import text as tfe
+    from icassp2022_depression_tpu.train import trainers
+    from icassp2022_depression_tpu.utils.logging import MetricsLogger
+
+    root = Path(args.root)
+    audio_dir, text_dir = _features_dirs(root)
+    model_dir = Path(args.model_dir) if args.model_dir else root / "Model"
+    logger = MetricsLogger(model_dir / f"{args.task}_metrics.jsonl",
+                           echo=args.verbose)
+
+    if args.task in ("audio_clf", "text_clf"):
+        if args.task == "audio_clf":
+            x, y = afe.load_features(audio_dir, "clf")
+            fn, sub = trainers.train_audio_clf, "ClassificationWhole/Audio"
+        else:
+            x, y = tfe.load_features(text_dir, "clf")
+            fn, sub = trainers.train_text_clf, "ClassificationWhole/Text"
+        tf_idx = _train_folds(root, y, args.seed, args.idx_files)
+        results = fn(x, y, tf_idx, out_dir=model_dir / sub, seed=args.seed)
+    elif args.task in ("audio_reg", "text_reg"):
+        if args.task == "audio_reg":
+            x, y = afe.load_features(audio_dir, "reg")
+            fn, sub = trainers.train_audio_reg, "Regression"
+        else:
+            x, y = tfe.load_features(text_dir, "reg")
+            fn, sub = trainers.train_text_reg, "Regression"
+        dep, non = folds.generate_reg_shuffles(y, seed=args.seed)
+        results = fn(x, y, dep, non, out_dir=model_dir / sub, seed=args.seed)
+    else:
+        print(f"use the 'pipeline' command for fusion tasks ({args.task})",
+              file=sys.stderr)
+        return 2
+
+    for r in results:
+        logger.log_fold(args.task, r["fold"], r["logs"], r["best"])
+        best = {k: round(v, 4) for k, v in r["best"].items() if k != "params"}
+        print(f"fold {r['fold']}: {best}")
+    return 0
+
+
+def cmd_pipeline(args):
+    """Full track: branch trainers -> fusion with branch init."""
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu.data import folds
+    from icassp2022_depression_tpu.frontend import audio as afe
+    from icassp2022_depression_tpu.frontend import text as tfe
+    from icassp2022_depression_tpu.train import trainers
+
+    root = Path(args.root)
+    audio_dir, text_dir = _features_dirs(root)
+    model_dir = Path(args.model_dir) if args.model_dir else root / "Model"
+
+    if args.track == "clf":
+        xa, ya = afe.load_features(audio_dir, "clf")
+        xt, yt = tfe.load_features(text_dir, "clf")
+        tf_idx = _train_folds(root, ya, args.seed, args.idx_files)
+        ra = trainers.train_audio_clf(xa, ya, tf_idx,
+                                      out_dir=model_dir / "ClassificationWhole/Audio",
+                                      seed=args.seed)
+        rt = trainers.train_text_clf(xt, yt, tf_idx,
+                                     out_dir=model_dir / "ClassificationWhole/Text",
+                                     seed=args.seed)
+        branch = [(rt[i]["best"]["params"], ra[i]["best"]["params"])
+                  for i in range(len(ra))]
+        rf = trainers.train_fuse_clf(xa, xt, ya, tf_idx, branch,
+                                     out_dir=model_dir / "ClassificationWhole/Fuse",
+                                     seed=args.seed)
+        summary = {
+            "audio_f1": [r["best"]["f1"] for r in ra],
+            "text_f1": [r["best"]["f1"] for r in rt],
+            "fuse_f1": [r["best"]["f1"] for r in rf],
+        }
+    else:
+        xa, ya = afe.load_features(audio_dir, "reg")
+        xt, yt = tfe.load_features(text_dir, "reg")
+        dep, non = folds.generate_reg_shuffles(ya, seed=args.seed)
+        ra = trainers.train_audio_reg(xa, ya, dep, non,
+                                      out_dir=model_dir / "Regression",
+                                      seed=args.seed)
+        rt = trainers.train_text_reg(xt, yt, dep, non,
+                                     out_dir=model_dir / "Regression",
+                                     seed=args.seed)
+        branch = [(rt[i]["best"]["params"], ra[i]["best"]["params"])
+                  for i in range(len(ra))]
+        rf = trainers.train_fuse_reg(xa, xt, ya, dep, non, branch,
+                                     out_dir=model_dir / "Regression",
+                                     seed=args.seed)
+        summary = {
+            "audio_mae": [r["best"]["mae"] for r in ra],
+            "text_mae": [r["best"]["mae"] for r in rt],
+            "fuse_mae": [r["best"]["mae"] for r in rf],
+        }
+    print(json.dumps({k: [round(float(v), 4) for v in vs]
+                      for k, vs in summary.items()}))
+    return 0
+
+
+def cmd_baselines(args):
+    from icassp2022_depression_tpu.data import folds
+    from icassp2022_depression_tpu.eval import traditional
+    from icassp2022_depression_tpu.frontend import audio as afe
+    from icassp2022_depression_tpu.frontend import text as tfe
+
+    root = Path(args.root)
+    audio_dir, text_dir = _features_dirs(root)
+    if args.task.endswith("_clf"):
+        x, y = (afe.load_features(audio_dir, "clf")
+                if args.task.startswith("audio")
+                else tfe.load_features(text_dir, "clf"))
+        tf_idx = _train_folds(root, y, args.seed, args.idx_files)
+        _, summary = traditional.classify(x, y, tf_idx, model=args.model,
+                                          seed=args.seed)
+    else:
+        x, y = (afe.load_features(audio_dir, "reg")
+                if args.task.startswith("audio")
+                else tfe.load_features(text_dir, "reg"))
+        dep, non = folds.generate_reg_shuffles(y, seed=args.seed)
+        _, summary = traditional.regress(x, y, dep, non, model=args.model,
+                                         seed=args.seed)
+    print(json.dumps({k: round(v, 4) for k, v in summary.items()}))
+    return 0
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="icassp2022_depression_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("synth-corpus", help="write a synthetic EATD corpus")
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--n-data", type=int, default=20)
+    sp.add_argument("--n-validation", type=int, default=8)
+    sp.add_argument("--seconds", type=float, default=2.0)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_synth_corpus)
+
+    sp = sub.add_parser("extract-audio", help="EATD wav2vlad features")
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--out")
+    sp.set_defaults(fn=cmd_extract_audio)
+
+    sp = sub.add_parser("extract-text", help="EATD text features")
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--out")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_extract_text)
+
+    sp = sub.add_parser("extract-daic", help="DAIC-WOZ features")
+    sp.add_argument("--daic-dir", required=True)
+    sp.add_argument("--split-csv", required=True)
+    sp.add_argument("--queries", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--split-name", default="train")
+    sp.set_defaults(fn=cmd_extract_daic)
+
+    sp = sub.add_parser("train", help="train one branch task")
+    sp.add_argument("--task", required=True,
+                    choices=["audio_clf", "text_clf", "audio_reg", "text_reg"])
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--model-dir")
+    sp.add_argument("--idx-files", nargs="*")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--verbose", action="store_true")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("pipeline", help="full track incl. fusion")
+    sp.add_argument("--track", required=True, choices=["clf", "reg"])
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--model-dir")
+    sp.add_argument("--idx-files", nargs="*")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_pipeline)
+
+    sp = sub.add_parser("baselines", help="sklearn baselines")
+    sp.add_argument("--task", required=True,
+                    choices=["audio_clf", "text_clf", "audio_reg", "text_reg"])
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--model", default="rf")
+    sp.add_argument("--idx-files", nargs="*")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_baselines)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -112,6 +112,55 @@ def binary_label(sds: float, threshold: float = 53.0) -> int:
     return 1 if sds >= threshold else 0
 
 
+def load_speakers(root: Path, splits=("Data", "ValidationData"),
+                  max_id: int = MAX_SPEAKER_ID, read_text: bool = False,
+                  use_native: bool = True) -> List[Speaker]:
+    """Corpus loader that decodes all wavs through the native threaded
+    reader (``native/wavio.cpp``) when available, falling back to the
+    per-file stdlib path.  Same iteration order and fallback semantics as
+    :func:`iter_speakers`."""
+    if use_native:
+        from icassp2022_depression_tpu.utils import native
+
+        use_native = native.available()
+    if not use_native:
+        return list(iter_speakers(root, splits, max_id, read_text))
+
+    from icassp2022_depression_tpu.utils import native
+
+    dirs = []
+    for split in splits:
+        for number in range(1, max_id + 1):
+            d = Path(root) / split / str(number)
+            if (d / "positive_out.wav").exists():
+                dirs.append((split, number, d))
+    paths = [d / f"{topic}_out.wav" for _, _, d in dirs for topic in TOPICS]
+    decoded = native.read_wav_batch(paths)
+    speakers = []
+    for i, (split, number, d) in enumerate(dirs):
+        waveforms, srs = [], []
+        for j in range(3):
+            w, sr = decoded[i * 3 + j]
+            w = w.astype(np.float64)
+            if w.shape[0] < 1:
+                w = silence_fallback(sr)
+            waveforms.append(w)
+            srs.append(sr)
+        sds = float((d / "new_label.txt").read_text().splitlines()[0])
+        texts = None
+        if read_text:
+            try:
+                texts = [
+                    (d / f"{topic}.txt").read_text().splitlines()[0]
+                    if (d / f"{topic}.txt").read_text() else ""
+                    for topic in TOPICS
+                ]
+            except FileNotFoundError:
+                texts = None
+        speakers.append(Speaker(split, number, waveforms, srs, sds, texts))
+    return speakers
+
+
 # ---------------------------------------------------------------------------
 # Synthetic corpus (for tests / demos without the restricted real corpus)
 # ---------------------------------------------------------------------------

@@ -1,1 +1,1 @@
-from icassp2022_depression_tpu.eval import metrics  # noqa: F401
+from icassp2022_depression_tpu.eval import checking, metrics, traditional  # noqa: F401

@@ -1,0 +1,167 @@
+"""Model-checking harness (L5): recompute fold metrics from saved
+checkpoints.
+
+Reference counterparts: ``Classification/AudioModelChecking.py``,
+``Classification/TextModelChecking.py``, ``Classification/FuseModelChecking.py``,
+``Regression/AudioModelChecking.py`` — each re-runs the exact
+split+augmentation recipe, loads the fold's checkpoint, and prints per-fold
+and mean P/R/F1 (or MAE/RMSE).  Those scripts re-declare the models and
+copy the fold logic; here checking reuses the single model/data
+definitions, and inference runs as one jitted batch per fold.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icassp2022_depression_tpu import config as C
+from icassp2022_depression_tpu.data import augment, folds
+from icassp2022_depression_tpu.eval import metrics
+from icassp2022_depression_tpu.models import audio_net, fusion, text_net
+from icassp2022_depression_tpu.train import checkpoints
+
+
+def _clf_fold_eval(pred_probs: np.ndarray, y: np.ndarray) -> dict:
+    y_pred = np.argmax(pred_probs, axis=-1)
+    cm = metrics.standard_confusion_matrix(y, y_pred)
+    m = metrics.classification_metrics(cm)
+    m["confusion_matrix"] = cm.tolist()
+    return m
+
+
+def _mean(results: List[dict], keys: Sequence[str]) -> dict:
+    return {k: float(np.mean([r[k] for r in results])) for k in keys}
+
+
+def check_branch_clf(model_module, mcfg: C.RNNConfig, features, targets,
+                     train_folds_idx, ckpt_paths: Sequence[Path],
+                     batch_size: int = 4):
+    """Audio/Text classification checking: per-fold + mean P/R/F1.
+
+    ``ckpt_paths[fold]`` may be a path (loaded with the model's param
+    template) or an in-memory param pytree."""
+    dep = np.where(np.asarray(targets) == 1)[0]
+    non = np.where(np.asarray(targets) == 0)[0]
+    template = model_module.init(jax.random.PRNGKey(0), mcfg)
+    apply_fn = jax.jit(lambda p, x: model_module.apply(p, mcfg, x))
+    results = []
+    for fold, (tr_idx, ckpt) in enumerate(zip(train_folds_idx, ckpt_paths),
+                                          start=1):
+        _, (xte, yte) = augment.augment_classification_fold(
+            [features], targets, tr_idx, dep, non)
+        params = ckpt if isinstance(ckpt, dict) else \
+            checkpoints.load(ckpt, like=template)
+        probs = np.asarray(apply_fn(params, jnp.asarray(xte[0])))
+        m = _clf_fold_eval(probs, yte)
+        m["fold"] = fold
+        results.append(m)
+    summary = _mean(results, ("precision", "recall", "f1", "accuracy"))
+    return results, summary
+
+
+def check_audio_clf(features, targets, train_folds_idx, ckpt_paths,
+                    mcfg: C.RNNConfig = C.AUDIO_CLF.model):
+    return check_branch_clf(audio_net, mcfg, features, targets,
+                            train_folds_idx, ckpt_paths)
+
+
+def check_text_clf(features, targets, train_folds_idx, ckpt_paths,
+                   mcfg: C.RNNConfig = C.TEXT_CLF.model):
+    return check_branch_clf(text_net, mcfg, features, targets,
+                            train_folds_idx, ckpt_paths)
+
+
+def check_fuse_clf(audio_features, text_features, targets, train_folds_idx,
+                   ckpt_paths, fcfg: C.FusionConfig = C.FUSE_CLF):
+    """Fusion checking (``FuseModelChecking.py:62-105``)."""
+    dep = np.where(np.asarray(targets) == 1)[0]
+    non = np.where(np.asarray(targets) == 0)[0]
+    template = fusion.init(jax.random.PRNGKey(0), fcfg)
+
+    @jax.jit
+    def apply_fn(p, xa, xt):
+        probs, _ = fusion.apply(p, fcfg, xa, xt, train=False)
+        return probs
+
+    results = []
+    for fold, (tr_idx, ckpt) in enumerate(zip(train_folds_idx, ckpt_paths),
+                                          start=1):
+        _, ((xa, xt), yte) = augment.augment_classification_fold(
+            [audio_features, text_features], targets, tr_idx, dep, non)
+        params = ckpt if isinstance(ckpt, dict) else \
+            checkpoints.load(ckpt, like=template)
+        probs = np.asarray(apply_fn(params, jnp.asarray(xa), jnp.asarray(xt)))
+        m = _clf_fold_eval(probs, yte)
+        m["fold"] = fold
+        results.append(m)
+    return results, _mean(results, ("precision", "recall", "f1", "accuracy"))
+
+
+def check_branch_reg(model_module, mcfg: C.RNNConfig, features, targets,
+                     dep_idxs, non_idxs, ckpt_paths,
+                     fold_cfg: C.FoldConfig = C.FoldConfig()):
+    """Regression checking: MAE/RMSE on the (unaugmented) test split of each
+    fold (``Regression/AudioModelChecking.py:129-155`` checks one hardcoded
+    fold; we check all three)."""
+    template = model_module.init(jax.random.PRNGKey(0), mcfg)
+    apply_fn = jax.jit(lambda p, x: model_module.apply(p, mcfg, x))
+    results = []
+    for fold, ckpt in enumerate(ckpt_paths):
+        _, _, te_d, te_n = folds.reg_fold_split(
+            dep_idxs, non_idxs, fold, fold_cfg.reg_test_dep,
+            fold_cfg.reg_test_non)
+        te = np.concatenate([te_d, te_n]).astype(np.int64)
+        params = ckpt if isinstance(ckpt, dict) else \
+            checkpoints.load(ckpt, like=template)
+        pred = np.asarray(apply_fn(params, jnp.asarray(features[te]))).ravel()
+        results.append({
+            "fold": fold + 1,
+            "mae": metrics.mean_absolute_error(targets[te], pred),
+            "rmse": metrics.root_mean_squared_error(targets[te], pred),
+        })
+    return results, _mean(results, ("mae", "rmse"))
+
+
+def check_audio_reg(features, targets, dep_idxs, non_idxs, ckpt_paths,
+                    mcfg: C.RNNConfig = C.AUDIO_REG.model, **kw):
+    return check_branch_reg(audio_net, mcfg, features, targets, dep_idxs,
+                            non_idxs, ckpt_paths, **kw)
+
+
+def check_text_reg(features, targets, dep_idxs, non_idxs, ckpt_paths,
+                   mcfg: C.RNNConfig = C.TEXT_REG.model, **kw):
+    return check_branch_reg(text_net, mcfg, features, targets, dep_idxs,
+                            non_idxs, ckpt_paths, **kw)
+
+
+def check_fuse_reg(audio_features, text_features, targets, dep_idxs,
+                   non_idxs, ckpt_paths, fcfg: C.FusionConfig = C.FUSE_REG,
+                   fold_cfg: C.FoldConfig = C.FoldConfig()):
+    template = fusion.init(jax.random.PRNGKey(0), fcfg)
+
+    @jax.jit
+    def apply_fn(p, xa, xt):
+        pred, _ = fusion.apply(p, fcfg, xa, xt, train=False)
+        return pred
+
+    results = []
+    for fold, ckpt in enumerate(ckpt_paths):
+        _, _, te_d, te_n = folds.reg_fold_split(
+            dep_idxs, non_idxs, fold, fold_cfg.reg_test_dep,
+            fold_cfg.reg_test_non)
+        te = np.concatenate([te_d, te_n]).astype(np.int64)
+        params = ckpt if isinstance(ckpt, dict) else \
+            checkpoints.load(ckpt, like=template)
+        pred = np.asarray(apply_fn(params, jnp.asarray(audio_features[te]),
+                                   jnp.asarray(text_features[te]))).ravel()
+        results.append({
+            "fold": fold + 1,
+            "mae": metrics.mean_absolute_error(targets[te], pred),
+            "rmse": metrics.root_mean_squared_error(targets[te], pred),
+        })
+    return results, _mean(results, ("mae", "rmse"))

@@ -107,7 +107,7 @@ def extract_eatd(root: Path, cfg: FrontendConfig = FrontendConfig(),
     sds: List[float] = []
     manifest = []
     min_len, max_len = float("inf"), 0.0
-    for sp in eatd.iter_speakers(root, max_id=max_id, read_text=False):
+    for sp in eatd.load_speakers(root, max_id=max_id, read_text=False):
         for w, sr, dur in zip(sp.waveforms, sp.sample_rates, sp.durations):
             waveforms.append(w)
             rates.append(sr)

@@ -98,7 +98,12 @@ def _lstm_scan(p, x, h0, c0):
     return jnp.swapaxes(ys, 0, 1), h_last, c_last
 
 
-def _run_direction(p, x, cell: str, reverse: bool):
+def _run_direction(p, x, cell: str, reverse: bool, backend: str = "xla"):
+    if backend == "pallas" and cell == "gru":
+        from icassp2022_depression_tpu.ops import rnn_pallas
+
+        ys, h_last = rnn_pallas.gru_layer(p, x, reverse=reverse)
+        return ys, h_last, None
     b, _, _ = x.shape
     hidden = p["w_hh"].shape[1]
     h0 = jnp.zeros((b, hidden), x.dtype)
@@ -116,7 +121,7 @@ def _run_direction(p, x, cell: str, reverse: bool):
 
 def rnn(params: Sequence[dict], x: jnp.ndarray, cell: str,
         dropout: float = 0.0, train: bool = False,
-        key: Optional[jax.Array] = None):
+        key: Optional[jax.Array] = None, backend: str = "xla"):
     """Multi-layer (bi)directional RNN.
 
     Args:
@@ -127,6 +132,8 @@ def rnn(params: Sequence[dict], x: jnp.ndarray, cell: str,
         except the last, matching torch's RNN ``dropout=`` semantics).
       train: enables dropout.
       key: PRNG key (required when train and dropout > 0).
+      backend: "xla" (lax.scan) or "pallas" (fused sequence kernel,
+        :mod:`.rnn_pallas`; GRU only — LSTM falls back to scan).
 
     Returns:
       (output [B, T, H*num_dirs],
@@ -138,12 +145,14 @@ def rnn(params: Sequence[dict], x: jnp.ndarray, cell: str,
     y = x
     num_layers = len(params)
     for layer_idx, layer in enumerate(params):
-        ys_f, h_f, c_f = _run_direction(layer["fwd"], y, cell, reverse=False)
+        ys_f, h_f, c_f = _run_direction(layer["fwd"], y, cell, reverse=False,
+                                        backend=backend)
         h_finals.append(h_f)
         if c_f is not None:
             c_finals.append(c_f)
         if "bwd" in layer:
-            ys_b, h_b, c_b = _run_direction(layer["bwd"], y, cell, reverse=True)
+            ys_b, h_b, c_b = _run_direction(layer["bwd"], y, cell,
+                                            reverse=True, backend=backend)
             h_finals.append(h_b)
             if c_b is not None:
                 c_finals.append(c_b)

@@ -56,6 +56,13 @@ def _branch_fns(model_module, mcfg: C.RNNConfig, trainer_cfg: C.TrainerConfig):
     return train_loss, eval_fn
 
 
+def _gated(results):
+    """Folds whose metric gate fired at least once (the reference only
+    torch-saves when the gate passes; a fold with no eligible epoch leaves
+    no checkpoint)."""
+    return [r for r in results if r["best"]["epoch"] >= 0]
+
+
 def _host_best(best):
     out = {k: (float(v) if k != "params" else v) for k, v in best.items()}
     return out
@@ -119,7 +126,7 @@ def train_audio_clf(features: np.ndarray, targets: np.ndarray,
                             tcfg.batch_size)
     results = _run_folds(audio_net, tcfg, datas, seed)
     if out_dir is not None:
-        for r in results:
+        for r in _gated(results):
             name = checkpoints.audio_clf_name(
                 tcfg.model.embedding_size, tcfg.model.hidden_dims,
                 r["best"]["f1"], r["fold"])
@@ -137,7 +144,7 @@ def train_text_clf(features: np.ndarray, targets: np.ndarray,
                             tcfg.batch_size)
     results = _run_folds(text_net, tcfg, datas, seed)
     if out_dir is not None:
-        for r in results:
+        for r in _gated(results):
             name = checkpoints.text_clf_name(
                 tcfg.model.hidden_dims, r["best"]["f1"], r["fold"])
             checkpoints.save(Path(out_dir) / name, r["best"]["params"],
@@ -208,7 +215,7 @@ def train_fuse_clf(audio_features: np.ndarray, text_features: np.ndarray,
     results = _run_fusion_folds(fcfg, tcfg, datas, branch_params, seed,
                                 "classification")
     if out_dir is not None:
-        for r in results:
+        for r in _gated(results):
             name = checkpoints.fuse_clf_name(r["best"]["f1"], r["fold"])
             checkpoints.save(Path(out_dir) / name, r["best"]["params"],
                              {k: v for k, v in r["best"].items() if k != "params"})
@@ -247,7 +254,7 @@ def train_audio_reg(features: np.ndarray, targets: np.ndarray,
                             tcfg.batch_size)
     results = _run_folds(audio_net, tcfg, datas, seed)
     if out_dir is not None:
-        for r in results:
+        for r in _gated(results):
             name = checkpoints.audio_reg_name(
                 tcfg.model.embedding_size, tcfg.model.hidden_dims,
                 r["best"]["mae"])
@@ -265,7 +272,7 @@ def train_text_reg(features: np.ndarray, targets: np.ndarray,
                             tcfg.batch_size)
     results = _run_folds(text_net, tcfg, datas, seed)
     if out_dir is not None:
-        for r in results:
+        for r in _gated(results):
             name = checkpoints.text_reg_name(tcfg.model.hidden_dims,
                                              r["best"]["mae"])
             checkpoints.save(Path(out_dir) / f"Text{r['fold']}" / name,
@@ -285,7 +292,7 @@ def train_fuse_reg(audio_features: np.ndarray, text_features: np.ndarray,
     results = _run_fusion_folds(fcfg, tcfg, datas, branch_params, seed,
                                 "regression")
     if out_dir is not None:
-        for r in results:
+        for r in _gated(results):
             name = checkpoints.fuse_reg_name(r["best"]["mae"])
             checkpoints.save(Path(out_dir) / f"Fuse{r['fold']}" / name,
                              r["best"]["params"],

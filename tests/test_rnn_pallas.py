@@ -1,0 +1,63 @@
+"""Fused Pallas GRU kernel vs the lax.scan path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from icassp2022_depression_tpu.ops import rnn, rnn_pallas
+
+
+@pytest.mark.parametrize("b,t,d,h", [(4, 3, 16, 8), (2, 7, 8, 8)])
+def test_pallas_gru_forward_matches_scan(b, t, d, h):
+    p = rnn.init_params(jax.random.PRNGKey(0), "gru", d, h, 1, False)[0]["fwd"]
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, d))
+    ys_scan, h_scan, _ = rnn._run_direction(p, x, "gru", False)
+    ys_pal, h_pal = rnn_pallas.gru_layer(p, x)
+    np.testing.assert_allclose(np.asarray(ys_pal), np.asarray(ys_scan),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_scan),
+                               atol=1e-5)
+
+
+def test_pallas_gru_reverse_matches_scan():
+    p = rnn.init_params(jax.random.PRNGKey(2), "gru", 16, 8, 1, False)[0]["fwd"]
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 5, 16))
+    ys_scan, _, _ = rnn._run_direction(p, x, "gru", True)
+    ys_pal, _ = rnn_pallas.gru_layer(p, x, reverse=True)
+    np.testing.assert_allclose(np.asarray(ys_pal), np.asarray(ys_scan),
+                               atol=1e-5)
+
+
+def test_pallas_gru_gradients_match_scan():
+    p = rnn.init_params(jax.random.PRNGKey(4), "gru", 16, 8, 1, False)[0]["fwd"]
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 6, 16))
+
+    def loss_scan(p, x):
+        ys, _, _ = rnn._run_direction(p, x, "gru", False)
+        return jnp.sum(jnp.sin(ys))
+
+    def loss_pal(p, x):
+        ys, _ = rnn_pallas.gru_layer(p, x)
+        return jnp.sum(jnp.sin(ys))
+
+    g1 = jax.grad(loss_scan)(p, x)
+    g2 = jax.grad(loss_pal)(p, x)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
+                                   atol=1e-4, err_msg=k)
+    # input gradients too
+    gx1 = jax.grad(loss_scan, argnums=1)(p, x)
+    gx2 = jax.grad(loss_pal, argnums=1)(p, x)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), atol=1e-4)
+
+
+def test_pallas_backend_in_rnn_api():
+    params = rnn.init_params(jax.random.PRNGKey(6), "gru", 16, 8, 2, False)
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 3, 16))
+    y_scan, hn_scan, _ = rnn.rnn(params, x, "gru")
+    y_pal, hn_pal, _ = rnn.rnn(params, x, "gru", backend="pallas")
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_scan),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hn_pal), np.asarray(hn_scan),
+                               atol=1e-5)
