@@ -98,6 +98,10 @@ def cmd_train(args):
     logger = MetricsLogger(model_dir / f"{args.task}_metrics.jsonl",
                            echo=args.verbose)
 
+    resume_kw = {}
+    if args.resume_dir:
+        resume_kw = {"resume_dir": Path(args.resume_dir),
+                     "chunk_epochs": args.chunk_epochs}
     if args.task in ("audio_clf", "text_clf"):
         if args.task == "audio_clf":
             x, y = afe.load_features(audio_dir, "clf")
@@ -106,7 +110,8 @@ def cmd_train(args):
             x, y = tfe.load_features(text_dir, "clf")
             fn, sub = trainers.train_text_clf, "ClassificationWhole/Text"
         tf_idx = _train_folds(root, y, args.seed, args.idx_files)
-        results = fn(x, y, tf_idx, out_dir=model_dir / sub, seed=args.seed)
+        results = fn(x, y, tf_idx, out_dir=model_dir / sub, seed=args.seed,
+                     **resume_kw)
     elif args.task in ("audio_reg", "text_reg"):
         if args.task == "audio_reg":
             x, y = afe.load_features(audio_dir, "reg")
@@ -115,7 +120,8 @@ def cmd_train(args):
             x, y = tfe.load_features(text_dir, "reg")
             fn, sub = trainers.train_text_reg, "Regression"
         dep, non = folds.generate_reg_shuffles(y, seed=args.seed)
-        results = fn(x, y, dep, non, out_dir=model_dir / sub, seed=args.seed)
+        results = fn(x, y, dep, non, out_dir=model_dir / sub, seed=args.seed,
+                     **resume_kw)
     else:
         print(f"use the 'pipeline' command for fusion tasks ({args.task})",
               file=sys.stderr)
@@ -250,6 +256,8 @@ def build_parser():
     sp.add_argument("--idx-files", nargs="*")
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--verbose", action="store_true")
+    sp.add_argument("--resume-dir", help="chunked execution + resume bundle dir")
+    sp.add_argument("--chunk-epochs", type=int, default=25)
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("pipeline", help="full track incl. fusion")

@@ -28,6 +28,7 @@ def _flatten(tree, prefix=""):
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
+        # covers optax NamedTuple states too (flattened positionally)
         for i, v in enumerate(tree):
             out.update(_flatten(v, f"{prefix}{i}/"))
     elif tree is None:
@@ -72,6 +73,8 @@ def load(path, like=None):
             return {k: rebuild(v, f"{prefix}{k}/") for k, v in template.items()}
         if isinstance(template, (list, tuple)):
             seq = [rebuild(v, f"{prefix}{i}/") for i, v in enumerate(template)]
+            if hasattr(template, "_fields"):   # NamedTuple (optax states)
+                return type(template)(*seq)
             return type(template)(seq) if isinstance(template, tuple) else seq
         if template is None:
             return None

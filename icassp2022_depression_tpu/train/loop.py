@@ -184,20 +184,30 @@ def make_fold_runner(train_loss_fn: Callable, eval_fn: Callable,
                    "mae": mae, "rmse": rmse}
         return (params, opt_state, key, best), log
 
-    def run(params, opt_state, data: FoldData, key):
+    def run(params, opt_state, data: FoldData, key, best=None, epoch0=0):
+        """``best``/``epoch0`` enable chunked execution + resume: pass the
+        carried best tree and the number of epochs already completed (the
+        per-epoch PRNG stream continues through the carried ``key``)."""
         n_train = jnp.sum(data.train_mask)
-        if track == "classification":
-            best = {"params": params, "f1": jnp.float32(-1.0),
-                    "accuracy": jnp.float32(-1.0),
-                    "precision": jnp.float32(-1.0),
-                    "recall": jnp.float32(-1.0),
-                    "epoch": jnp.float32(-1.0)}
-        else:
-            best = {"params": params, "mae": jnp.float32(100.0),
-                    "rmse": jnp.float32(100.0), "epoch": jnp.float32(-1.0)}
+        if best is None:
+            best = init_best(track, params)
         step = functools.partial(epoch_step, data=data, n_train=n_train)
         (params, opt_state, key, best), logs = jax.lax.scan(
-            step, (params, opt_state, key, best), jnp.arange(n_epochs))
-        return params, opt_state, best, logs
+            step, (params, opt_state, key, best),
+            jnp.arange(n_epochs) + epoch0)
+        return params, opt_state, key, best, logs
 
     return jax.jit(run) if jit else run
+
+
+def init_best(track: str, params):
+    """Initial gated-best tree (reference init values:
+    ``max_f1 = -1`` / ``min_mae = 100``)."""
+    if track == "classification":
+        return {"params": params, "f1": jnp.float32(-1.0),
+                "accuracy": jnp.float32(-1.0),
+                "precision": jnp.float32(-1.0),
+                "recall": jnp.float32(-1.0),
+                "epoch": jnp.float32(-1.0)}
+    return {"params": params, "mae": jnp.float32(100.0),
+            "rmse": jnp.float32(100.0), "epoch": jnp.float32(-1.0)}

@@ -68,15 +68,67 @@ def _host_best(best):
     return out
 
 
+def _execute_fold(make_runner, runner_cache, params, optimizer, data,
+                  fold_key, track: str, total_epochs: int,
+                  chunk_epochs: int | None = None, resume_path=None):
+    """Run one fold, optionally in epoch chunks with a resume bundle
+    (params + opt_state + PRNG key + gated best + epochs done) written
+    after every chunk — the framework's true-resume story (the reference
+    always restarts from scratch, SURVEY.md §5)."""
+    opt_state = optimizer.init(params)
+    best = loop.init_best(track, params)
+    key = fold_key
+    epoch_done = 0
+    logs_parts: list = []
+    chunk = chunk_epochs or total_epochs
+
+    if resume_path is not None:
+        state_path = Path(str(resume_path) + ".npz")
+        logs_path = Path(str(resume_path) + "_logs.npz")
+        if state_path.exists():
+            template = {"params": params, "opt_state": opt_state,
+                        "key": key, "best": best,
+                        "epoch_done": np.zeros((), np.int64)}
+            state = checkpoints.load(resume_path, like=template)
+            params, opt_state = state["params"], state["opt_state"]
+            key, best = state["key"], state["best"]
+            epoch_done = int(state["epoch_done"])
+            if logs_path.exists():
+                logs_parts.append(dict(np.load(logs_path)))
+
+    while epoch_done < total_epochs:
+        n = min(chunk, total_epochs - epoch_done)
+        if n not in runner_cache:
+            runner_cache[n] = make_runner(n + 1)
+        run = runner_cache[n]
+        params, opt_state, key, best, logs = run(
+            params, opt_state, data, key, best,
+            jnp.asarray(epoch_done, jnp.int32))
+        logs_parts.append(jax.device_get(logs))
+        epoch_done += n
+        if resume_path is not None:
+            checkpoints.save(resume_path, {
+                "params": params, "opt_state": opt_state, "key": key,
+                "best": best, "epoch_done": np.asarray(epoch_done, np.int64)})
+            merged = {k: np.concatenate([p[k] for p in logs_parts])
+                      for k in logs_parts[0]}
+            np.savez(Path(str(resume_path) + "_logs.npz"), **merged)
+    logs = {k: np.concatenate([p[k] for p in logs_parts])
+            for k in logs_parts[0]}
+    return best, logs
+
+
 def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
-               seed: int, init_params_per_fold=None):
+               seed: int, init_params_per_fold=None, resume_dir=None,
+               chunk_epochs=None, task_name: str = "task"):
     """Shared fold loop: init -> compiled fold program -> host summary.
 
     All folds are padded to identical shapes (``_clf_fold_datas`` /
     ``_reg_fold_datas``) and share ONE compiled program — the optimizer and
     runner are built once from the first fold's param structure."""
     results = []
-    run = None
+    make_runner = None
+    runner_cache: dict = {}
     optimizer = None
     for fold_idx, data in enumerate(fold_datas, start=1):
         if init_params_per_fold is not None:
@@ -84,16 +136,22 @@ def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
         else:
             key = jax.random.fold_in(jax.random.PRNGKey(seed), fold_idx)
             params = model_module.init(key, tcfg.model)
-        if run is None:
+        if make_runner is None:
             optimizer = optim.build(tcfg.optimizer, params)
             train_loss, eval_fn = _branch_fns(model_module, tcfg.model, tcfg)
-            run = loop.make_fold_runner(train_loss, eval_fn, optimizer,
-                                        tcfg.track, tcfg.gate, tcfg.epochs)
-        opt_state = optimizer.init(params)
+
+            def make_runner(epochs, _tl=train_loss, _ef=eval_fn,
+                            _opt=optimizer):
+                return loop.make_fold_runner(_tl, _ef, _opt, tcfg.track,
+                                             tcfg.gate, epochs)
         fold_key = jax.random.fold_in(jax.random.PRNGKey(seed + 1000), fold_idx)
-        _, _, best, logs = run(params, opt_state, data, fold_key)
+        resume_path = (Path(resume_dir) / f"{task_name}_fold{fold_idx}"
+                       if resume_dir is not None else None)
+        best, logs = _execute_fold(make_runner, runner_cache, params,
+                                   optimizer, data, fold_key, tcfg.track,
+                                   tcfg.epochs - 1, chunk_epochs, resume_path)
         results.append({"fold": fold_idx, "best": _host_best(best),
-                        "logs": jax.device_get(logs)})
+                        "logs": logs})
     return results
 
 
@@ -120,11 +178,14 @@ def _clf_fold_datas(feature_arrays, targets, train_folds_idx, batch_size):
 def train_audio_clf(features: np.ndarray, targets: np.ndarray,
                     train_folds_idx: Sequence[np.ndarray],
                     tcfg: C.TrainerConfig = C.AUDIO_CLF,
-                    out_dir: Optional[Path] = None, seed: int = 0):
+                    out_dir: Optional[Path] = None, seed: int = 0,
+                    resume_dir=None, chunk_epochs=None):
     """3-fold audio GRU classifier.  ``features``: [N, 3, 256]."""
     datas = _clf_fold_datas([features], targets, train_folds_idx,
                             tcfg.batch_size)
-    results = _run_folds(audio_net, tcfg, datas, seed)
+    results = _run_folds(audio_net, tcfg, datas, seed,
+                         resume_dir=resume_dir, chunk_epochs=chunk_epochs,
+                         task_name="audio_clf")
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.audio_clf_name(
@@ -138,11 +199,14 @@ def train_audio_clf(features: np.ndarray, targets: np.ndarray,
 def train_text_clf(features: np.ndarray, targets: np.ndarray,
                    train_folds_idx: Sequence[np.ndarray],
                    tcfg: C.TrainerConfig = C.TEXT_CLF,
-                   out_dir: Optional[Path] = None, seed: int = 0):
+                   out_dir: Optional[Path] = None, seed: int = 0,
+                   resume_dir=None, chunk_epochs=None):
     """3-fold text BiLSTM classifier.  ``features``: [N, 3, 1024]."""
     datas = _clf_fold_datas([features], targets, train_folds_idx,
                             tcfg.batch_size)
-    results = _run_folds(text_net, tcfg, datas, seed)
+    results = _run_folds(text_net, tcfg, datas, seed,
+                         resume_dir=resume_dir, chunk_epochs=chunk_epochs,
+                         task_name="text_clf")
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.text_clf_name(
@@ -178,25 +242,34 @@ def _fusion_fns(fcfg: C.FusionConfig, tcfg: C.TrainerConfig):
     return train_loss, eval_fn
 
 
-def _run_fusion_folds(fcfg, tcfg, fold_datas, branch_params, seed, track):
+def _run_fusion_folds(fcfg, tcfg, fold_datas, branch_params, seed, track,
+                      resume_dir=None, chunk_epochs=None,
+                      task_name: str = "fuse"):
     results = []
-    run = None
+    make_runner = None
+    runner_cache: dict = {}
     optimizer = None
     for fold_idx, data in enumerate(fold_datas, start=1):
         key = jax.random.fold_in(jax.random.PRNGKey(seed), fold_idx)
         params = fusion.init(key, fcfg)
         text_p, audio_p = branch_params[fold_idx - 1]
         params = fusion.init_from_branches(params, fcfg, text_p, audio_p, track)
-        if run is None:
+        if make_runner is None:
             optimizer = optim.build(tcfg.optimizer, params)
             train_loss, eval_fn = _fusion_fns(fcfg, tcfg)
-            run = loop.make_fold_runner(train_loss, eval_fn, optimizer,
-                                        tcfg.track, tcfg.gate, tcfg.epochs)
-        opt_state = optimizer.init(params)
+
+            def make_runner(epochs, _tl=train_loss, _ef=eval_fn,
+                            _opt=optimizer):
+                return loop.make_fold_runner(_tl, _ef, _opt, tcfg.track,
+                                             tcfg.gate, epochs)
         fold_key = jax.random.fold_in(jax.random.PRNGKey(seed + 1000), fold_idx)
-        _, _, best, logs = run(params, opt_state, data, fold_key)
+        resume_path = (Path(resume_dir) / f"{task_name}_fold{fold_idx}"
+                       if resume_dir is not None else None)
+        best, logs = _execute_fold(make_runner, runner_cache, params,
+                                   optimizer, data, fold_key, tcfg.track,
+                                   tcfg.epochs - 1, chunk_epochs, resume_path)
         results.append({"fold": fold_idx, "best": _host_best(best),
-                        "logs": jax.device_get(logs)})
+                        "logs": logs})
     return results
 
 
@@ -206,14 +279,17 @@ def train_fuse_clf(audio_features: np.ndarray, text_features: np.ndarray,
                    branch_params: Sequence[tuple],
                    fcfg: C.FusionConfig = C.FUSE_CLF,
                    tcfg: C.TrainerConfig = C.FUSE_CLF_TRAINER,
-                   out_dir: Optional[Path] = None, seed: int = 0):
+                   out_dir: Optional[Path] = None, seed: int = 0,
+                   resume_dir=None, chunk_epochs=None):
     """3-fold multimodal fusion classifier.  ``branch_params[fold]`` is the
     (text_params, audio_params) pair from the pretrained branch trainers
     (replacing the reference's state-dict surgery)."""
     datas = _clf_fold_datas([audio_features, text_features], targets,
                             train_folds_idx, tcfg.batch_size)
     results = _run_fusion_folds(fcfg, tcfg, datas, branch_params, seed,
-                                "classification")
+                                "classification", resume_dir=resume_dir,
+                                chunk_epochs=chunk_epochs,
+                                task_name="fuse_clf")
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.fuse_clf_name(r["best"]["f1"], r["fold"])
@@ -248,11 +324,14 @@ def _reg_fold_datas(feature_arrays, targets, dep_idxs, non_idxs, batch_size,
 def train_audio_reg(features: np.ndarray, targets: np.ndarray,
                     dep_idxs: np.ndarray, non_idxs: np.ndarray,
                     tcfg: C.TrainerConfig = C.AUDIO_REG,
-                    out_dir: Optional[Path] = None, seed: int = 0):
+                    out_dir: Optional[Path] = None, seed: int = 0,
+                    resume_dir=None, chunk_epochs=None):
     """3-fold audio GRU SDS-score regressor (L1 loss, MAE gating)."""
     datas = _reg_fold_datas([features], targets, dep_idxs, non_idxs,
                             tcfg.batch_size)
-    results = _run_folds(audio_net, tcfg, datas, seed)
+    results = _run_folds(audio_net, tcfg, datas, seed,
+                         resume_dir=resume_dir, chunk_epochs=chunk_epochs,
+                         task_name="audio_reg")
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.audio_reg_name(
@@ -267,10 +346,13 @@ def train_audio_reg(features: np.ndarray, targets: np.ndarray,
 def train_text_reg(features: np.ndarray, targets: np.ndarray,
                    dep_idxs: np.ndarray, non_idxs: np.ndarray,
                    tcfg: C.TrainerConfig = C.TEXT_REG,
-                   out_dir: Optional[Path] = None, seed: int = 0):
+                   out_dir: Optional[Path] = None, seed: int = 0,
+                   resume_dir=None, chunk_epochs=None):
     datas = _reg_fold_datas([features], targets, dep_idxs, non_idxs,
                             tcfg.batch_size)
-    results = _run_folds(text_net, tcfg, datas, seed)
+    results = _run_folds(text_net, tcfg, datas, seed,
+                         resume_dir=resume_dir, chunk_epochs=chunk_epochs,
+                         task_name="text_reg")
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.text_reg_name(tcfg.model.hidden_dims,
@@ -286,11 +368,14 @@ def train_fuse_reg(audio_features: np.ndarray, text_features: np.ndarray,
                    non_idxs: np.ndarray, branch_params: Sequence[tuple],
                    fcfg: C.FusionConfig = C.FUSE_REG,
                    tcfg: C.TrainerConfig = C.FUSE_REG_TRAINER,
-                   out_dir: Optional[Path] = None, seed: int = 0):
+                   out_dir: Optional[Path] = None, seed: int = 0,
+                   resume_dir=None, chunk_epochs=None):
     datas = _reg_fold_datas([audio_features, text_features], targets,
                             dep_idxs, non_idxs, tcfg.batch_size)
     results = _run_fusion_folds(fcfg, tcfg, datas, branch_params, seed,
-                                "regression")
+                                "regression", resume_dir=resume_dir,
+                                chunk_epochs=chunk_epochs,
+                                task_name="fuse_reg")
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.fuse_reg_name(r["best"]["mae"])

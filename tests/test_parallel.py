@@ -96,7 +96,7 @@ def test_sharded_fold_runner_matches_unsharded():
     key = jax.random.PRNGKey(3)
 
     # single device
-    _, _, best_1, logs_1 = jax.jit(run)(params, opt_state, data, key)
+    _, _, _, best_1, logs_1 = jax.jit(run)(params, opt_state, data, key)
 
     # sharded: batch rows over 'data', params/opt replicated
     shardings = mesh_lib.fold_data_shardings(m, data)
@@ -109,7 +109,7 @@ def test_sharded_fold_runner_matches_unsharded():
                      zip(data.test_x, shardings.test_x)),
         test_y=jax.device_put(data.test_y, shardings.test_y),
         test_mask=jax.device_put(data.test_mask, shardings.test_mask))
-    _, _, best_8, logs_8 = jax.jit(run)(params, opt_state, data_sharded, key)
+    _, _, _, best_8, logs_8 = jax.jit(run)(params, opt_state, data_sharded, key)
 
     np.testing.assert_allclose(np.asarray(logs_1["f1"]),
                                np.asarray(logs_8["f1"]), atol=1e-5)
