@@ -200,6 +200,39 @@ def make_fold_runner(train_loss_fn: Callable, eval_fn: Callable,
     return jax.jit(run) if jit else run
 
 
+def stack_fold_data(datas: Sequence[FoldData]) -> FoldData:
+    """Stack per-fold FoldData (already shape-uniform) along a leading fold
+    axis for cross-fold vmap execution."""
+    def stack(*leaves):
+        return jnp.stack(leaves)
+
+    return jax.tree_util.tree_map(stack, *datas)
+
+
+def make_multi_fold_runner(train_loss_fn, eval_fn, optimizer, track, gate,
+                           epochs):
+    """Cross-fold vmap: all folds execute as ONE compiled program.
+
+    The reference runs its 3 folds strictly sequentially; on TPU the folds
+    are independent programs over identically-shaped (padded) data, so
+    vmapping the whole-fold program over a leading fold axis triples the
+    effective batch every matmul sees — better MXU utilisation and a third
+    of the dispatches — while per-fold semantics (separate params, opt
+    state, PRNG streams, gated best) are preserved by construction.
+
+    Returns ``run(stacked_params, stacked_opt_state, stacked_data,
+    stacked_keys) -> (params, opt_state, keys, best, logs)`` with a leading
+    fold axis on every output.
+    """
+    single = make_fold_runner(train_loss_fn, eval_fn, optimizer, track,
+                              gate, epochs, jit=False)
+
+    def one(params, opt_state, data, key):
+        return single(params, opt_state, data, key)
+
+    return jax.jit(jax.vmap(one))
+
+
 def init_best(track: str, params):
     """Initial gated-best tree (reference init values:
     ``max_f1 = -1`` / ``min_mae = 100``)."""

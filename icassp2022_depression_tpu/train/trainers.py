@@ -118,14 +118,57 @@ def _execute_fold(make_runner, runner_cache, params, optimizer, data,
     return best, logs
 
 
+def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
+                          seed: int):
+    """Cross-fold vmap path: all folds as one compiled program
+    (:func:`..train.loop.make_multi_fold_runner`)."""
+    train_loss, eval_fn = fns
+    stacked_params = jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls), *params_list)
+    opt_states = [optimizer.init(p) for p in params_list]
+    stacked_opt = jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls), *opt_states)
+    stacked_data = loop.stack_fold_data(fold_datas)
+    keys = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(seed + 1000), i)
+                      for i in range(1, len(fold_datas) + 1)])
+    run = loop.make_multi_fold_runner(train_loss, eval_fn, optimizer,
+                                      tcfg.track, tcfg.gate, tcfg.epochs)
+    _, _, _, best, logs = run(stacked_params, stacked_opt, stacked_data, keys)
+    best, logs = jax.device_get((best, logs))
+    results = []
+    for i in range(len(fold_datas)):
+        fold_best = jax.tree_util.tree_map(lambda x: x[i], best)
+        fold_logs = {k: v[i] for k, v in logs.items()}
+        results.append({"fold": i + 1, "best": _host_best(fold_best),
+                        "logs": fold_logs})
+    return results
+
+
 def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
                seed: int, init_params_per_fold=None, resume_dir=None,
-               chunk_epochs=None, task_name: str = "task"):
+               chunk_epochs=None, task_name: str = "task",
+               vmap_folds: bool = False):
     """Shared fold loop: init -> compiled fold program -> host summary.
 
     All folds are padded to identical shapes (``_clf_fold_datas`` /
     ``_reg_fold_datas``) and share ONE compiled program — the optimizer and
-    runner are built once from the first fold's param structure."""
+    runner are built once from the first fold's param structure.  With
+    ``vmap_folds`` all folds run as a single vmapped program (incompatible
+    with ``resume_dir``)."""
+    if vmap_folds:
+        assert resume_dir is None, "vmap_folds does not support resume"
+        if init_params_per_fold is not None:
+            params_list = list(init_params_per_fold)
+        else:
+            params_list = [
+                model_module.init(
+                    jax.random.fold_in(jax.random.PRNGKey(seed), i),
+                    tcfg.model)
+                for i in range(1, len(fold_datas) + 1)]
+        optimizer = optim.build(tcfg.optimizer, params_list[0])
+        fns = _branch_fns(model_module, tcfg.model, tcfg)
+        return _vmapped_fold_results(fns, optimizer, tcfg, fold_datas,
+                                     params_list, seed)
     results = []
     make_runner = None
     runner_cache: dict = {}
