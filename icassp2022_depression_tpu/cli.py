@@ -191,6 +191,50 @@ def cmd_pipeline(args):
     return 0
 
 
+def cmd_check(args):
+    """ModelChecking equivalents: recompute fold metrics from checkpoints."""
+    from icassp2022_depression_tpu.data import folds
+    from icassp2022_depression_tpu.eval import checking
+    from icassp2022_depression_tpu.frontend import audio as afe
+    from icassp2022_depression_tpu.frontend import text as tfe
+
+    root = Path(args.root)
+    audio_dir, text_dir = _features_dirs(root)
+    ckpts = [Path(p) for p in args.ckpts]
+    if args.task == "audio_clf":
+        x, y = afe.load_features(audio_dir, "clf")
+        tf_idx = _train_folds(root, y, args.seed, args.idx_files)
+        results, summary = checking.check_audio_clf(x, y, tf_idx, ckpts)
+    elif args.task == "text_clf":
+        x, y = tfe.load_features(text_dir, "clf")
+        tf_idx = _train_folds(root, y, args.seed, args.idx_files)
+        results, summary = checking.check_text_clf(x, y, tf_idx, ckpts)
+    elif args.task == "fuse_clf":
+        xa, ya = afe.load_features(audio_dir, "clf")
+        xt, _ = tfe.load_features(text_dir, "clf")
+        tf_idx = _train_folds(root, ya, args.seed, args.idx_files)
+        results, summary = checking.check_fuse_clf(xa, xt, ya, tf_idx, ckpts)
+    elif args.task in ("audio_reg", "text_reg", "fuse_reg"):
+        xa, ya = afe.load_features(audio_dir, "reg")
+        dep, non = folds.generate_reg_shuffles(ya, seed=args.seed)
+        if args.task == "audio_reg":
+            results, summary = checking.check_audio_reg(xa, ya, dep, non, ckpts)
+        elif args.task == "text_reg":
+            xt, yt = tfe.load_features(text_dir, "reg")
+            results, summary = checking.check_text_reg(xt, yt, dep, non, ckpts)
+        else:
+            xt, _ = tfe.load_features(text_dir, "reg")
+            results, summary = checking.check_fuse_reg(xa, xt, ya, dep, non,
+                                                       ckpts)
+    else:
+        raise SystemExit(f"unknown task {args.task}")
+    for r in results:
+        print(json.dumps({k: v for k, v in r.items()
+                          if k != "confusion_matrix"}))
+    print(json.dumps({"mean": summary}))
+    return 0
+
+
 def cmd_baselines(args):
     from icassp2022_depression_tpu.data import folds
     from icassp2022_depression_tpu.eval import traditional
@@ -267,6 +311,17 @@ def build_parser():
     sp.add_argument("--idx-files", nargs="*")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_pipeline)
+
+    sp = sub.add_parser("check", help="recompute fold metrics from checkpoints")
+    sp.add_argument("--task", required=True,
+                    choices=["audio_clf", "text_clf", "fuse_clf",
+                             "audio_reg", "text_reg", "fuse_reg"])
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--ckpts", nargs="+", required=True,
+                    help="one checkpoint per fold, in fold order")
+    sp.add_argument("--idx-files", nargs="*")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_check)
 
     sp = sub.add_parser("baselines", help="sklearn baselines")
     sp.add_argument("--task", required=True,
