@@ -1,6 +1,9 @@
 from icassp2022_depression_tpu.models import (  # noqa: F401
     audio_net,
+    elmo,
     fusion,
     losses,
+    porting,
     text_net,
+    vggish,
 )

@@ -45,8 +45,13 @@ def init(key, cfg: RNNConfig):
     return params
 
 
-def features(params, cfg: RNNConfig, x, train: bool = False, key=None):
-    """Input [B, T, D] -> pooled hidden [B, H] (pre-head)."""
+def features(params, cfg: RNNConfig, x, train: bool = False, key=None,
+             time_mask=None):
+    """Input [B, T, D] -> pooled hidden [B, H] (pre-head).
+
+    ``time_mask`` [B, T] restricts the temporal pooling to valid steps —
+    the ragged-DAIC path (variable responses per participant padded to a
+    common count; padding must sit at the sequence tail)."""
     if cfg.input_layernorm:
         x = layer_norm(params["ln"], x)
     if train and key is not None:
@@ -54,6 +59,14 @@ def features(params, cfg: RNNConfig, x, train: bool = False, key=None):
     else:
         k_rnn = None
     y, _, _ = rnn.rnn(params["rnn"], x, cfg.cell, cfg.dropout, train, k_rnn)
+    if time_mask is not None:
+        m = time_mask.astype(y.dtype)[:, :, None]
+        if cfg.pooling == "mean":
+            return jnp.sum(y * m, axis=1) / jnp.maximum(
+                jnp.sum(m, axis=1), 1.0)
+        if cfg.pooling == "sum":
+            return jnp.sum(y * m, axis=1)
+        raise ValueError(f"unsupported audio pooling {cfg.pooling!r}")
     if cfg.pooling == "mean":
         return jnp.mean(y, axis=1)
     if cfg.pooling == "sum":
@@ -81,12 +94,13 @@ def head(params, cfg: RNNConfig, pooled, train: bool = False, key=None):
     return out
 
 
-def apply(params, cfg: RNNConfig, x, train: bool = False, key=None):
+def apply(params, cfg: RNNConfig, x, train: bool = False, key=None,
+          time_mask=None):
     """Full forward: [B, T, D] -> [B, num_classes] probs (clf) or [B, 1]
     scores (reg)."""
     if train and key is not None:
         k_feat, k_head = jax.random.split(key)
     else:
         k_feat = k_head = None
-    pooled = features(params, cfg, x, train, k_feat)
+    pooled = features(params, cfg, x, train, k_feat, time_mask)
     return head(params, cfg, pooled, train, k_head)

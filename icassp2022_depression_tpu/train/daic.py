@@ -1,0 +1,113 @@
+"""DAIC-WOZ downstream training over ragged response sets.
+
+The reference stops at DAIC feature *extraction* (per-question wav2vlad
+features + PHQ8 labels, ``DAICFeatureExtarction/feature_extraction.py``);
+training on them is left implied for cross-corpus work.  This module closes
+the loop TPU-natively: participants have a *variable* number of responses,
+so the features are padded to a common response count with a validity mask
+(:func:`..frontend.daic.pad_responses`) and the audio GRU model pools over
+valid responses only (``time_mask`` — no recompilation per participant,
+SURVEY.md §3.5's ragged-batching requirement).
+
+Uses the AVEC2017 train/dev split (not 3-fold CV: DAIC ships predefined
+splits), the same gated best-checkpoint selection as the EATD trainers.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icassp2022_depression_tpu import config as C
+from icassp2022_depression_tpu.frontend.daic import pad_responses
+from icassp2022_depression_tpu.models import audio_net
+from icassp2022_depression_tpu.ops.nn import (
+    l1_loss,
+    masked_cross_entropy_on_probs,
+)
+from icassp2022_depression_tpu.train import checkpoints, loop, optim
+
+#: capability-extension preset (no reference counterpart): the EATD audio
+#: classifier architecture over response sequences.
+DAIC_CLF = C.TrainerConfig(
+    model=C.RNNConfig(num_classes=2, dropout=0.5, rnn_layers=2,
+                      embedding_size=256, hidden_dims=256,
+                      bidirectional=False, cell="gru", input_layernorm=True,
+                      pooling="mean", head_activation="softmax",
+                      init="torch", head_input_dropout=True),
+    optimizer=C.OptimizerConfig(name="adamw", learning_rate=1e-4),
+    gate=C.GateConfig(f1_floor=0.0, train_acc_frac=0.0),
+    batch_size=16, epochs=101, loss="ce", track="classification",
+)
+
+DAIC_REG = C.replace(
+    DAIC_CLF,
+    model=C.replace(DAIC_CLF.model, num_classes=1, input_layernorm=False,
+                    pooling="sum", head_activation="relu"),
+    optimizer=C.OptimizerConfig(name="adam", learning_rate=1e-4,
+                                weight_decay=0.0),
+    gate=C.GateConfig(mae_ceiling=100.0, train_mae_ceiling=1e9),
+    loss="l1", track="regression",
+)
+
+
+def _fns(tcfg: C.TrainerConfig):
+    mcfg = tcfg.model
+
+    def train_loss(params, xs, y, mask, key):
+        x, time_mask = xs
+        pred = audio_net.apply(params, mcfg, x, train=True, key=key,
+                               time_mask=time_mask)
+        if tcfg.track == "classification":
+            loss = masked_cross_entropy_on_probs(
+                pred, y.astype(jnp.int32), mask, mcfg.num_classes)
+        else:
+            loss = l1_loss(pred.squeeze(-1), y.astype(jnp.float32), mask)
+        return loss, pred
+
+    def eval_fn(params, xs):
+        x, time_mask = xs
+        return audio_net.apply(params, mcfg, x, train=False,
+                               time_mask=time_mask)
+
+    return train_loss, eval_fn
+
+
+def train_daic(train_features: List[np.ndarray], train_labels,
+               test_features: List[np.ndarray], test_labels,
+               tcfg: C.TrainerConfig = DAIC_CLF,
+               out_dir: Optional[Path] = None, seed: int = 0):
+    """Train on the AVEC2017 train split, gate on the dev split.
+
+    ``*_features``: ragged per-participant ``[n_i, 1, D]`` blocks from
+    :func:`..frontend.daic.extract_split`.
+    """
+    max_r = max(max((f.shape[0] for f in train_features), default=1),
+                max((f.shape[0] for f in test_features), default=1))
+    xtr, mtr = pad_responses(train_features, max_r)
+    xte, mte = pad_responses(test_features, max_r)
+    ytr = np.asarray(train_labels)
+    yte = np.asarray(test_labels)
+
+    params = audio_net.init(jax.random.PRNGKey(seed), tcfg.model)
+    optimizer = optim.build(tcfg.optimizer, params)
+    opt_state = optimizer.init(params)
+    train_loss, eval_fn = _fns(tcfg)
+    run = loop.make_fold_runner(train_loss, eval_fn, optimizer, tcfg.track,
+                                tcfg.gate, tcfg.epochs)
+    data = loop.make_fold_data([xtr, mtr], ytr, [xte, mte], yte,
+                               tcfg.batch_size)
+    _, _, _, best, logs = run(params, opt_state, data,
+                              jax.random.fold_in(jax.random.PRNGKey(seed), 1))
+    best = {k: (float(v) if k != "params" else v) for k, v in best.items()}
+    result = {"best": best, "logs": jax.device_get(logs)}
+    if out_dir is not None and best["epoch"] >= 0:
+        metric = best.get("f1", best.get("mae"))
+        name = f"daic_{tcfg.track[:3]}_{metric:.2f}"
+        checkpoints.save(Path(out_dir) / name, best["params"],
+                         {k: v for k, v in best.items() if k != "params"})
+    return result
