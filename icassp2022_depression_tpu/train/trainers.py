@@ -222,13 +222,14 @@ def train_audio_clf(features: np.ndarray, targets: np.ndarray,
                     train_folds_idx: Sequence[np.ndarray],
                     tcfg: C.TrainerConfig = C.AUDIO_CLF,
                     out_dir: Optional[Path] = None, seed: int = 0,
-                    resume_dir=None, chunk_epochs=None):
+                    resume_dir=None, chunk_epochs=None,
+                    vmap_folds: bool = False):
     """3-fold audio GRU classifier.  ``features``: [N, 3, 256]."""
     datas = _clf_fold_datas([features], targets, train_folds_idx,
                             tcfg.batch_size)
     results = _run_folds(audio_net, tcfg, datas, seed,
                          resume_dir=resume_dir, chunk_epochs=chunk_epochs,
-                         task_name="audio_clf")
+                         task_name="audio_clf", vmap_folds=vmap_folds)
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.audio_clf_name(
@@ -243,13 +244,14 @@ def train_text_clf(features: np.ndarray, targets: np.ndarray,
                    train_folds_idx: Sequence[np.ndarray],
                    tcfg: C.TrainerConfig = C.TEXT_CLF,
                    out_dir: Optional[Path] = None, seed: int = 0,
-                   resume_dir=None, chunk_epochs=None):
+                   resume_dir=None, chunk_epochs=None,
+                   vmap_folds: bool = False):
     """3-fold text BiLSTM classifier.  ``features``: [N, 3, 1024]."""
     datas = _clf_fold_datas([features], targets, train_folds_idx,
                             tcfg.batch_size)
     results = _run_folds(text_net, tcfg, datas, seed,
                          resume_dir=resume_dir, chunk_epochs=chunk_epochs,
-                         task_name="text_clf")
+                         task_name="text_clf", vmap_folds=vmap_folds)
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.text_clf_name(
@@ -277,10 +279,11 @@ def _fusion_fns(fcfg: C.FusionConfig, tcfg: C.TrainerConfig):
         return loss, pred
 
     def eval_fn(params, xs):
-        x_audio, x_text = xs
-        tf, af = fusion.pretrained_feature(params, fcfg, x_audio, x_text,
-                                           train=False)
-        return fusion.forward(params, fcfg, jnp.concatenate([tf, af], axis=-1))
+        # the frozen branch features for the (fixed) test split are
+        # precomputed once per fold (_run_fusion_folds) — identical values
+        # to recomputing them every epoch, since the branches never train —
+        # so per-epoch eval is just the fusion head.
+        return fusion.forward(params, fcfg, xs[0])
 
     return train_loss, eval_fn
 
@@ -305,6 +308,14 @@ def _run_fusion_folds(fcfg, tcfg, fold_datas, branch_params, seed, track,
                             _opt=optimizer):
                 return loop.make_fold_runner(_tl, _ef, _opt, tcfg.track,
                                              tcfg.gate, epochs)
+        # precompute the frozen-branch eval features for this fold's test
+        # split (deterministic; the branches receive no gradients)
+        tf_te, af_te = jax.jit(
+            lambda p, xa, xt: fusion.pretrained_feature(p, fcfg, xa, xt,
+                                                        train=False)
+        )(params, data.test_x[0], data.test_x[1])
+        data = data._replace(
+            test_x=(jnp.concatenate([tf_te, af_te], axis=-1),))
         fold_key = jax.random.fold_in(jax.random.PRNGKey(seed + 1000), fold_idx)
         resume_path = (Path(resume_dir) / f"{task_name}_fold{fold_idx}"
                        if resume_dir is not None else None)
