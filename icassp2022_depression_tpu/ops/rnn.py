@@ -99,11 +99,14 @@ def _lstm_scan(p, x, h0, c0):
 
 
 def _run_direction(p, x, cell: str, reverse: bool, backend: str = "xla"):
-    if backend == "pallas" and cell == "gru":
+    if backend == "pallas":
         from icassp2022_depression_tpu.ops import rnn_pallas
 
-        ys, h_last = rnn_pallas.gru_layer(p, x, reverse=reverse)
-        return ys, h_last, None
+        if cell == "gru":
+            ys, h_last = rnn_pallas.gru_layer(p, x, reverse=reverse)
+            return ys, h_last, None
+        ys, h_last, c_last = rnn_pallas.lstm_layer(p, x, reverse=reverse)
+        return ys, h_last, c_last
     b, _, _ = x.shape
     hidden = p["w_hh"].shape[1]
     h0 = jnp.zeros((b, hidden), x.dtype)

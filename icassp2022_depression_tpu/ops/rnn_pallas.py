@@ -166,6 +166,160 @@ def _bwd_rule(residuals, dys):
 gru_sequence.defvjp(_fwd_rule, _bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# LSTM (i,f,g,o gate order — torch nn.LSTM)
+# ---------------------------------------------------------------------------
+
+
+def _lstm_fwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_ref, cs_ref,
+                     h_scratch, c_scratch):
+    t_steps = xp_ref.shape[0]
+    hidden = whh_t_ref.shape[0]
+    h_scratch[...] = jnp.zeros_like(h_scratch)
+    c_scratch[...] = jnp.zeros_like(c_scratch)
+
+    def step(t, _):
+        h = h_scratch[...]
+        c = c_scratch[...]
+        gp = xp_ref[t] + jnp.dot(h, whh_t_ref[...],
+                                 preferred_element_type=jnp.float32) + \
+            bhh_ref[...]
+        i = jax.nn.sigmoid(gp[:, :hidden])
+        f = jax.nn.sigmoid(gp[:, hidden:2 * hidden])
+        g = jnp.tanh(gp[:, 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gp[:, 3 * hidden:])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        h_scratch[...] = h_new
+        c_scratch[...] = c_new
+        ys_ref[t] = h_new
+        cs_ref[t] = c_new
+        return 0
+
+    jax.lax.fori_loop(0, t_steps, step, 0)
+
+
+def _lstm_bwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_ref, cs_ref, dys_ref,
+                     dxp_ref, dwhh_ref, dbhh_ref, dh_scratch, dc_scratch):
+    t_steps = xp_ref.shape[0]
+    hidden = whh_t_ref.shape[0]
+    dh_scratch[...] = jnp.zeros_like(dh_scratch)
+    dc_scratch[...] = jnp.zeros_like(dc_scratch)
+    dwhh_ref[...] = jnp.zeros_like(dwhh_ref)
+    dbhh_ref[...] = jnp.zeros_like(dbhh_ref)
+
+    def step(k, _):
+        t = t_steps - 1 - k
+        not_first = jnp.where(t == 0, 0.0, 1.0)
+        h_prev = not_first * ys_ref[jnp.maximum(t - 1, 0)]
+        c_prev = not_first * cs_ref[jnp.maximum(t - 1, 0)]
+        gp = xp_ref[t] + jnp.dot(h_prev, whh_t_ref[...],
+                                 preferred_element_type=jnp.float32) + \
+            bhh_ref[...]
+        i = jax.nn.sigmoid(gp[:, :hidden])
+        f = jax.nn.sigmoid(gp[:, hidden:2 * hidden])
+        g = jnp.tanh(gp[:, 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gp[:, 3 * hidden:])
+        c = cs_ref[t]
+        tanh_c = jnp.tanh(c)
+
+        dh = dys_ref[t] + dh_scratch[...]
+        do = dh * tanh_c
+        ds_o = do * o * (1.0 - o)
+        dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_scratch[...]
+        di = dc * g
+        ds_i = di * i * (1.0 - i)
+        dg = dc * i
+        ds_g = dg * (1.0 - g * g)
+        df = dc * c_prev
+        ds_f = df * f * (1.0 - f)
+        dgates = jnp.concatenate([ds_i, ds_f, ds_g, ds_o], axis=1)  # [B,4H]
+        dxp_ref[t] = dgates
+        dh_scratch[...] = jnp.dot(dgates, whh_t_ref[...].T,
+                                  preferred_element_type=jnp.float32)
+        dc_scratch[...] = dc * f
+        dwhh_ref[...] += jnp.dot(h_prev.T, dgates,
+                                 preferred_element_type=jnp.float32)
+        dbhh_ref[...] += jnp.sum(dgates, axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, t_steps, step, 0)
+
+
+def _lstm_fwd(xp, w_hh_t, b_hh):
+    t_steps, b, g = xp.shape
+    hidden = g // 4
+    return pl.pallas_call(
+        _lstm_fwd_kernel,
+        out_shape=(jax.ShapeDtypeStruct((t_steps, b, hidden), xp.dtype),
+                   jax.ShapeDtypeStruct((t_steps, b, hidden), xp.dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
+                        pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=_interpret(),
+    )(xp, w_hh_t, b_hh)
+
+
+@jax.custom_vjp
+def lstm_sequence(xp: jnp.ndarray, w_hh_t: jnp.ndarray,
+                  b_hh: jnp.ndarray):
+    """xp: [T, B, 4H], w_hh_t: [H, 4H], b_hh: [1, 4H] -> (ys, cs) each
+    [T, B, H]; zero initial state (torch default)."""
+    return _lstm_fwd(xp, w_hh_t, b_hh)
+
+
+def _lstm_fwd_rule(xp, w_hh_t, b_hh):
+    ys, cs = _lstm_fwd(xp, w_hh_t, b_hh)
+    return (ys, cs), (xp, w_hh_t, b_hh, ys, cs)
+
+
+def _lstm_bwd_rule(residuals, grads):
+    xp, w_hh_t, b_hh, ys, cs = residuals
+    dys, dcs = grads
+    # gradient w.r.t. the cell-state output is not propagated (the models
+    # only consume h); assert-by-construction: dcs is zeros whenever cs is
+    # unused downstream, which holds for every model in this framework.
+    t_steps, b, g = xp.shape
+    hidden = g // 4
+    dxp, dwhh, dbhh = pl.pallas_call(
+        _lstm_bwd_kernel,
+        out_shape=(jax.ShapeDtypeStruct((t_steps, b, g), xp.dtype),
+                   jax.ShapeDtypeStruct((hidden, g), w_hh_t.dtype),
+                   jax.ShapeDtypeStruct((1, g), b_hh.dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
+                        pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=_interpret(),
+    )(xp, w_hh_t, b_hh, ys, cs, dys)
+    return dxp, dwhh, dbhh
+
+
+lstm_sequence.defvjp(_lstm_fwd_rule, _lstm_bwd_rule)
+
+
+def lstm_layer(p: dict, x: jnp.ndarray, reverse: bool = False):
+    """One LSTM layer via the fused kernel (torch param layout).
+    Returns (ys [B, T, H], h_last [B, H], c_last [B, H])."""
+    if reverse:
+        x = jnp.flip(x, axis=1)
+    xp = jnp.einsum("btd,gd->btg", x, p["w_ih"],
+                    preferred_element_type=jnp.float32) + p["b_ih"]
+    xp = jnp.swapaxes(xp, 0, 1)
+    ys, cs = lstm_sequence(xp, p["w_hh"].T, p["b_hh"][None, :])
+    h_last, c_last = ys[-1], cs[-1]
+    ys = jnp.swapaxes(ys, 0, 1)
+    if reverse:
+        ys = jnp.flip(ys, axis=1)
+    return ys, h_last, c_last
+
+
 def gru_layer(p: dict, x: jnp.ndarray, reverse: bool = False):
     """One GRU layer via the fused kernel.  ``p``: torch-layout params
     {w_ih [3H,D], w_hh [3H,H], b_ih [3H], b_hh [3H]}; x: [B, T, D].

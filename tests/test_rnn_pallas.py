@@ -52,6 +52,55 @@ def test_pallas_gru_gradients_match_scan():
     np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), atol=1e-4)
 
 
+@pytest.mark.parametrize("b,t,d,h", [(4, 3, 16, 8), (2, 7, 8, 8)])
+def test_pallas_lstm_forward_matches_scan(b, t, d, h):
+    p = rnn.init_params(jax.random.PRNGKey(10), "lstm", d, h, 1, False)[0]["fwd"]
+    x = jax.random.normal(jax.random.PRNGKey(11), (b, t, d))
+    ys_scan, h_scan, c_scan = rnn._run_direction(p, x, "lstm", False)
+    ys_pal, h_pal, c_pal = rnn_pallas.lstm_layer(p, x)
+    np.testing.assert_allclose(np.asarray(ys_pal), np.asarray(ys_scan),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_scan),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_scan),
+                               atol=1e-5)
+
+
+def test_pallas_lstm_gradients_match_scan():
+    p = rnn.init_params(jax.random.PRNGKey(12), "lstm", 16, 8, 1, False)[0]["fwd"]
+    x = jax.random.normal(jax.random.PRNGKey(13), (4, 6, 16))
+
+    def loss_scan(p, x):
+        ys, _, _ = rnn._run_direction(p, x, "lstm", False)
+        return jnp.sum(jnp.sin(ys))
+
+    def loss_pal(p, x):
+        ys, _, _ = rnn_pallas.lstm_layer(p, x)
+        return jnp.sum(jnp.sin(ys))
+
+    g1 = jax.grad(loss_scan)(p, x)
+    g2 = jax.grad(loss_pal)(p, x)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
+                                   atol=1e-4, err_msg=k)
+    gx1 = jax.grad(loss_scan, argnums=1)(p, x)
+    gx2 = jax.grad(loss_pal, argnums=1)(p, x)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), atol=1e-4)
+
+
+def test_pallas_bilstm_backend_in_rnn_api():
+    params = rnn.init_params(jax.random.PRNGKey(14), "lstm", 16, 8, 2, True)
+    x = jax.random.normal(jax.random.PRNGKey(15), (4, 3, 16))
+    y_scan, hn_scan, cn_scan = rnn.rnn(params, x, "lstm")
+    y_pal, hn_pal, cn_pal = rnn.rnn(params, x, "lstm", backend="pallas")
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_scan),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hn_pal), np.asarray(hn_scan),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cn_pal), np.asarray(cn_scan),
+                               atol=1e-5)
+
+
 def test_pallas_backend_in_rnn_api():
     params = rnn.init_params(jax.random.PRNGKey(6), "gru", 16, 8, 2, False)
     x = jax.random.normal(jax.random.PRNGKey(7), (4, 3, 16))
