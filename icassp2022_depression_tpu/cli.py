@@ -146,19 +146,26 @@ def cmd_pipeline(args):
     audio_dir, text_dir = _features_dirs(root)
     model_dir = Path(args.model_dir) if args.model_dir else root / "Model"
 
+    def _lr(tcfg):
+        if not args.lr:
+            return tcfg
+        return C.replace(tcfg, optimizer=C.replace(tcfg.optimizer,
+                                                   learning_rate=args.lr))
+
     if args.track == "clf":
         xa, ya = afe.load_features(audio_dir, "clf")
         xt, yt = tfe.load_features(text_dir, "clf")
         tf_idx = _train_folds(root, ya, args.seed, args.idx_files)
-        ra = trainers.train_audio_clf(xa, ya, tf_idx,
+        ra = trainers.train_audio_clf(xa, ya, tf_idx, _lr(C.AUDIO_CLF),
                                       out_dir=model_dir / "ClassificationWhole/Audio",
                                       seed=args.seed)
-        rt = trainers.train_text_clf(xt, yt, tf_idx,
+        rt = trainers.train_text_clf(xt, yt, tf_idx, _lr(C.TEXT_CLF),
                                      out_dir=model_dir / "ClassificationWhole/Text",
                                      seed=args.seed)
         branch = [(rt[i]["best"]["params"], ra[i]["best"]["params"])
                   for i in range(len(ra))]
         rf = trainers.train_fuse_clf(xa, xt, ya, tf_idx, branch,
+                                     tcfg=_lr(C.FUSE_CLF_TRAINER),
                                      out_dir=model_dir / "ClassificationWhole/Fuse",
                                      seed=args.seed)
         summary = {
@@ -170,15 +177,16 @@ def cmd_pipeline(args):
         xa, ya = afe.load_features(audio_dir, "reg")
         xt, yt = tfe.load_features(text_dir, "reg")
         dep, non = folds.generate_reg_shuffles(ya, seed=args.seed)
-        ra = trainers.train_audio_reg(xa, ya, dep, non,
+        ra = trainers.train_audio_reg(xa, ya, dep, non, _lr(C.AUDIO_REG),
                                       out_dir=model_dir / "Regression",
                                       seed=args.seed)
-        rt = trainers.train_text_reg(xt, yt, dep, non,
+        rt = trainers.train_text_reg(xt, yt, dep, non, _lr(C.TEXT_REG),
                                      out_dir=model_dir / "Regression",
                                      seed=args.seed)
         branch = [(rt[i]["best"]["params"], ra[i]["best"]["params"])
                   for i in range(len(ra))]
         rf = trainers.train_fuse_reg(xa, xt, ya, dep, non, branch,
+                                     tcfg=_lr(C.FUSE_REG_TRAINER),
                                      out_dir=model_dir / "Regression",
                                      seed=args.seed)
         summary = {
@@ -310,6 +318,9 @@ def build_parser():
     sp.add_argument("--model-dir")
     sp.add_argument("--idx-files", nargs="*")
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--lr", type=float, default=None,
+                    help="override every trainer's learning rate (demo aid; "
+                         "default keeps the reference values)")
     sp.set_defaults(fn=cmd_pipeline)
 
     sp = sub.add_parser("check", help="recompute fold metrics from checkpoints")
