@@ -1,1 +1,5 @@
-from icassp2022_depression_tpu.parallel import collectives, mesh  # noqa: F401
+from icassp2022_depression_tpu.parallel import (  # noqa: F401
+    collectives,
+    distributed,
+    mesh,
+)
