@@ -86,3 +86,118 @@ def encode(params, token_ids: jnp.ndarray, lengths: jnp.ndarray,
 
 
 encode_jit = jax.jit(encode, static_argnames=("cfg",))
+
+
+# ---------------------------------------------------------------------------
+# ELMo-faithful encoder: stacked LSTM-with-projection biLM
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ElmoLstmpConfig:
+    """The zhs ELMoForManyLangs biLM geometry: 512-d token streams, 4096
+    cells with 512 projections per direction, 2 layers, residual between
+    layers, ±3 cell/projection clipping."""
+
+    vocab_size: int = 32768
+    input_dim: int = 512
+    cell_size: int = 4096
+    proj_size: int = 512
+    layers: int = 2
+    cell_clip: float = 3.0
+    proj_clip: float = 3.0
+
+    @property
+    def output_dim(self) -> int:
+        return 2 * self.proj_size
+
+
+def init_lstmp_encoder(key, cfg: ElmoLstmpConfig = ElmoLstmpConfig()):
+    keys = jax.random.split(key, 1 + 2 * cfg.layers)
+    params = {
+        "embed": jax.random.normal(keys[0], (cfg.vocab_size, cfg.input_dim))
+        * (1.0 / np.sqrt(cfg.input_dim)),
+        "layers": [],
+    }
+    for layer in range(cfg.layers):
+        in_dim = cfg.input_dim if layer == 0 else cfg.proj_size
+        params["layers"].append({
+            "fwd": rnn_ops.init_lstmp(keys[1 + 2 * layer], in_dim,
+                                      cfg.cell_size, cfg.proj_size),
+            "bwd": rnn_ops.init_lstmp(keys[2 + 2 * layer], in_dim,
+                                      cfg.cell_size, cfg.proj_size),
+        })
+    return params
+
+
+def encode_lstmp(params, token_ids: jnp.ndarray, lengths: jnp.ndarray,
+                 cfg: ElmoLstmpConfig = ElmoLstmpConfig()):
+    """ELMo-style encoding: forward/backward 512-d streams through stacked
+    LSTMP layers with residual connections between layers (allennlp
+    ``ElmoLstm`` / ELMoForManyLangs ``ElmobiLm`` structure); the returned
+    per-token representation is the average of the 3 ELMo layers
+    ([embedding; embedding], layer 1, layer 2) — the ``sents2elmo``
+    default (``output_layer=-1``) the reference relies on
+    (``Classification/text_features_whole.py:40``).
+
+    Returns (per-token [B, T, 2P], masked mean-pooled [B, 2P]).
+    """
+    e = params["embed"][token_ids]                      # [B, T, 512]
+    f_in, b_in = e, e
+    layer_reps = [jnp.concatenate([e, e], axis=-1)]
+    for idx, layer in enumerate(params["layers"]):
+        f_out, _, _ = rnn_ops.lstmp_layer(layer["fwd"], f_in, False,
+                                          cfg.cell_clip, cfg.proj_clip)
+        b_rev_in = reverse_padded(b_in, lengths)
+        b_out_rev, _, _ = rnn_ops.lstmp_layer(layer["bwd"], b_rev_in, False,
+                                              cfg.cell_clip, cfg.proj_clip)
+        b_out = reverse_padded(b_out_rev, lengths)
+        if idx > 0:  # residual between stacked layers
+            f_out = f_out + f_in
+            b_out = b_out + b_in
+        layer_reps.append(jnp.concatenate([f_out, b_out], axis=-1))
+        f_in, b_in = f_out, b_out
+    rep = sum(layer_reps) / len(layer_reps)
+    mask = (jnp.arange(token_ids.shape[1])[None, :] <
+            lengths[:, None]).astype(rep.dtype)
+    pooled = jnp.sum(rep * mask[:, :, None], axis=1) / \
+        jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+    return rep, pooled
+
+
+def from_elmoformanylangs(sd, cfg: ElmoLstmpConfig = ElmoLstmpConfig(),
+                          word_embedding=None, embed_key=None):
+    """Map an ELMoForManyLangs encoder state dict (``{name: ndarray}``)
+    onto :func:`init_lstmp_encoder`'s param tree.
+
+    Expected keys (allennlp ``LstmCellWithProjection`` naming, as vendored
+    by ELMoForManyLangs' ``ElmobiLm``):
+
+      encoder.{forward,backward}_layer_{k}.input_linearity.weight  [4C, In]
+      encoder.{forward,backward}_layer_{k}.state_linearity.weight  [4C, P]
+      encoder.{forward,backward}_layer_{k}.state_linearity.bias    [4C]
+      encoder.{forward,backward}_layer_{k}.state_projection.weight [P, C]
+
+    The char-CNN token embedder is not ported (host-side string work that
+    the hashed table stands in for); pass ``word_embedding`` ([V, 512]) or
+    ``embed_key`` to substitute a real embedding matrix.
+    """
+    def cell(direction: str, k: int):
+        p = f"encoder.{direction}_layer_{k}"
+        return {
+            "w_x": jnp.asarray(np.asarray(sd[f"{p}.input_linearity.weight"])),
+            "w_h": jnp.asarray(np.asarray(sd[f"{p}.state_linearity.weight"])),
+            "b": jnp.asarray(np.asarray(sd[f"{p}.state_linearity.bias"])),
+            "w_p": jnp.asarray(np.asarray(sd[f"{p}.state_projection.weight"])),
+        }
+
+    if word_embedding is None and embed_key is not None:
+        word_embedding = sd[embed_key]
+    if word_embedding is None:
+        word_embedding = (np.random.default_rng(0).standard_normal(
+            (cfg.vocab_size, cfg.input_dim)) / np.sqrt(cfg.input_dim))
+    return {
+        "embed": jnp.asarray(np.asarray(word_embedding, np.float32)),
+        "layers": [{"fwd": cell("forward", k), "bwd": cell("backward", k)}
+                   for k in range(cfg.layers)],
+    }

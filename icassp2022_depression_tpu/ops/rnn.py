@@ -122,6 +122,74 @@ def _run_direction(p, x, cell: str, reverse: bool, backend: str = "xla"):
     return ys, h_last, c_last
 
 
+def lstmp_layer(p: dict, x: jnp.ndarray, reverse: bool = False,
+                cell_clip: float = 3.0, proj_clip: float = 3.0):
+    """LSTM with projection (the ELMo biLM cell — allennlp
+    ``LstmCellWithProjection`` semantics, which ELMoForManyLangs' ``ElmobiLm``
+    uses for its zhs model).
+
+    Params (allennlp tensor layouts, enabling direct weight porting):
+      w_x: [4C, In]  input linearity, no bias
+      w_h: [4C, P]   state linearity (applied to the projected state)
+      b:   [4C]      state linearity bias
+      w_p: [P, C]    state projection
+
+    Gate order i,f,g,o; the memory cell is clipped to ±cell_clip and the
+    projected state to ±proj_clip, as in ELMo.
+    x: [B, T, In] -> (h_proj sequence [B, T, P], h_last [B, P], c_last [B, C]).
+    """
+    if reverse:
+        x = jnp.flip(x, axis=1)
+    four_c = p["w_x"].shape[0]
+    c_dim = four_c // 4
+    p_dim = p["w_p"].shape[0]
+    b_sz = x.shape[0]
+
+    xp = jnp.einsum("bti,gi->btg", x, p["w_x"],
+                    preferred_element_type=jnp.float32)
+    w_h_t = p["w_h"].T
+    w_p_t = p["w_p"].T
+
+    def step(carry, xp_t):
+        h, c = carry
+        gp = xp_t + jnp.dot(h, w_h_t, preferred_element_type=jnp.float32) + p["b"]
+        i = jax.nn.sigmoid(gp[:, :c_dim])
+        f = jax.nn.sigmoid(gp[:, c_dim:2 * c_dim])
+        g = jnp.tanh(gp[:, 2 * c_dim:3 * c_dim])
+        o = jax.nn.sigmoid(gp[:, 3 * c_dim:])
+        c_new = f * c + i * g
+        if cell_clip:
+            c_new = jnp.clip(c_new, -cell_clip, cell_clip)
+        h_full = o * jnp.tanh(c_new)
+        h_proj = jnp.dot(h_full, w_p_t, preferred_element_type=jnp.float32)
+        if proj_clip:
+            h_proj = jnp.clip(h_proj, -proj_clip, proj_clip)
+        return (h_proj, c_new), h_proj
+
+    h0 = jnp.zeros((b_sz, p_dim), x.dtype)
+    c0 = jnp.zeros((b_sz, c_dim), x.dtype)
+    (h_last, c_last), ys = jax.lax.scan(step, (h0, c0),
+                                        jnp.swapaxes(xp, 0, 1))
+    ys = jnp.swapaxes(ys, 0, 1)
+    if reverse:
+        ys = jnp.flip(ys, axis=1)
+    return ys, h_last, c_last
+
+
+def init_lstmp(key, input_size: int, cell: int, proj: int,
+               dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    bound = 1.0 / (input_size ** 0.5)
+    return {
+        "w_x": initializers.uniform(k1, (4 * cell, input_size), bound, dtype),
+        "w_h": initializers.uniform(k2, (4 * cell, proj),
+                                    1.0 / (proj ** 0.5), dtype),
+        "b": jnp.zeros((4 * cell,), dtype),
+        "w_p": initializers.uniform(k3, (proj, cell), 1.0 / (cell ** 0.5),
+                                    dtype),
+    }
+
+
 def rnn(params: Sequence[dict], x: jnp.ndarray, cell: str,
         dropout: float = 0.0, train: bool = False,
         key: Optional[jax.Array] = None, backend: str = "xla"):
