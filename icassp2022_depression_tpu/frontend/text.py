@@ -72,7 +72,10 @@ def embed_sentences(params, sentences: Sequence[List[str]],
     out = np.zeros((n, cfg.output_dim), np.float32)
     for start in range(0, n, batch_size):
         chunk = sentences[start:start + batch_size]
+        # pad token count to a multiple of 16 so corpora with slightly
+        # different longest sentences reuse the same compiled program
         max_t = max(1, max(len(s) for s in chunk))
+        max_t = -(-max_t // 16) * 16
         ids = np.zeros((len(chunk), max_t), np.int32)
         lengths = np.zeros((len(chunk),), np.int32)
         for i, toks in enumerate(chunk):
