@@ -32,7 +32,11 @@ def _np(sd: Mapping, key: str) -> jnp.ndarray:
     if key not in sd:
         raise KeyError(f"state dict missing {key!r}; have e.g. "
                        f"{sorted(sd)[:8]}")
-    return jnp.asarray(np.asarray(sd[key]))
+    # Copy defensively: state-dict values are typically torch
+    # ``.detach().numpy()`` VIEWS of live parameters, and jnp.asarray on CPU
+    # can zero-copy alias them — later in-place torch updates would then
+    # silently mutate the "ported" params.
+    return jnp.asarray(np.array(sd[key], copy=True))
 
 
 def rnn_from_state_dict(sd: Mapping, prefix: str, num_layers: int,
