@@ -83,6 +83,9 @@ class RNNConfig:
     #: dropout before the first Linear of the FC head (the audio head has it,
     #: the clf text head does not — ``text_bilstm_whole.py:60-68``)
     head_input_dropout: bool = True
+    #: recurrence implementation: "xla" (lax.scan) or "pallas" (fused
+    #: VMEM-resident sequence kernels, ops/rnn_pallas.py)
+    rnn_backend: str = "xla"
 
 
 @dataclass(frozen=True)

@@ -58,7 +58,8 @@ def features(params, cfg: RNNConfig, x, train: bool = False, key=None,
         key, k_rnn = jax.random.split(key)
     else:
         k_rnn = None
-    y, _, _ = rnn.rnn(params["rnn"], x, cfg.cell, cfg.dropout, train, k_rnn)
+    y, _, _ = rnn.rnn(params["rnn"], x, cfg.cell, cfg.dropout, train, k_rnn,
+                      backend=cfg.rnn_backend)
     if time_mask is not None:
         m = time_mask.astype(y.dtype)[:, :, None]
         if cfg.pooling == "mean":

@@ -120,10 +120,10 @@ def forward(params, cfg: FusionConfig, concat_x):
     if cfg.modal_attention:
         weights = jax.nn.sigmoid(
             jnp.dot(x, params["modal_attn"]["w"].T,
-                    preferred_element_type=jnp.float32))
+                    preferred_element_type=None))
         x = weights * x
     out = jnp.dot(x, params["fc_final"]["w"].T,
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=None)
     if cfg.head_activation == "softmax":
         return jax.nn.softmax(out, axis=-1)
     if cfg.head_activation == "relu":

@@ -42,8 +42,8 @@ def myloss_ce(text_feat, audio_feat, targets, w_final,
     """Classification MyLoss.  ``w_final``: [C, Ht + Ha]."""
     w_text = w_final[:, :text_hidden_dims]
     w_audio = w_final[:, text_hidden_dims:]
-    pred_text = jnp.dot(text_feat, w_text.T, preferred_element_type=jnp.float32)
-    pred_audio = jnp.dot(audio_feat, w_audio.T, preferred_element_type=jnp.float32)
+    pred_text = jnp.dot(text_feat, w_text.T, preferred_element_type=None)
+    pred_audio = jnp.dot(audio_feat, w_audio.T, preferred_element_type=None)
     return _ce_logits(pred_text, targets, mask) + _ce_logits(pred_audio, targets, mask)
 
 
@@ -54,8 +54,8 @@ def myloss_smooth_l1(text_feat, audio_feat, targets, w_final,
     (``Regression/fuse_net.py:364-366``)."""
     w_text = w_final[:, :text_hidden_dims]
     w_audio = w_final[:, text_hidden_dims:]
-    pred_text = jnp.dot(text_feat, w_text.T, preferred_element_type=jnp.float32)
-    pred_audio = jnp.dot(audio_feat, w_audio.T, preferred_element_type=jnp.float32)
+    pred_text = jnp.dot(text_feat, w_text.T, preferred_element_type=None)
+    pred_audio = jnp.dot(audio_feat, w_audio.T, preferred_element_type=None)
     t = jnp.broadcast_to(targets.astype(jnp.float32)[:, None], pred_text.shape)
     m = None if mask is None else jnp.broadcast_to(mask[:, None], pred_text.shape)
     return (smooth_l1_loss(pred_text, t, m) + smooth_l1_loss(pred_audio, t, m))

@@ -51,7 +51,8 @@ def features(params, cfg: RNNConfig, x, train: bool = False, key=None):
         key, k_rnn = jax.random.split(key)
     else:
         k_rnn = None
-    y, h_n, _ = rnn.rnn(params["rnn"], x, cfg.cell, cfg.dropout, train, k_rnn)
+    y, h_n, _ = rnn.rnn(params["rnn"], x, cfg.cell, cfg.dropout, train, k_rnn,
+                       backend=cfg.rnn_backend)
     return attention_net_with_w(params["attn"], y, h_n)
 
 

@@ -31,8 +31,8 @@ def attention_net_with_w(attn_params, lstm_out, lstm_hidden):
     m = jnp.tanh(h)
     # [B, 1, H] @ [B, H, T] -> scores [B, T]
     scores = jnp.einsum("bh,bth->bt", atten_w, m,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=None)
     weights = jax.nn.softmax(scores, axis=-1)
     context = jnp.einsum("bt,bth->bh", weights, h,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=None)
     return context

@@ -7,6 +7,19 @@ import jax
 import jax.numpy as jnp
 
 
+
+def matmul_preferred(*operands):
+    """preferred_element_type for MXU matmuls: f32 accumulation for
+    f32/bf16 inputs (the TPU fast path), but never downcast f64 work
+    (x64-mode parity tests)."""
+    import jax.numpy as _jnp
+
+    for op in operands:
+        if hasattr(op, "dtype") and op.dtype == _jnp.float64:
+            return _jnp.float64
+    return _jnp.float32
+
+
 def linear(params, x):
     """``x @ w.T + b`` with torch's [out, in] weight layout.
 
@@ -14,11 +27,12 @@ def linear(params, x):
     weight-column split (``fuse_net_whole.py:384-385``) direct; XLA folds the
     transpose into the matmul on the MXU.
     """
-    return jnp.dot(x, params["w"].T, preferred_element_type=jnp.float32) + params["b"]
+    return jnp.dot(x, params["w"].T,
+                   preferred_element_type=matmul_preferred(x)) + params["b"]
 
 
 def linear_nobias(w, x):
-    return jnp.dot(x, w.T, preferred_element_type=jnp.float32)
+    return jnp.dot(x, w.T, preferred_element_type=matmul_preferred(x))
 
 
 def layer_norm(params, x, eps: float = 1e-5):

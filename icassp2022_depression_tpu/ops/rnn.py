@@ -57,13 +57,13 @@ def _gru_scan(p, x, h0):
     """x: [B, T, D] -> outputs [B, T, H]; h0: [B, H]."""
     # Hoisted input projection: one MXU-friendly matmul for the whole sequence.
     xp = jnp.einsum("btd,gd->btg", x, p["w_ih"],
-                    preferred_element_type=jnp.float32) + p["b_ih"]
+                    preferred_element_type=None) + p["b_ih"]
     w_hh_t = p["w_hh"].T  # [H, 3H]
     b_hh = p["b_hh"]
     hidden = p["w_hh"].shape[1]
 
     def step(h, xp_t):
-        hp = jnp.dot(h, w_hh_t, preferred_element_type=jnp.float32) + b_hh
+        hp = jnp.dot(h, w_hh_t, preferred_element_type=None) + b_hh
         xr, xz, xn = jnp.split(xp_t, 3, axis=-1)
         hr, hz, hn = jnp.split(hp, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)
@@ -78,13 +78,13 @@ def _gru_scan(p, x, h0):
 
 def _lstm_scan(p, x, h0, c0):
     xp = jnp.einsum("btd,gd->btg", x, p["w_ih"],
-                    preferred_element_type=jnp.float32) + p["b_ih"]
+                    preferred_element_type=None) + p["b_ih"]
     w_hh_t = p["w_hh"].T
     b_hh = p["b_hh"]
 
     def step(carry, xp_t):
         h, c = carry
-        gp = xp_t + jnp.dot(h, w_hh_t, preferred_element_type=jnp.float32) + b_hh
+        gp = xp_t + jnp.dot(h, w_hh_t, preferred_element_type=None) + b_hh
         gi, gf, gg, go = jnp.split(gp, 4, axis=-1)
         i = jax.nn.sigmoid(gi)
         f = jax.nn.sigmoid(gf)
@@ -146,13 +146,13 @@ def lstmp_layer(p: dict, x: jnp.ndarray, reverse: bool = False,
     b_sz = x.shape[0]
 
     xp = jnp.einsum("bti,gi->btg", x, p["w_x"],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=None)
     w_h_t = p["w_h"].T
     w_p_t = p["w_p"].T
 
     def step(carry, xp_t):
         h, c = carry
-        gp = xp_t + jnp.dot(h, w_h_t, preferred_element_type=jnp.float32) + p["b"]
+        gp = xp_t + jnp.dot(h, w_h_t, preferred_element_type=None) + p["b"]
         i = jax.nn.sigmoid(gp[:, :c_dim])
         f = jax.nn.sigmoid(gp[:, c_dim:2 * c_dim])
         g = jnp.tanh(gp[:, 2 * c_dim:3 * c_dim])
@@ -161,7 +161,7 @@ def lstmp_layer(p: dict, x: jnp.ndarray, reverse: bool = False,
         if cell_clip:
             c_new = jnp.clip(c_new, -cell_clip, cell_clip)
         h_full = o * jnp.tanh(c_new)
-        h_proj = jnp.dot(h_full, w_p_t, preferred_element_type=jnp.float32)
+        h_proj = jnp.dot(h_full, w_p_t, preferred_element_type=None)
         if proj_clip:
             h_proj = jnp.clip(h_proj, -proj_clip, proj_clip)
         return (h_proj, c_new), h_proj
