@@ -142,9 +142,12 @@ def cmd_pipeline(args):
     from icassp2022_depression_tpu.frontend import text as tfe
     from icassp2022_depression_tpu.train import trainers
 
+    from icassp2022_depression_tpu.utils.logging import MetricsLogger
+
     root = Path(args.root)
     audio_dir, text_dir = _features_dirs(root)
     model_dir = Path(args.model_dir) if args.model_dir else root / "Model"
+    logger = MetricsLogger(model_dir / f"pipeline_{args.track}_metrics.jsonl")
 
     def _lr(tcfg):
         if not args.lr:
@@ -168,6 +171,10 @@ def cmd_pipeline(args):
                                      tcfg=_lr(C.FUSE_CLF_TRAINER),
                                      out_dir=model_dir / "ClassificationWhole/Fuse",
                                      seed=args.seed)
+        for name, results in (("audio_clf", ra), ("text_clf", rt),
+                              ("fuse_clf", rf)):
+            for r in results:
+                logger.log_fold(name, r["fold"], r["logs"], r["best"])
         summary = {
             "audio_f1": [r["best"]["f1"] for r in ra],
             "text_f1": [r["best"]["f1"] for r in rt],
@@ -189,6 +196,10 @@ def cmd_pipeline(args):
                                      tcfg=_lr(C.FUSE_REG_TRAINER),
                                      out_dir=model_dir / "Regression",
                                      seed=args.seed)
+        for name, results in (("audio_reg", ra), ("text_reg", rt),
+                              ("fuse_reg", rf)):
+            for r in results:
+                logger.log_fold(name, r["fold"], r["logs"], r["best"])
         summary = {
             "audio_mae": [r["best"]["mae"] for r in ra],
             "text_mae": [r["best"]["mae"] for r in rt],

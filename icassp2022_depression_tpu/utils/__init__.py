@@ -1,1 +1,6 @@
-from icassp2022_depression_tpu.utils import logging, profiling  # noqa: F401
+from icassp2022_depression_tpu.utils import (  # noqa: F401
+    debug,
+    logging,
+    native,
+    profiling,
+)
