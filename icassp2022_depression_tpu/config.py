@@ -85,7 +85,7 @@ class RNNConfig:
     head_input_dropout: bool = True
     #: recurrence implementation: "xla" (lax.scan) or "pallas" (fused
     #: VMEM-resident sequence kernels, ops/rnn_pallas.py)
-    rnn_backend: str = "xla"
+    rnn_backend: str = "auto"
 
 
 @dataclass(frozen=True)
