@@ -162,6 +162,8 @@ class FusionConfig:
     #: reg fusion does not (``Regression/fuse_net.py:338``)
     audio_layernorm: bool = True
     head_activation: str = "softmax"
+    #: recurrence implementation (see RNNConfig.rnn_backend)
+    rnn_backend: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -90,7 +90,8 @@ def pretrained_feature(params, cfg: FusionConfig, x_audio, x_text,
 
     # text branch
     y, h_n, _ = rnn.rnn(params["text"]["rnn"], x_text, "lstm",
-                        cfg.dropout, train, k_trnn)
+                        cfg.dropout, train, k_trnn,
+                        backend=cfg.rnn_backend)
     ctx = attention_net_with_w(params["text"]["attn"], y, h_n)
     if k_t1 is not None:
         ctx = dropout(k_t1, ctx, cfg.dropout, train)
@@ -103,7 +104,8 @@ def pretrained_feature(params, cfg: FusionConfig, x_audio, x_text,
     if cfg.audio_layernorm:
         xa = layer_norm(params["audio"]["ln"], xa)
     ya, _, _ = rnn.rnn(params["audio"]["rnn"], xa, "gru",
-                       cfg.dropout, train, k_arnn)
+                       cfg.dropout, train, k_arnn,
+                       backend=cfg.rnn_backend)
     pooled = jnp.sum(ya, axis=1)
     if k_a1 is not None:
         pooled = dropout(k_a1, pooled, cfg.dropout, train)

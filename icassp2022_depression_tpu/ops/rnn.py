@@ -107,9 +107,24 @@ def resolve_backend(backend: str) -> str:
     return backend
 
 
+#: fall back to the scan path when the fused kernel's VMEM-resident
+#: buffers (xp + ys (+cs) + weights) would exceed this budget
+PALLAS_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def _pallas_fits(p, x, cell: str) -> bool:
+    b, t, _ = x.shape
+    gh = p["w_hh"].shape[0]          # G*H
+    h = p["w_hh"].shape[1]
+    states = 2 if cell == "lstm" else 1
+    itemsize = 4
+    need = (b * t * gh + states * b * t * h + gh * h + b * h * 2) * itemsize
+    return need <= PALLAS_VMEM_BUDGET_BYTES
+
+
 def _run_direction(p, x, cell: str, reverse: bool, backend: str = "xla"):
     backend = resolve_backend(backend)
-    if backend == "pallas":
+    if backend == "pallas" and _pallas_fits(p, x, cell):
         from icassp2022_depression_tpu.ops import rnn_pallas
 
         if cell == "gru":

@@ -19,26 +19,33 @@ import optax
 from icassp2022_depression_tpu.config import OptimizerConfig
 
 
-def layernorm_mask(params):
+def layernorm_mask(params, dead_paths=()):
     """Pytree mask: True where weight decay applies.  A leaf is a LayerNorm
     param iff any dict key on its path starts with 'ln' (our param trees name
-    them 'ln', 'ln1', 'ln2' — the torch models' 'ln*' attribute names)."""
+    them 'ln', 'ln1', 'ln2' — the torch models' 'ln*' attribute names).
 
-    def is_ln_path(path):
+    ``dead_paths`` additionally exempts blocks that receive no gradients in
+    the reference model (e.g. the audio model's unused attention layer):
+    torch's AdamW skips grad-less params entirely, so decoupled decay must
+    not touch them either.
+    """
+
+    def exempt(path):
         for entry in path:
-            if isinstance(entry, jax.tree_util.DictKey) and \
-                    str(entry.key).startswith("ln"):
-                return True
+            if isinstance(entry, jax.tree_util.DictKey):
+                key = str(entry.key)
+                if key.startswith("ln") or key in dead_paths:
+                    return True
         return False
 
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: not is_ln_path(path), params)
+        lambda path, leaf: not exempt(path), params)
 
 
-def build(cfg: OptimizerConfig, params):
+def build(cfg: OptimizerConfig, params, dead_paths=()):
     """Returns an optax GradientTransformation for the given param tree."""
     if cfg.name == "adamw" and cfg.weight_decay > 0:
-        mask = layernorm_mask(params)
+        mask = layernorm_mask(params, dead_paths)
         return optax.adamw(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2,
                            eps=cfg.eps, weight_decay=cfg.weight_decay,
                            mask=mask)

@@ -36,6 +36,13 @@ from icassp2022_depression_tpu.ops.nn import (
 from icassp2022_depression_tpu.train import checkpoints, loop, optim
 
 
+def _dead_paths(model_module):
+    """Param blocks the reference model never back-propagates into (the
+    audio model's unused attention layer, audio_gru_whole.py:75-101):
+    torch AdamW skips grad-less params, so decoupled decay must too."""
+    return ("attn",) if model_module is audio_net else ()
+
+
 def _branch_fns(model_module, mcfg: C.RNNConfig, trainer_cfg: C.TrainerConfig):
     track = trainer_cfg.track
 
@@ -165,7 +172,8 @@ def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
                     jax.random.fold_in(jax.random.PRNGKey(seed), i),
                     tcfg.model)
                 for i in range(1, len(fold_datas) + 1)]
-        optimizer = optim.build(tcfg.optimizer, params_list[0])
+        optimizer = optim.build(tcfg.optimizer, params_list[0],
+                                _dead_paths(model_module))
         fns = _branch_fns(model_module, tcfg.model, tcfg)
         return _vmapped_fold_results(fns, optimizer, tcfg, fold_datas,
                                      params_list, seed)
@@ -180,7 +188,8 @@ def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
             key = jax.random.fold_in(jax.random.PRNGKey(seed), fold_idx)
             params = model_module.init(key, tcfg.model)
         if make_runner is None:
-            optimizer = optim.build(tcfg.optimizer, params)
+            optimizer = optim.build(tcfg.optimizer, params,
+                                    _dead_paths(model_module))
             train_loss, eval_fn = _branch_fns(model_module, tcfg.model, tcfg)
 
             def make_runner(epochs, _tl=train_loss, _ef=eval_fn,
