@@ -91,9 +91,11 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
         return bool(np.all(w == np.round(w)))
 
     pcm_flags = [_is_pcm(np.asarray(w)) for w in waveforms]
+    tail = cfg.n_fft // 2
     for i, (w, sr) in enumerate(zip(waveforms, sample_rates)):
-        # mel banks are sr-dependent -> per-(length, sr, dtype) buckets
-        buckets.setdefault((_bucket_length(len(w)), sr, pcm_flags[i]),
+        # mel banks are sr-dependent -> per-(length, sr, dtype) buckets;
+        # bucket length reserves room for the reflected tail (below)
+        buckets.setdefault((_bucket_length(len(w) + tail), sr, pcm_flags[i]),
                            []).append(i)
 
     for (blen, sr, is_pcm), idxs in buckets.items():
@@ -106,8 +108,20 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
         ordinals = np.zeros((brows,), np.int32)
         for row, i in enumerate(idxs):
             w = np.asarray(waveforms[i])
-            wavs[row, :len(w)] = w.astype(dtype)
-            lengths[row] = len(w)
+            n = len(w)
+            # librosa's centered STFT reflect-pads at the TRUE signal end;
+            # bucket zero-padding would make the last ~2 valid frames read
+            # zeros instead, so write the reflected tail into the buffer
+            # (multi-bounce reflection handled by np.pad for short signals)
+            t_room = min(tail, blen - n)
+            if n > 1 and t_room > 0:
+                wp = np.pad(w, (0, t_room), mode="reflect")
+            elif n >= 1 and t_room > 0:
+                wp = np.pad(w, (0, t_room), mode="edge")
+            else:
+                wp = w
+            wavs[row, :len(wp)] = wp.astype(dtype)
+            lengths[row] = n
             ordinals[row] = start_ordinal + i
         nv_stacked = netvlad.batched_per_utterance_params(
             cfg.netvlad_seed, jnp.asarray(ordinals), cfg.n_mels,
@@ -120,7 +134,9 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
 
 
 def extract_eatd(root: Path, cfg: FrontendConfig = FrontendConfig(),
-                 out_dir: Optional[Path] = None, max_id: int = eatd.MAX_SPEAKER_ID):
+                 out_dir: Optional[Path] = None,
+                 max_id: int = eatd.MAX_SPEAKER_ID,
+                 sds_threshold: float = 53.0):
     """Full EATD audio pass: [N, 3, 1, 256] features + reg/clf labels.
 
     Returns (features, sds_targets, clf_targets, manifest); with ``out_dir``
@@ -145,7 +161,7 @@ def extract_eatd(root: Path, cfg: FrontendConfig = FrontendConfig(),
     n = len(sds)
     features = flat.reshape(n, 3, 1, cfg.netvlad_output_dim)
     sds_targets = np.asarray(sds, np.float32)
-    clf_targets = (sds_targets >= 53.0).astype(np.int64)
+    clf_targets = (sds_targets >= sds_threshold).astype(np.int64)
 
     if out_dir is not None:
         out_dir = Path(out_dir)

@@ -91,7 +91,8 @@ def embed_sentences(params, sentences: Sequence[List[str]],
 def extract_eatd(root: Path, params=None,
                  cfg: elmo.ElmoConfig = elmo.ElmoConfig(),
                  out_dir: Optional[Path] = None, seed: int = 0,
-                 max_id: int = eatd.MAX_SPEAKER_ID):
+                 max_id: int = eatd.MAX_SPEAKER_ID,
+                 sds_threshold: float = 53.0):
     """Full EATD text pass -> ([N, 3, 1024] features, sds, clf labels)."""
     if params is None:
         params = elmo.init(jax.random.PRNGKey(seed), cfg)
@@ -106,7 +107,7 @@ def extract_eatd(root: Path, params=None,
     n = len(sds)
     features = flat.reshape(n, 3, cfg.output_dim)
     sds_targets = np.asarray(sds, np.float32)
-    clf_targets = (sds_targets >= 53.0).astype(np.int64)
+    clf_targets = (sds_targets >= sds_threshold).astype(np.int64)
     if out_dir is not None:
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)

@@ -156,7 +156,11 @@ def init_from_branches(fusion_params, cfg: FusionConfig,
     * audio: the 8 GRU tensors and ``fc_audio.1`` always (``fc_audio.4`` is
       copied into the dict but has no matching key in the fusion net);
       ``ln`` only in the clf track (the reg audio model/fusion have no ln).
-    * ``modal_attn`` / ``fc_final`` stay freshly initialised.
+    * ``modal_attn`` / ``fc_final`` are untouched by the loads — they keep
+      whatever ``fusion_params`` carried in (a fresh init for fold 1 /
+      the reg track; the previous fold's trained values in the clf track,
+      whose reference keeps one module across folds — see
+      ``train/trainers.py:_run_fusion_folds``).
     """
     import copy
 

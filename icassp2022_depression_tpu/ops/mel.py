@@ -134,13 +134,13 @@ def log_mel(y: jnp.ndarray, sr: int = 16000, n_fft: int = 2048,
 
 
 def frame_mask(lengths: jnp.ndarray, max_frames: int, hop: int = 512,
-               center: bool = True) -> jnp.ndarray:
+               center: bool = True, n_fft: int = 2048) -> jnp.ndarray:
     """Valid-frame mask [B, max_frames] for a batch of padded waveforms with
     true sample counts ``lengths`` [B] (ragged batching support)."""
     if center:
         nf = 1 + lengths // hop
     else:
-        nf = 1 + (lengths - hop) // hop
+        nf = 1 + (lengths - n_fft) // hop
     return (jnp.arange(max_frames)[None, :] < nf[:, None])
 
 

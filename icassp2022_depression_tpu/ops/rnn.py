@@ -108,8 +108,10 @@ def resolve_backend(backend: str) -> str:
 
 
 #: fall back to the scan path when the fused kernel's VMEM-resident
-#: buffers (xp + ys (+cs) + weights) would exceed this budget
-PALLAS_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+#: buffers would exceed this budget.  Sized for the BACKWARD kernel (the
+#: training path), which co-residents roughly 2x the forward set:
+#: xp + dxp + ys (+cs) + dys + weight/bias grad accumulators + scratch.
+PALLAS_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
 def _pallas_fits(p, x, cell: str) -> bool:
@@ -118,8 +120,12 @@ def _pallas_fits(p, x, cell: str) -> bool:
     h = p["w_hh"].shape[1]
     states = 2 if cell == "lstm" else 1
     itemsize = 4
-    need = (b * t * gh + states * b * t * h + gh * h + b * h * 2) * itemsize
-    return need <= PALLAS_VMEM_BUDGET_BYTES
+    bwd_need = (2 * b * t * gh                  # xp + dxp
+                + (states + 1) * b * t * h      # ys (+cs) + dys
+                + 2 * gh * h                    # w_hh + dw_hh
+                + 2 * b * h                     # dh/dc scratch
+                ) * itemsize
+    return bwd_need <= PALLAS_VMEM_BUDGET_BYTES
 
 
 def _run_direction(p, x, cell: str, reverse: bool, backend: str = "xla"):
@@ -228,8 +234,10 @@ def rnn(params: Sequence[dict], x: jnp.ndarray, cell: str,
         except the last, matching torch's RNN ``dropout=`` semantics).
       train: enables dropout.
       key: PRNG key (required when train and dropout > 0).
-      backend: "xla" (lax.scan) or "pallas" (fused sequence kernel,
-        :mod:`.rnn_pallas`; GRU only — LSTM falls back to scan).
+      backend: "xla" (lax.scan), "pallas" (fused GRU/LSTM sequence kernels,
+        :mod:`.rnn_pallas`, subject to the VMEM-fit guard), or "auto"
+        (pallas on TPU, scan elsewhere).  Note the fused LSTM backward does
+        not propagate cell-state cotangents (no model here consumes c_n).
 
     Returns:
       (output [B, T, H*num_dirs],
@@ -255,7 +263,10 @@ def rnn(params: Sequence[dict], x: jnp.ndarray, cell: str,
             y = jnp.concatenate([ys_f, ys_b], axis=-1)
         else:
             y = ys_f
-        if train and dropout > 0.0 and layer_idx < num_layers - 1:
+        # key=None in train mode skips dropout (consistent with the FC-head
+        # convention in the models) instead of crashing inside random.split
+        if train and dropout > 0.0 and key is not None and \
+                layer_idx < num_layers - 1:
             key, sub = jax.random.split(key)
             y = _dropout(sub, y, dropout, train=True)
     h_n = jnp.stack(h_finals, axis=1)  # [B, L*D, H]

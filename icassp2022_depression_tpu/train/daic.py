@@ -94,7 +94,9 @@ def train_daic(train_features: List[np.ndarray], train_labels,
     yte = np.asarray(test_labels)
 
     params = audio_net.init(jax.random.PRNGKey(seed), tcfg.model)
-    optimizer = optim.build(tcfg.optimizer, params)
+    # same dead-block decay exemption as the EATD audio trainers (the
+    # attention layer receives no gradients)
+    optimizer = optim.build(tcfg.optimizer, params, dead_paths=("attn",))
     opt_state = optimizer.init(params)
     train_loss, eval_fn = _fns(tcfg)
     run = loop.make_fold_runner(train_loss, eval_fn, optimizer, tcfg.track,

@@ -77,12 +77,19 @@ def _host_best(best):
 
 def _execute_fold(make_runner, runner_cache, params, optimizer, data,
                   fold_key, track: str, total_epochs: int,
-                  chunk_epochs: int | None = None, resume_path=None):
+                  chunk_epochs: int | None = None, resume_path=None,
+                  init_opt_state=None):
     """Run one fold, optionally in epoch chunks with a resume bundle
     (params + opt_state + PRNG key + gated best + epochs done) written
     after every chunk — the framework's true-resume story (the reference
-    always restarts from scratch, SURVEY.md §5)."""
-    opt_state = optimizer.init(params)
+    always restarts from scratch, SURVEY.md §5).
+
+    ``init_opt_state`` carries optimizer moments in from a previous fold
+    (the clf-fusion cross-fold semantics — see ``_run_fusion_folds``).
+    Returns (best, logs, final_params, final_opt_state).
+    """
+    opt_state = (init_opt_state if init_opt_state is not None
+                 else optimizer.init(params))
     best = loop.init_best(track, params)
     key = fold_key
     epoch_done = 0
@@ -122,7 +129,7 @@ def _execute_fold(make_runner, runner_cache, params, optimizer, data,
             np.savez(Path(str(resume_path) + "_logs.npz"), **merged)
     logs = {k: np.concatenate([p[k] for p in logs_parts])
             for k in logs_parts[0]}
-    return best, logs
+    return best, logs, params, opt_state
 
 
 def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
@@ -199,9 +206,10 @@ def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
         fold_key = jax.random.fold_in(jax.random.PRNGKey(seed + 1000), fold_idx)
         resume_path = (Path(resume_dir) / f"{task_name}_fold{fold_idx}"
                        if resume_dir is not None else None)
-        best, logs = _execute_fold(make_runner, runner_cache, params,
-                                   optimizer, data, fold_key, tcfg.track,
-                                   tcfg.epochs - 1, chunk_epochs, resume_path)
+        best, logs, _, _ = _execute_fold(make_runner, runner_cache, params,
+                                         optimizer, data, fold_key, tcfg.track,
+                                         tcfg.epochs - 1, chunk_epochs,
+                                         resume_path)
         results.append({"fold": fold_idx, "best": _host_best(best),
                         "logs": logs})
     return results
@@ -212,13 +220,16 @@ def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
 # ---------------------------------------------------------------------------
 
 
-def _clf_fold_datas(feature_arrays, targets, train_folds_idx, batch_size):
+def _clf_fold_datas(feature_arrays, targets, train_folds_idx, batch_size,
+                    fold_cfg: C.FoldConfig = C.FoldConfig()):
     dep = np.where(np.asarray(targets) == 1)[0]
     non = np.where(np.asarray(targets) == 0)[0]
     raw = []
     for tr_idx in train_folds_idx:
         (xtr, ytr), (xte, yte) = augment.augment_classification_fold(
-            feature_arrays, targets, tr_idx, dep, non)
+            feature_arrays, targets, tr_idx, dep, non,
+            train_perm_ids=fold_cfg.train_perm_ids,
+            test_perm_ids=fold_cfg.test_perm_ids)
         raw.append((xtr, ytr, xte, yte))
     test_total = max(len(yte) for _, _, _, yte in raw)
     train_total = max(len(ytr) for _, ytr, _, _ in raw)
@@ -232,10 +243,11 @@ def train_audio_clf(features: np.ndarray, targets: np.ndarray,
                     tcfg: C.TrainerConfig = C.AUDIO_CLF,
                     out_dir: Optional[Path] = None, seed: int = 0,
                     resume_dir=None, chunk_epochs=None,
-                    vmap_folds: bool = False):
+                    vmap_folds: bool = False,
+                    fold_cfg: C.FoldConfig = C.FoldConfig()):
     """3-fold audio GRU classifier.  ``features``: [N, 3, 256]."""
     datas = _clf_fold_datas([features], targets, train_folds_idx,
-                            tcfg.batch_size)
+                            tcfg.batch_size, fold_cfg)
     results = _run_folds(audio_net, tcfg, datas, seed,
                          resume_dir=resume_dir, chunk_epochs=chunk_epochs,
                          task_name="audio_clf", vmap_folds=vmap_folds)
@@ -254,10 +266,11 @@ def train_text_clf(features: np.ndarray, targets: np.ndarray,
                    tcfg: C.TrainerConfig = C.TEXT_CLF,
                    out_dir: Optional[Path] = None, seed: int = 0,
                    resume_dir=None, chunk_epochs=None,
-                   vmap_folds: bool = False):
+                   vmap_folds: bool = False,
+                   fold_cfg: C.FoldConfig = C.FoldConfig()):
     """3-fold text BiLSTM classifier.  ``features``: [N, 3, 1024]."""
     datas = _clf_fold_datas([features], targets, train_folds_idx,
-                            tcfg.batch_size)
+                            tcfg.batch_size, fold_cfg)
     results = _run_folds(text_net, tcfg, datas, seed,
                          resume_dir=resume_dir, chunk_epochs=chunk_epochs,
                          task_name="text_clf", vmap_folds=vmap_folds)
@@ -300,15 +313,35 @@ def _fusion_fns(fcfg: C.FusionConfig, tcfg: C.TrainerConfig):
 def _run_fusion_folds(fcfg, tcfg, fold_datas, branch_params, seed, track,
                       resume_dir=None, chunk_epochs=None,
                       task_name: str = "fuse"):
+    """Fold loop for the fusion trainers.
+
+    Cross-fold state semantics mirror the reference exactly:
+
+    * classification (``fuse_net_whole.py:413-416``): the fusion net and
+      its Adam optimizer are created ONCE — per fold only the branch
+      tensors are replaced by the ``strict=False`` checkpoint loads, so
+      fold k+1 *continues* from fold k's trained ``fc_final`` weights and
+      accumulated Adam moments (``carry_across_folds``);
+    * regression (``Regression/fuse_net.py:549-552``): model and optimizer
+      are re-created inside the fold loop — every fold starts fresh.
+    """
+    carry_across_folds = (track == "classification")
     results = []
     make_runner = None
     runner_cache: dict = {}
     optimizer = None
+    carried_params = None
+    carried_opt_state = None
     for fold_idx, data in enumerate(fold_datas, start=1):
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), fold_idx)
-        params = fusion.init(key, fcfg)
+        if carry_across_folds and carried_params is not None:
+            base = carried_params
+        else:
+            base_key = (jax.random.PRNGKey(seed) if carry_across_folds
+                        else jax.random.fold_in(jax.random.PRNGKey(seed),
+                                                fold_idx))
+            base = fusion.init(base_key, fcfg)
         text_p, audio_p = branch_params[fold_idx - 1]
-        params = fusion.init_from_branches(params, fcfg, text_p, audio_p, track)
+        params = fusion.init_from_branches(base, fcfg, text_p, audio_p, track)
         if make_runner is None:
             optimizer = optim.build(tcfg.optimizer, params)
             train_loss, eval_fn = _fusion_fns(fcfg, tcfg)
@@ -328,9 +361,13 @@ def _run_fusion_folds(fcfg, tcfg, fold_datas, branch_params, seed, track,
         fold_key = jax.random.fold_in(jax.random.PRNGKey(seed + 1000), fold_idx)
         resume_path = (Path(resume_dir) / f"{task_name}_fold{fold_idx}"
                        if resume_dir is not None else None)
-        best, logs = _execute_fold(make_runner, runner_cache, params,
-                                   optimizer, data, fold_key, tcfg.track,
-                                   tcfg.epochs - 1, chunk_epochs, resume_path)
+        best, logs, final_params, final_opt_state = _execute_fold(
+            make_runner, runner_cache, params, optimizer, data, fold_key,
+            tcfg.track, tcfg.epochs - 1, chunk_epochs, resume_path,
+            init_opt_state=carried_opt_state if carry_across_folds else None)
+        if carry_across_folds:
+            carried_params = final_params
+            carried_opt_state = final_opt_state
         results.append({"fold": fold_idx, "best": _host_best(best),
                         "logs": logs})
     return results
@@ -343,12 +380,13 @@ def train_fuse_clf(audio_features: np.ndarray, text_features: np.ndarray,
                    fcfg: C.FusionConfig = C.FUSE_CLF,
                    tcfg: C.TrainerConfig = C.FUSE_CLF_TRAINER,
                    out_dir: Optional[Path] = None, seed: int = 0,
-                   resume_dir=None, chunk_epochs=None):
+                   resume_dir=None, chunk_epochs=None,
+                   fold_cfg: C.FoldConfig = C.FoldConfig()):
     """3-fold multimodal fusion classifier.  ``branch_params[fold]`` is the
     (text_params, audio_params) pair from the pretrained branch trainers
     (replacing the reference's state-dict surgery)."""
     datas = _clf_fold_datas([audio_features, text_features], targets,
-                            train_folds_idx, tcfg.batch_size)
+                            train_folds_idx, tcfg.batch_size, fold_cfg)
     results = _run_fusion_folds(fcfg, tcfg, datas, branch_params, seed,
                                 "classification", resume_dir=resume_dir,
                                 chunk_epochs=chunk_epochs,

@@ -27,6 +27,26 @@ def test_extract_batch_bucketing_matches_single(tmp_path):
     np.testing.assert_allclose(feats[1], single[0], atol=1e-5)
 
 
+def test_bucketed_extraction_matches_direct_pipeline():
+    """The padded-bucket path must equal running log-mel + NetVLAD on the
+    raw unpadded waveform (librosa-style reflect padding at the TRUE signal
+    end, not the bucket boundary)."""
+    from icassp2022_depression_tpu.ops import mel, netvlad
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    for n in (17000, 16384, 5000):
+        w = (rng.standard_normal(n) * 2000).astype(np.float32)
+        batched = audio_fe.extract_batch([np.round(w)], [16000], CFG)[0]
+        lm = mel.log_mel(jnp.asarray(np.round(w)), sr=16000)
+        nv = netvlad.per_utterance_params(CFG.netvlad_seed, 0, CFG.n_mels,
+                                          CFG.netvlad_clusters,
+                                          CFG.netvlad_output_dim)
+        direct = np.asarray(netvlad.netvlad(nv, lm))
+        np.testing.assert_allclose(batched, direct, atol=2e-4,
+                                   err_msg=f"len={n}")
+
+
 def test_extract_eatd_audio(tmp_path):
     eatd.make_synthetic_corpus(tmp_path, n_data=4, n_validation=2,
                                seconds=0.4, seed=0)

@@ -51,6 +51,30 @@ def test_fuse_clf_end_to_end(tmp_path):
         assert (tmp_path / f"{name}.npz").exists()
 
 
+def test_clf_fusion_carries_state_across_folds():
+    """Reference clf fusion keeps ONE model+optimizer across folds
+    (fuse_net_whole.py:413-416): fold 2 must start from fold 1's trained
+    fc_final, not a fresh init — verified by comparing against an
+    independent-folds run."""
+    rng = np.random.default_rng(3)
+    n = 18
+    targets = (rng.random(n) < 0.4).astype(np.int64)
+    sign = np.where(targets[:, None, None] == 1, 1.0, -1.0)
+    audio = (0.7 * sign + rng.standard_normal((n, 3, 16))).astype(np.float32)
+    text = (0.7 * sign + rng.standard_normal((n, 3, 24))).astype(np.float32)
+    train_folds = folds.generate_clf_folds(targets, 3, seed=3)
+    branch_params = [(text_net.init(jax.random.fold_in(jax.random.PRNGKey(20), f), TEXT_CFG),
+                      audio_net.init(jax.random.fold_in(jax.random.PRNGKey(10), f), AUDIO_CFG))
+                     for f in range(3)]
+    results = trainers.train_fuse_clf(audio, text, targets, train_folds,
+                                      branch_params, FCFG, TCFG, seed=0)
+    solo = trainers.train_fuse_clf(audio, text, targets, train_folds[2:],
+                                   branch_params[2:], FCFG, TCFG, seed=0)
+    # fold 3 inside the 3-fold run starts from folds 1-2's carried state, so
+    # its trajectory must differ from training fold 3 in isolation
+    assert not np.allclose(results[2]["logs"]["loss"], solo[0]["logs"]["loss"])
+
+
 def test_fuse_reg_end_to_end():
     rng = np.random.default_rng(1)
     n = 30
