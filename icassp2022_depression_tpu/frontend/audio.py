@@ -123,13 +123,17 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
             wavs[row, :len(wp)] = wp.astype(dtype)
             lengths[row] = n
             ordinals[row] = start_ordinal + i
-        nv_stacked = netvlad.batched_per_utterance_params(
-            cfg.netvlad_seed, jnp.asarray(ordinals), cfg.n_mels,
-            cfg.netvlad_clusters, cfg.netvlad_output_dim)
-        feats = _bucket_pipeline(jnp.asarray(wavs), jnp.asarray(lengths),
-                                 nv_stacked, sr, cfg.n_fft, cfg.hop_length,
-                                 cfg.n_mels, cfg.log_floor)
-        out[np.asarray(idxs)] = np.asarray(feats)[:len(idxs)]
+        from icassp2022_depression_tpu.utils import profiling
+
+        with profiling.annotate(f"wav2vlad/bucket{blen}"):
+            nv_stacked = netvlad.batched_per_utterance_params(
+                cfg.netvlad_seed, jnp.asarray(ordinals), cfg.n_mels,
+                cfg.netvlad_clusters, cfg.netvlad_output_dim)
+            feats = _bucket_pipeline(jnp.asarray(wavs), jnp.asarray(lengths),
+                                     nv_stacked, sr, cfg.n_fft,
+                                     cfg.hop_length, cfg.n_mels,
+                                     cfg.log_floor)
+            out[np.asarray(idxs)] = np.asarray(feats)[:len(idxs)]
     return out
 
 

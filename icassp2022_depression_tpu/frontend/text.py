@@ -64,10 +64,17 @@ def tokenize(text: str, use_jieba: bool = True) -> List[str]:
 
 
 def embed_sentences(params, sentences: Sequence[List[str]],
-                    cfg: elmo.ElmoConfig = elmo.ElmoConfig(),
+                    cfg=elmo.ElmoConfig(),
                     batch_size: int = 512) -> np.ndarray:
     """Tokenised sentences -> [N, 1024] mean-pooled embeddings, batched and
-    padded to a shared token length per batch."""
+    padded to a shared token length per batch.
+
+    ``cfg`` selects the encoder: :class:`..models.elmo.ElmoConfig` (plain
+    BiLSTM) or :class:`..models.elmo.ElmoLstmpConfig` (the ELMo-faithful
+    stacked LSTMP biLM, required when loading ELMoForManyLangs weights).
+    """
+    encode = (elmo.encode_lstmp
+              if isinstance(cfg, elmo.ElmoLstmpConfig) else elmo.encode)
     n = len(sentences)
     out = np.zeros((n, cfg.output_dim), np.float32)
     for start in range(0, n, batch_size):
@@ -82,20 +89,23 @@ def embed_sentences(params, sentences: Sequence[List[str]],
             for j, tok in enumerate(toks):
                 ids[i, j] = elmo.token_id(tok, cfg.vocab_size)
             lengths[i] = max(1, len(toks))
-        _, pooled = elmo.encode(params, jnp.asarray(ids), jnp.asarray(lengths),
-                                cfg)
+        _, pooled = encode(params, jnp.asarray(ids), jnp.asarray(lengths),
+                           cfg)
         out[start:start + len(chunk)] = np.asarray(pooled)
     return out
 
 
 def extract_eatd(root: Path, params=None,
-                 cfg: elmo.ElmoConfig = elmo.ElmoConfig(),
+                 cfg=elmo.ElmoConfig(),
                  out_dir: Optional[Path] = None, seed: int = 0,
                  max_id: int = eatd.MAX_SPEAKER_ID,
                  sds_threshold: float = 53.0):
     """Full EATD text pass -> ([N, 3, 1024] features, sds, clf labels)."""
     if params is None:
-        params = elmo.init(jax.random.PRNGKey(seed), cfg)
+        if isinstance(cfg, elmo.ElmoLstmpConfig):
+            params = elmo.init_lstmp_encoder(jax.random.PRNGKey(seed), cfg)
+        else:
+            params = elmo.init(jax.random.PRNGKey(seed), cfg)
     sentences: List[List[str]] = []
     sds: List[float] = []
     for sp in eatd.iter_speakers(root, max_id=max_id, read_text=True):

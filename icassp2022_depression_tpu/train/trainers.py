@@ -34,6 +34,7 @@ from icassp2022_depression_tpu.ops.nn import (
     smooth_l1_loss,
 )
 from icassp2022_depression_tpu.train import checkpoints, loop, optim
+from icassp2022_depression_tpu.utils import profiling
 
 
 def _dead_paths(model_module):
@@ -206,10 +207,12 @@ def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
         fold_key = jax.random.fold_in(jax.random.PRNGKey(seed + 1000), fold_idx)
         resume_path = (Path(resume_dir) / f"{task_name}_fold{fold_idx}"
                        if resume_dir is not None else None)
-        best, logs, _, _ = _execute_fold(make_runner, runner_cache, params,
-                                         optimizer, data, fold_key, tcfg.track,
-                                         tcfg.epochs - 1, chunk_epochs,
-                                         resume_path)
+        with profiling.annotate(f"{task_name}/fold{fold_idx}"):
+            best, logs, _, _ = _execute_fold(make_runner, runner_cache,
+                                             params, optimizer, data,
+                                             fold_key, tcfg.track,
+                                             tcfg.epochs - 1, chunk_epochs,
+                                             resume_path)
         results.append({"fold": fold_idx, "best": _host_best(best),
                         "logs": logs})
     return results
