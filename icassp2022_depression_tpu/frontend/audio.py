@@ -60,12 +60,15 @@ def _bucket_pipeline(wavs, lengths, nv_params, sr, n_fft, hop, n_mels,
 
 def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
                   cfg: FrontendConfig = FrontendConfig(),
-                  start_ordinal: int = 0) -> np.ndarray:
+                  start_ordinal: int = 0,
+                  ordinals: Optional[Sequence[int]] = None) -> np.ndarray:
     """wav2vlad over a list of variable-length utterances -> [N, output_dim].
 
     Utterances are bucketed by padded length; each bucket is one device
-    dispatch.  ``start_ordinal`` seeds the per-utterance NetVLAD params so
-    ordinals are stable across the whole corpus pass.
+    dispatch.  Per-utterance NetVLAD params are keyed by ordinal —
+    consecutive from ``start_ordinal``, or explicit via ``ordinals`` (the
+    incremental-extraction path, where only a subset of corpus positions is
+    recomputed).
     """
     n = len(waveforms)
     out = np.zeros((n, cfg.netvlad_output_dim), np.float32)
@@ -105,7 +108,7 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
         dtype = np.int16 if is_pcm else np.float32
         wavs = np.zeros((brows, blen), dtype)
         lengths = np.zeros((brows,), np.int32)
-        ordinals = np.zeros((brows,), np.int32)
+        row_ordinals = np.zeros((brows,), np.int32)
         for row, i in enumerate(idxs):
             w = np.asarray(waveforms[i])
             n = len(w)
@@ -122,12 +125,13 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
                 wp = w
             wavs[row, :len(wp)] = wp.astype(dtype)
             lengths[row] = n
-            ordinals[row] = start_ordinal + i
+            row_ordinals[row] = (ordinals[i] if ordinals is not None
+                                 else start_ordinal + i)
         from icassp2022_depression_tpu.utils import profiling
 
         with profiling.annotate(f"wav2vlad/bucket{blen}"):
             nv_stacked = netvlad.batched_per_utterance_params(
-                cfg.netvlad_seed, jnp.asarray(ordinals), cfg.n_mels,
+                cfg.netvlad_seed, jnp.asarray(row_ordinals), cfg.n_mels,
                 cfg.netvlad_clusters, cfg.netvlad_output_dim)
             feats = _bucket_pipeline(jnp.asarray(wavs), jnp.asarray(lengths),
                                      nv_stacked, sr, cfg.n_fft,
@@ -140,30 +144,66 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
 def extract_eatd(root: Path, cfg: FrontendConfig = FrontendConfig(),
                  out_dir: Optional[Path] = None,
                  max_id: int = eatd.MAX_SPEAKER_ID,
-                 sds_threshold: float = 53.0):
+                 sds_threshold: float = 53.0,
+                 incremental: bool = False):
     """Full EATD audio pass: [N, 3, 1, 256] features + reg/clf labels.
 
     Returns (features, sds_targets, clf_targets, manifest); with ``out_dir``
     also writes the four reference-layout npz files plus a per-speaker
     manifest (extraction status for resumable reruns — the reference's only
-    fault handling is silently skipping missing dirs)."""
+    fault handling is silently skipping missing dirs).
+
+    ``incremental`` (requires ``out_dir``): reuse a per-speaker feature
+    cache from a previous pass — only speakers absent from the cache are
+    re-embedded, so an interrupted or extended corpus pass resumes instead
+    of recomputing.  (Per-utterance NetVLAD ordinals are keyed by the
+    speaker's corpus position, which is stable for a fixed corpus layout.)
+    """
+    cache: dict = {}
+    cache_path = (Path(out_dir) / "speaker_cache.npz"
+                  if out_dir is not None else None)
+    if incremental and cache_path is not None and cache_path.exists():
+        cache = dict(np.load(cache_path))
+
     waveforms: List[np.ndarray] = []
     rates: List[int] = []
     sds: List[float] = []
     manifest = []
+    speakers = []
+    todo_ordinals: List[int] = []
     min_len, max_len = float("inf"), 0.0
-    for sp in eatd.load_speakers(root, max_id=max_id, read_text=False):
+    for idx, sp in enumerate(eatd.load_speakers(root, max_id=max_id,
+                                                read_text=False)):
+        speakers.append(sp)
+        sds.append(sp.sds)
+        key = f"{sp.split}/{sp.number}"
+        cached = incremental and key in cache
+        manifest.append({"split": sp.split, "number": sp.number,
+                         "status": "cached" if cached else "ok"})
+        if cached:
+            continue
         for w, sr, dur in zip(sp.waveforms, sp.sample_rates, sp.durations):
             waveforms.append(w)
             rates.append(sr)
             min_len = min(min_len, dur)
             max_len = max(max_len, dur)
-        sds.append(sp.sds)
-        manifest.append({"split": sp.split, "number": sp.number,
-                         "status": "ok"})
-    flat = extract_batch(waveforms, rates, cfg)
+        todo_ordinals.append(idx)
+
     n = len(sds)
-    features = flat.reshape(n, 3, 1, cfg.netvlad_output_dim)
+    features = np.zeros((n, 3, 1, cfg.netvlad_output_dim), np.float32)
+    if todo_ordinals:
+        utt_ordinals = [3 * idx + k for idx in todo_ordinals for k in range(3)]
+        flat = extract_batch(waveforms, rates, cfg, ordinals=utt_ordinals)
+        for j, idx in enumerate(todo_ordinals):
+            features[idx] = flat[3 * j: 3 * j + 3, None, :]
+    for idx, sp in enumerate(speakers):
+        key = f"{sp.split}/{sp.number}"
+        if incremental and key in cache:
+            features[idx] = cache[key]
+    if incremental and cache_path is not None:
+        cache_path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(cache_path, **{f"{sp.split}/{sp.number}": features[idx]
+                                for idx, sp in enumerate(speakers)})
     sds_targets = np.asarray(sds, np.float32)
     clf_targets = (sds_targets >= sds_threshold).astype(np.int64)
 

@@ -64,6 +64,30 @@ def test_extract_eatd_audio(tmp_path):
     np.testing.assert_array_equal(feats, feats2)
 
 
+def test_incremental_extraction_resumes(tmp_path):
+    """Incremental mode: an extended corpus pass reuses the cached
+    per-speaker features and produces identical results to a full pass."""
+    eatd.make_synthetic_corpus(tmp_path, n_data=3, n_validation=0,
+                               seconds=0.3, seed=5)
+    out = tmp_path / "Features" / "AudioWhole"
+    f1, _, _, m1 = audio_fe.extract_eatd(tmp_path, CFG, out_dir=out,
+                                         incremental=True)
+    assert all(e["status"] == "ok" for e in m1)
+    # add a 4th speaker and re-run incrementally
+    eatd.make_synthetic_corpus(tmp_path / "_tmp", n_data=1, seconds=0.3,
+                               n_validation=0, seed=9)
+    import shutil
+    shutil.move(str(tmp_path / "_tmp" / "Data" / "1"),
+                str(tmp_path / "Data" / "4"))
+    f2, _, _, m2 = audio_fe.extract_eatd(tmp_path, CFG, out_dir=out,
+                                         incremental=True)
+    assert [e["status"] for e in m2] == ["cached", "cached", "cached", "ok"]
+    np.testing.assert_array_equal(f2[:3], f1)
+    # full recompute gives identical features (ordinal keying is positional)
+    f3, _, _, _ = audio_fe.extract_eatd(tmp_path, CFG)
+    np.testing.assert_allclose(f2, f3, atol=1e-5)
+
+
 def test_tokenize_fallback():
     toks = text_fe.fallback_segment("我今天 feels good 123")
     assert "我" in toks and "feels" in toks and "123" in toks
