@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# End-to-end demo on a synthetic EATD-shaped corpus (the real corpus is
+# restricted-distribution).  Runs extraction + both training tracks +
+# checking + baselines.  On a TPU host the first run pays one-time
+# compilations (cached persistently afterwards).
+set -euo pipefail
+
+ROOT="${1:-/tmp/icassp2022_tpu_demo}"
+PY="${PYTHON:-python}"
+
+$PY -m icassp2022_depression_tpu.cli synth-corpus --root "$ROOT" \
+    --n-data 114 --n-validation 48 --seconds 4.0 --seed 42
+$PY -m icassp2022_depression_tpu.cli extract-audio --root "$ROOT"
+$PY -m icassp2022_depression_tpu.cli extract-text  --root "$ROOT"
+$PY -m icassp2022_depression_tpu.cli pipeline --track clf --root "$ROOT"
+$PY -m icassp2022_depression_tpu.cli pipeline --track reg --root "$ROOT" --lr 3e-4
+$PY -m icassp2022_depression_tpu.cli baselines --task audio_clf --root "$ROOT"
+echo "demo complete; models in $ROOT/Model, metrics JSONL alongside"
