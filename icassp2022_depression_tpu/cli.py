@@ -254,6 +254,28 @@ def cmd_check(args):
     return 0
 
 
+def cmd_predict(args):
+    """Serve a prediction for one corpus speaker from a checkpoint."""
+    from icassp2022_depression_tpu import serve
+    from icassp2022_depression_tpu.data import eatd
+
+    split, number = args.speaker.split("/")
+    sp = eatd.load_speaker(Path(args.root), split, int(number))
+    if sp is None:
+        raise SystemExit(f"speaker {args.speaker} not found under {args.root}")
+    p = serve.Predictor.from_checkpoint(args.ckpt, args.task)
+    kw = {}
+    if not args.task.startswith("text"):
+        kw.update(waveforms=sp.waveforms, sample_rates=sp.sample_rates)
+    if not args.task.startswith("audio"):
+        kw.update(texts=sp.texts)
+    result = p.predict_speaker(**kw)
+    result["speaker"] = args.speaker
+    result["true_sds"] = sp.sds
+    print(json.dumps(result))
+    return 0
+
+
 def cmd_baselines(args):
     from icassp2022_depression_tpu.data import folds
     from icassp2022_depression_tpu.eval import traditional
@@ -344,6 +366,16 @@ def build_parser():
     sp.add_argument("--idx-files", nargs="*")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_check)
+
+    sp = sub.add_parser("predict", help="serve one speaker from a checkpoint")
+    sp.add_argument("--task", required=True, choices=list(
+        ("audio_clf", "text_clf", "fuse_clf",
+         "audio_reg", "text_reg", "fuse_reg")))
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--speaker", required=True,
+                    help="e.g. Data/5 or ValidationData/12")
+    sp.set_defaults(fn=cmd_predict)
 
     sp = sub.add_parser("baselines", help="sklearn baselines")
     sp.add_argument("--task", required=True,

@@ -1,0 +1,159 @@
+"""End-to-end inference (serving) API.
+
+The reference has no inference path at all — predictions exist only inside
+its evaluation scripts.  This module packages the full pipeline for
+deployment: raw 3-answer audio (+ transcripts) -> log-mel/NetVLAD + text
+embedding -> branch or fusion model -> label / SDS score, with the
+device-side compute jitted once and reused across requests.
+
+Typical use::
+
+    predictor = Predictor.from_checkpoint("fuse_0.69_1.npz", task="fuse_clf")
+    result = predictor.predict_speaker(waveforms, sample_rates, texts)
+    # {'label': 1, 'probs': [...], 'depressed': True}
+
+Batch APIs accept many speakers and share one device dispatch per
+modality; feature extraction reuses the bucketed frontend (so repeated
+serving traffic hits cached compilations).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icassp2022_depression_tpu import config as C
+from icassp2022_depression_tpu.frontend import audio as audio_fe
+from icassp2022_depression_tpu.frontend import text as text_fe
+from icassp2022_depression_tpu.models import audio_net, elmo, fusion, text_net
+from icassp2022_depression_tpu.train import checkpoints
+
+TASKS = ("audio_clf", "text_clf", "fuse_clf",
+         "audio_reg", "text_reg", "fuse_reg")
+
+
+def _model_for(task: str):
+    if task.startswith("audio"):
+        mcfg = (C.AUDIO_CLF if task.endswith("clf") else C.AUDIO_REG).model
+        return audio_net, mcfg
+    if task.startswith("text"):
+        mcfg = (C.TEXT_CLF if task.endswith("clf") else C.TEXT_REG).model
+        return text_net, mcfg
+    fcfg = C.FUSE_CLF if task.endswith("clf") else C.FUSE_REG
+    return fusion, fcfg
+
+
+class Predictor:
+    """Loads one trained model and serves end-to-end predictions."""
+
+    def __init__(self, params, task: str,
+                 frontend_cfg: C.FrontendConfig = C.FrontendConfig(),
+                 elmo_cfg=elmo.ElmoConfig(), elmo_params=None, seed: int = 0):
+        assert task in TASKS, f"task must be one of {TASKS}"
+        self.task = task
+        self.params = params
+        self.frontend_cfg = frontend_cfg
+        self.elmo_cfg = elmo_cfg
+        if elmo_params is None and not task.startswith("audio"):
+            elmo_params = elmo.init(jax.random.PRNGKey(seed), elmo_cfg)
+        self.elmo_params = elmo_params
+
+        module, mcfg = _model_for(task)
+        if module is fusion:
+            self._apply = jax.jit(
+                lambda p, xa, xt: fusion.apply(p, mcfg, xa, xt,
+                                               train=False)[0])
+        else:
+            self._apply = jax.jit(
+                lambda p, x: module.apply(p, mcfg, x, train=False))
+        self._module = module
+
+    @classmethod
+    def from_checkpoint(cls, path, task: str, **kw):
+        """Load a gated-best checkpoint written by the trainers."""
+        module, mcfg = _model_for(task)
+        if module is fusion:
+            template = fusion.init(jax.random.PRNGKey(0), mcfg)
+        else:
+            template = module.init(jax.random.PRNGKey(0), mcfg)
+        params = checkpoints.load(path, like=template)
+        return cls(params, task, **kw)
+
+    @classmethod
+    def from_torch_state_dict(cls, sd, task: str, **kw):
+        """Serve a model trained by the reference (ported .pt state dict)."""
+        from icassp2022_depression_tpu.models import porting
+
+        module, mcfg = _model_for(task)
+        if module is audio_net:
+            params = porting.audio_net_from_state_dict(sd, mcfg)
+        elif module is text_net:
+            params = porting.text_net_from_state_dict(sd, mcfg)
+        else:
+            params = porting.fusion_from_state_dict(sd, mcfg)
+        return cls(params, task, **kw)
+
+    # -- feature extraction -------------------------------------------------
+
+    def audio_features(self, waveforms_per_speaker: Sequence[Sequence],
+                       sample_rates: Sequence[Sequence[int]]) -> np.ndarray:
+        """[[w_pos, w_neu, w_neg], ...] -> [N, 3, 256] wav2vlad features."""
+        flat_w = [w for ws in waveforms_per_speaker for w in ws]
+        flat_sr = [sr for srs in sample_rates for sr in srs]
+        feats = audio_fe.extract_batch(flat_w, flat_sr, self.frontend_cfg)
+        return feats.reshape(len(waveforms_per_speaker), 3, -1)
+
+    def text_features(self, texts_per_speaker: Sequence[Sequence[str]]
+                      ) -> np.ndarray:
+        """[[pos, neu, neg], ...] transcripts -> [N, 3, 1024] embeddings."""
+        sentences = [text_fe.tokenize(t) for ts in texts_per_speaker
+                     for t in ts]
+        flat = text_fe.embed_sentences(self.elmo_params, sentences,
+                                       self.elmo_cfg)
+        return flat.reshape(len(texts_per_speaker), 3, -1)
+
+    # -- prediction ---------------------------------------------------------
+
+    def predict_features(self, audio_feats: Optional[np.ndarray] = None,
+                         text_feats: Optional[np.ndarray] = None):
+        """Model forward on precomputed features -> raw outputs [N, C]."""
+        if self._module is fusion:
+            assert audio_feats is not None and text_feats is not None
+            out = self._apply(self.params, jnp.asarray(audio_feats),
+                              jnp.asarray(text_feats))
+        elif self.task.startswith("audio"):
+            out = self._apply(self.params, jnp.asarray(audio_feats))
+        else:
+            out = self._apply(self.params, jnp.asarray(text_feats))
+        return np.asarray(out)
+
+    def predict_batch(self, waveforms_per_speaker=None, sample_rates=None,
+                      texts_per_speaker=None) -> List[dict]:
+        """Raw inputs -> one result dict per speaker."""
+        af = tf = None
+        if not self.task.startswith("text"):
+            af = self.audio_features(waveforms_per_speaker, sample_rates)
+        if not self.task.startswith("audio"):
+            tf = self.text_features(texts_per_speaker)
+        out = self.predict_features(af, tf)
+        results = []
+        for row in out:
+            if self.task.endswith("clf"):
+                label = int(np.argmax(row))
+                results.append({"label": label, "depressed": bool(label == 1),
+                                "probs": row.tolist()})
+            else:
+                results.append({"sds_score": float(row[0])})
+        return results
+
+    def predict_speaker(self, waveforms=None, sample_rates=None,
+                        texts=None) -> dict:
+        """Single speaker: 3 waveforms and/or 3 transcripts -> result."""
+        return self.predict_batch(
+            [waveforms] if waveforms is not None else None,
+            [sample_rates] if sample_rates is not None else None,
+            [texts] if texts is not None else None)[0]
