@@ -134,6 +134,20 @@ def cmd_train(args):
     return 0
 
 
+def _warn_ungated(named_results):
+    """The reference fails loudly when a branch checkpoint is missing
+    (torch.load of a nonexistent path); here the fusion stage would
+    silently inherit a fold's *initial random* branch params if its gate
+    never fired — warn explicitly instead."""
+    for name, results in named_results.items():
+        bad = [r["fold"] for r in results if r["best"]["epoch"] < 0]
+        if bad:
+            print(f"WARNING: {name} gate never fired for fold(s) {bad}; "
+                  "fusion will start those folds from UNTRAINED branch "
+                  "params (reference behaviour: missing checkpoint -> "
+                  "hard failure)", file=sys.stderr)
+
+
 def cmd_pipeline(args):
     """Full track: branch trainers -> fusion with branch init."""
     from icassp2022_depression_tpu import config as C
@@ -165,6 +179,7 @@ def cmd_pipeline(args):
         rt = trainers.train_text_clf(xt, yt, tf_idx, _lr(C.TEXT_CLF),
                                      out_dir=model_dir / "ClassificationWhole/Text",
                                      seed=args.seed)
+        _warn_ungated({"audio_clf": ra, "text_clf": rt})
         branch = [(rt[i]["best"]["params"], ra[i]["best"]["params"])
                   for i in range(len(ra))]
         rf = trainers.train_fuse_clf(xa, xt, ya, tf_idx, branch,
@@ -190,6 +205,7 @@ def cmd_pipeline(args):
         rt = trainers.train_text_reg(xt, yt, dep, non, _lr(C.TEXT_REG),
                                      out_dir=model_dir / "Regression",
                                      seed=args.seed)
+        _warn_ungated({"audio_reg": ra, "text_reg": rt})
         branch = [(rt[i]["best"]["params"], ra[i]["best"]["params"])
                   for i in range(len(ra))]
         rf = trainers.train_fuse_reg(xa, xt, ya, dep, non, branch,
@@ -266,6 +282,13 @@ def cmd_predict(args):
     p = serve.Predictor.from_checkpoint(args.ckpt, args.task)
     kw = {}
     if not args.task.startswith("text"):
+        # corpus-position ordinal base -> NetVLAD features identical to
+        # the training-time extraction of this speaker
+        for idx, other in enumerate(eatd.iter_speakers(Path(args.root),
+                                                       read_text=False)):
+            if other.split == split and other.number == int(number):
+                kw["ordinal_base"] = 3 * idx
+                break
         kw.update(waveforms=sp.waveforms, sample_rates=sp.sample_rates)
     if not args.task.startswith("audio"):
         kw.update(texts=sp.texts)

@@ -69,18 +69,9 @@ def silence_fallback(sr: int, amplitude: float = 1e-4,
     return np.full(sr * seconds, amplitude, dtype=np.float64)
 
 
-def load_speaker(root: Path, split: str, number: int,
-                 read_text: bool = True) -> Optional[Speaker]:
-    d = Path(root) / split / str(number)
-    if not (d / "positive_out.wav").exists():
-        return None
-    waveforms, srs = [], []
-    for topic in TOPICS:
-        w, sr = read_wav(d / f"{topic}_out.wav")
-        if w.shape[0] < 1:
-            w = silence_fallback(sr)
-        waveforms.append(w)
-        srs.append(sr)
+def _read_label_and_texts(d: Path, read_text: bool):
+    """Shared per-speaker metadata assembly (label + optional transcripts)
+    — one definition for the stdlib and native decode paths."""
     sds = float((d / "new_label.txt").read_text().splitlines()[0])
     texts = None
     if read_text:
@@ -91,8 +82,29 @@ def load_speaker(root: Path, split: str, number: int,
             if not p.exists():
                 ok = False
                 break
-            txts.append(p.read_text().splitlines()[0] if p.read_text() else "")
+            content = p.read_text()
+            txts.append(content.splitlines()[0] if content else "")
         texts = txts if ok else None
+    return sds, texts
+
+
+def _apply_silence_fallback(waveforms, srs):
+    return [w if w.shape[0] >= 1 else silence_fallback(sr)
+            for w, sr in zip(waveforms, srs)]
+
+
+def load_speaker(root: Path, split: str, number: int,
+                 read_text: bool = True) -> Optional[Speaker]:
+    d = Path(root) / split / str(number)
+    if not (d / "positive_out.wav").exists():
+        return None
+    waveforms, srs = [], []
+    for topic in TOPICS:
+        w, sr = read_wav(d / f"{topic}_out.wav")
+        waveforms.append(w)
+        srs.append(sr)
+    waveforms = _apply_silence_fallback(waveforms, srs)
+    sds, texts = _read_label_and_texts(d, read_text)
     return Speaker(split, number, waveforms, srs, sds, texts)
 
 
@@ -138,25 +150,11 @@ def load_speakers(root: Path, splits=("Data", "ValidationData"),
     decoded = native.read_wav_batch(paths)
     speakers = []
     for i, (split, number, d) in enumerate(dirs):
-        waveforms, srs = [], []
-        for j in range(3):
-            w, sr = decoded[i * 3 + j]
-            w = w.astype(np.float64)
-            if w.shape[0] < 1:
-                w = silence_fallback(sr)
-            waveforms.append(w)
-            srs.append(sr)
-        sds = float((d / "new_label.txt").read_text().splitlines()[0])
-        texts = None
-        if read_text:
-            try:
-                texts = [
-                    (d / f"{topic}.txt").read_text().splitlines()[0]
-                    if (d / f"{topic}.txt").read_text() else ""
-                    for topic in TOPICS
-                ]
-            except FileNotFoundError:
-                texts = None
+        waveforms = [decoded[i * 3 + j][0].astype(np.float64)
+                     for j in range(3)]
+        srs = [decoded[i * 3 + j][1] for j in range(3)]
+        waveforms = _apply_silence_fallback(waveforms, srs)
+        sds, texts = _read_label_and_texts(d, read_text)
         speakers.append(Speaker(split, number, waveforms, srs, sds, texts))
     return speakers
 

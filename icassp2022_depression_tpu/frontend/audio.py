@@ -217,8 +217,11 @@ def extract_eatd(root: Path, cfg: FrontendConfig = FrontendConfig(),
         np.savez(out_dir / f"whole_labels_clf_{dim}.npz", clf_targets)
         import json
         (out_dir / "manifest.json").write_text(json.dumps(
-            {"speakers": manifest, "min_len_s": min_len,
-             "max_len_s": max_len}, indent=2))
+            {"speakers": manifest,
+             # None (not bare Infinity, which is invalid JSON) when every
+             # speaker came from the incremental cache
+             "min_len_s": min_len if np.isfinite(min_len) else None,
+             "max_len_s": max_len if max_len > 0 else None}, indent=2))
     return features, sds_targets, clf_targets, manifest
 
 

@@ -73,8 +73,8 @@ def embed_sentences(params, sentences: Sequence[List[str]],
     BiLSTM) or :class:`..models.elmo.ElmoLstmpConfig` (the ELMo-faithful
     stacked LSTMP biLM, required when loading ELMoForManyLangs weights).
     """
-    encode = (elmo.encode_lstmp
-              if isinstance(cfg, elmo.ElmoLstmpConfig) else elmo.encode)
+    encode = (elmo.encode_lstmp_jit
+              if isinstance(cfg, elmo.ElmoLstmpConfig) else elmo.encode_jit)
     n = len(sentences)
     out = np.zeros((n, cfg.output_dim), np.float32)
     for start in range(0, n, batch_size):

@@ -165,6 +165,9 @@ def encode_lstmp(params, token_ids: jnp.ndarray, lengths: jnp.ndarray,
     return rep, pooled
 
 
+encode_lstmp_jit = jax.jit(encode_lstmp, static_argnames=("cfg",))
+
+
 def from_elmoformanylangs(sd, cfg: ElmoLstmpConfig = ElmoLstmpConfig(),
                           word_embedding=None, embed_key=None):
     """Map an ELMoForManyLangs encoder state dict (``{name: ndarray}``)

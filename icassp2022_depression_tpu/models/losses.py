@@ -16,12 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from icassp2022_depression_tpu.ops.nn import (
-    cross_entropy_on_probs,
-    l1_loss,
-    masked_cross_entropy_on_probs,
-    smooth_l1_loss,
-)
+from icassp2022_depression_tpu.ops.nn import smooth_l1_loss
 
 
 def _ce_logits(logits, labels, mask=None):
@@ -61,16 +56,5 @@ def myloss_smooth_l1(text_feat, audio_feat, targets, w_final,
     return (smooth_l1_loss(pred_text, t, m) + smooth_l1_loss(pred_audio, t, m))
 
 
-# Branch-trainer criteria, named as in the configs
-def branch_loss(name: str):
-    if name == "ce":
-        return masked_cross_entropy_on_probs
-    if name == "l1":
-        return lambda pred, target, mask=None: l1_loss(
-            pred.ravel(), target.astype(jnp.float32).ravel(),
-            None if mask is None else mask.ravel())
-    if name == "smooth_l1":
-        return lambda pred, target, mask=None: smooth_l1_loss(
-            pred.ravel(), target.astype(jnp.float32).ravel(),
-            None if mask is None else mask.ravel())
-    raise ValueError(f"unknown loss {name!r}")
+# (branch-trainer loss dispatch lives in train/trainers.py:_branch_fns,
+# which validates the configured loss name against the same three options)

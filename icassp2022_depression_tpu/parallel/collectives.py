@@ -29,6 +29,10 @@ def dp_train_step(train_loss_fn, optimizer, mesh: Mesh):
     """
 
     def shard_step(params, opt_state, key, xs, y, mask):
+        # independent dropout per shard: the replicated key must be folded
+        # with the shard index, otherwise every shard draws the same masks
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+
         def local_loss(p):
             loss, pred = train_loss_fn(p, xs, y, mask, key)
             n_local = jnp.sum(mask)

@@ -100,16 +100,36 @@ class Predictor:
     # -- feature extraction -------------------------------------------------
 
     def audio_features(self, waveforms_per_speaker: Sequence[Sequence],
-                       sample_rates: Sequence[Sequence[int]]) -> np.ndarray:
-        """[[w_pos, w_neu, w_neg], ...] -> [N, 3, 256] wav2vlad features."""
+                       sample_rates: Sequence[Sequence[int]],
+                       ordinal_bases: Optional[Sequence[int]] = None
+                       ) -> np.ndarray:
+        """[[w_pos, w_neu, w_neg], ...] -> [N, 3, 256] wav2vlad features.
+
+        NetVLAD projections are keyed per utterance ordinal.  By default
+        every speaker uses ordinals (0, 1, 2) — batch-position independent,
+        so a speaker gets identical features alone or in any batch.  To
+        reproduce *training-time* features of a corpus speaker, pass that
+        speaker's corpus ordinal base (3 x corpus position) per speaker in
+        ``ordinal_bases`` (the ``cli predict`` path does this).
+        """
         flat_w = [w for ws in waveforms_per_speaker for w in ws]
         flat_sr = [sr for srs in sample_rates for sr in srs]
-        feats = audio_fe.extract_batch(flat_w, flat_sr, self.frontend_cfg)
+        if ordinal_bases is None:
+            ordinals = [k for _ in waveforms_per_speaker for k in range(3)]
+        else:
+            ordinals = [base + k for base in ordinal_bases for k in range(3)]
+        feats = audio_fe.extract_batch(flat_w, flat_sr, self.frontend_cfg,
+                                       ordinals=ordinals)
         return feats.reshape(len(waveforms_per_speaker), 3, -1)
 
     def text_features(self, texts_per_speaker: Sequence[Sequence[str]]
                       ) -> np.ndarray:
         """[[pos, neu, neg], ...] transcripts -> [N, 3, 1024] embeddings."""
+        if texts_per_speaker is None or any(
+                ts is None for ts in texts_per_speaker):
+            raise ValueError(
+                f"task {self.task!r} needs 3 transcripts per speaker; "
+                "got None (speaker has no transcript files?)")
         sentences = [text_fe.tokenize(t) for ts in texts_per_speaker
                      for t in ts]
         flat = text_fe.embed_sentences(self.elmo_params, sentences,
@@ -132,11 +152,13 @@ class Predictor:
         return np.asarray(out)
 
     def predict_batch(self, waveforms_per_speaker=None, sample_rates=None,
-                      texts_per_speaker=None) -> List[dict]:
+                      texts_per_speaker=None, ordinal_bases=None
+                      ) -> List[dict]:
         """Raw inputs -> one result dict per speaker."""
         af = tf = None
         if not self.task.startswith("text"):
-            af = self.audio_features(waveforms_per_speaker, sample_rates)
+            af = self.audio_features(waveforms_per_speaker, sample_rates,
+                                     ordinal_bases)
         if not self.task.startswith("audio"):
             tf = self.text_features(texts_per_speaker)
         out = self.predict_features(af, tf)
@@ -151,9 +173,11 @@ class Predictor:
         return results
 
     def predict_speaker(self, waveforms=None, sample_rates=None,
-                        texts=None) -> dict:
+                        texts=None, ordinal_base: Optional[int] = None
+                        ) -> dict:
         """Single speaker: 3 waveforms and/or 3 transcripts -> result."""
         return self.predict_batch(
             [waveforms] if waveforms is not None else None,
             [sample_rates] if sample_rates is not None else None,
-            [texts] if texts is not None else None)[0]
+            [texts] if texts is not None else None,
+            [ordinal_base] if ordinal_base is not None else None)[0]

@@ -47,6 +47,10 @@ def _dead_paths(model_module):
 def _branch_fns(model_module, mcfg: C.RNNConfig, trainer_cfg: C.TrainerConfig):
     track = trainer_cfg.track
 
+    if trainer_cfg.loss not in ("ce", "l1", "smooth_l1"):
+        raise ValueError(f"unknown branch loss {trainer_cfg.loss!r} "
+                         "(expected 'ce', 'l1' or 'smooth_l1')")
+
     def train_loss(params, xs, y, mask, key):
         pred = model_module.apply(params, mcfg, xs[0], train=True, key=key)
         if track == "classification":
@@ -128,8 +132,13 @@ def _execute_fold(make_runner, runner_cache, params, optimizer, data,
             merged = {k: np.concatenate([p[k] for p in logs_parts])
                       for k in logs_parts[0]}
             np.savez(Path(str(resume_path) + "_logs.npz"), **merged)
-    logs = {k: np.concatenate([p[k] for p in logs_parts])
-            for k in logs_parts[0]}
+    if logs_parts:
+        logs = {k: np.concatenate([p[k] for p in logs_parts])
+                for k in logs_parts[0]}
+    else:
+        # nothing executed and no prior logs recoverable (epochs <= 1, or a
+        # completed resume bundle whose logs sidecar is missing)
+        logs = {}
     return best, logs, params, opt_state
 
 
@@ -335,6 +344,11 @@ def _run_fusion_folds(fcfg, tcfg, fold_datas, branch_params, seed, track,
     optimizer = None
     carried_params = None
     carried_opt_state = None
+    # one jitted callable reused across folds (identical padded shapes ->
+    # a single compilation instead of one per fold)
+    precompute = jax.jit(
+        lambda p, xa, xt: fusion.pretrained_feature(p, fcfg, xa, xt,
+                                                    train=False))
     for fold_idx, data in enumerate(fold_datas, start=1):
         if carry_across_folds and carried_params is not None:
             base = carried_params
@@ -355,10 +369,7 @@ def _run_fusion_folds(fcfg, tcfg, fold_datas, branch_params, seed, track,
                                              tcfg.gate, epochs)
         # precompute the frozen-branch eval features for this fold's test
         # split (deterministic; the branches receive no gradients)
-        tf_te, af_te = jax.jit(
-            lambda p, xa, xt: fusion.pretrained_feature(p, fcfg, xa, xt,
-                                                        train=False)
-        )(params, data.test_x[0], data.test_x[1])
+        tf_te, af_te = precompute(params, data.test_x[0], data.test_x[1])
         data = data._replace(
             test_x=(jnp.concatenate([tf_te, af_te], axis=-1),))
         fold_key = jax.random.fold_in(jax.random.PRNGKey(seed + 1000), fold_idx)
