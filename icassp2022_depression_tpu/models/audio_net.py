@@ -29,14 +29,18 @@ from icassp2022_depression_tpu.ops.nn import dropout, layer_norm, linear
 
 def init(key, cfg: RNNConfig):
     k_rnn, k_attn, k_fc1, k_fc2 = jax.random.split(key, 4)
+    # pooled width doubles for a bidirectional recurrence; the reference's
+    # `bidirectional` config flag is latently broken there (its Linear head
+    # keeps hidden_dims inputs and would crash) — here the head follows the
+    # actual pooled width so the documented capability works
+    pooled = cfg.hidden_dims * (2 if cfg.bidirectional else 1)
     params = {
         "rnn": rnn.init_params(k_rnn, cfg.cell, cfg.embedding_size,
                                cfg.hidden_dims, cfg.rnn_layers,
                                cfg.bidirectional, cfg.init),
         "attn": initializers.linear(k_attn, cfg.hidden_dims, cfg.hidden_dims,
                                     cfg.init),
-        "fc1": initializers.linear(k_fc1, cfg.hidden_dims, cfg.hidden_dims,
-                                   cfg.init),
+        "fc1": initializers.linear(k_fc1, cfg.hidden_dims, pooled, cfg.init),
         "fc2": initializers.linear(k_fc2, cfg.num_classes, cfg.hidden_dims,
                                    cfg.init),
     }

@@ -83,6 +83,26 @@ def load(path, like=None):
     return rebuild(like)
 
 
+def save_orbax(path, params) -> Path:
+    """Orbax-backed save (ecosystem-standard pytree checkpoints with async
+    IO and atomicity guarantees) — optional alternative to the npz format;
+    both round-trip the same param trees."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(params), force=True)
+    return path
+
+
+def load_orbax(path, like):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        template = jax.tree_util.tree_map(np.asarray, jax.device_get(like))
+        return ckptr.restore(Path(path).absolute(), template)
+
+
 def load_meta(path) -> dict:
     p = str(path)
     if p.endswith(".npz"):

@@ -92,6 +92,33 @@ def test_checkpoint_roundtrip(tmp_path):
     assert checkpoints.load_meta(path)["f1"] == 0.7
 
 
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    params = audio_net.init(jax.random.PRNGKey(1), SMALL_AUDIO_CLF.model)
+    path = checkpoints.save_orbax(tmp_path / "orbax_ckpt", params)
+    loaded = checkpoints.load_orbax(path, like=params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bidirectional_audio_variant_trains():
+    """The reference's config carries a `bidirectional` flag (True is used
+    by the commented LSTM variant; the reg model passes it into nn.GRU) —
+    the capability must work end to end."""
+    import jax.numpy as jnp
+    from icassp2022_depression_tpu import config as C
+
+    cfg = C.replace(C.AUDIO_CLF.model, embedding_size=16, hidden_dims=8,
+                    bidirectional=True)
+    params = audio_net.init(jax.random.PRNGKey(2), cfg)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((4, 3, 16)).astype(np.float32))
+    out = audio_net.apply(params, cfg, x)
+    assert out.shape == (4, 2)
+    # pooling over the 2H bidirectional output feeds a 2H fc1
+    assert params["fc1"]["w"].shape == (8, 16)
+
+
 def test_audio_reg_end_to_end():
     rng = np.random.default_rng(3)
     n, d = 40, 16
