@@ -61,6 +61,32 @@ def test_text_predictor():
     assert r["label"] in (0, 1)
 
 
+def test_serving_features_reproduce_training_extraction(tmp_path):
+    """With the speaker's corpus ordinal base, serving features must equal
+    the training-time extract_eatd features; without it they are
+    batch-position independent."""
+    from icassp2022_depression_tpu.data import eatd
+    from icassp2022_depression_tpu.frontend import audio as afe
+
+    eatd.make_synthetic_corpus(tmp_path, n_data=3, n_validation=0,
+                               seconds=0.25, seed=0)
+    train_feats, _, _, _ = afe.extract_eatd(tmp_path, C.FrontendConfig())
+    params = audio_net.init(jax.random.PRNGKey(0), C.AUDIO_CLF.model)
+    p = serve.Predictor(params, "audio_clf")
+    sp = eatd.load_speaker(tmp_path, "Data", 2, read_text=False)
+    # corpus position of Data/2 is index 1 -> ordinal base 3
+    f = p.audio_features([sp.waveforms], [sp.sample_rates],
+                         ordinal_bases=[3])
+    np.testing.assert_allclose(f[0], train_feats[1, :, 0, :], atol=1e-5)
+    # default ordinals: same speaker gets identical features at any batch
+    # position
+    other = eatd.load_speaker(tmp_path, "Data", 1, read_text=False)
+    alone = p.audio_features([sp.waveforms], [sp.sample_rates])
+    batched = p.audio_features([other.waveforms, sp.waveforms],
+                               [other.sample_rates, sp.sample_rates])
+    np.testing.assert_allclose(batched[1], alone[0], atol=1e-6)
+
+
 def test_ported_torch_model_serves():
     import torch
     import torch.nn as tnn
