@@ -101,6 +101,12 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
         buckets.setdefault((_bucket_length(len(w) + tail), sr, pcm_flags[i]),
                            []).append(i)
 
+    from icassp2022_depression_tpu.utils import profiling
+
+    # Stage 1: enqueue every bucket's host->device transfer up front so the
+    # (bandwidth-bound) copies overlap earlier buckets' compute — JAX
+    # dispatch is async, so nothing here blocks.
+    staged = []
     for (blen, sr, is_pcm), idxs in buckets.items():
         # pad the batch dimension to a multiple of 8 so each length bucket
         # compiles for at most a handful of batch shapes
@@ -127,15 +133,17 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
             lengths[row] = n
             row_ordinals[row] = (ordinals[i] if ordinals is not None
                                  else start_ordinal + i)
-        from icassp2022_depression_tpu.utils import profiling
+        staged.append((blen, sr, idxs, jnp.asarray(wavs),
+                       jnp.asarray(lengths), jnp.asarray(row_ordinals)))
 
+    # Stage 2: dispatch compute per bucket (transfers already in flight)
+    for blen, sr, idxs, wavs_d, lengths_d, ordinals_d in staged:
         with profiling.annotate(f"wav2vlad/bucket{blen}"):
             nv_stacked = netvlad.batched_per_utterance_params(
-                cfg.netvlad_seed, jnp.asarray(row_ordinals), cfg.n_mels,
+                cfg.netvlad_seed, ordinals_d, cfg.n_mels,
                 cfg.netvlad_clusters, cfg.netvlad_output_dim)
-            feats = _bucket_pipeline(jnp.asarray(wavs), jnp.asarray(lengths),
-                                     nv_stacked, sr, cfg.n_fft,
-                                     cfg.hop_length, cfg.n_mels,
+            feats = _bucket_pipeline(wavs_d, lengths_d, nv_stacked, sr,
+                                     cfg.n_fft, cfg.hop_length, cfg.n_mels,
                                      cfg.log_floor)
             out[np.asarray(idxs)] = np.asarray(feats)[:len(idxs)]
     return out
