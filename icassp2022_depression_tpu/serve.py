@@ -138,18 +138,39 @@ class Predictor:
 
     # -- prediction ---------------------------------------------------------
 
+    @staticmethod
+    def _pad_batch(x: np.ndarray, total: int) -> np.ndarray:
+        pad = total - x.shape[0]
+        if pad <= 0:
+            return x
+        return np.concatenate(
+            [x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
     def predict_features(self, audio_feats: Optional[np.ndarray] = None,
                          text_feats: Optional[np.ndarray] = None):
-        """Model forward on precomputed features -> raw outputs [N, C]."""
+        """Model forward on precomputed features -> raw outputs [N, C].
+
+        The batch is padded to a power-of-two bucket so serving traffic of
+        varying request sizes reuses a handful of compiled programs instead
+        of compiling per batch size."""
+        n = (audio_feats if audio_feats is not None else text_feats).shape[0]
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
         if self._module is fusion:
             assert audio_feats is not None and text_feats is not None
-            out = self._apply(self.params, jnp.asarray(audio_feats),
-                              jnp.asarray(text_feats))
+            out = self._apply(self.params,
+                              jnp.asarray(self._pad_batch(np.asarray(
+                                  audio_feats, np.float32), bucket)),
+                              jnp.asarray(self._pad_batch(np.asarray(
+                                  text_feats, np.float32), bucket)))
         elif self.task.startswith("audio"):
-            out = self._apply(self.params, jnp.asarray(audio_feats))
+            out = self._apply(self.params, jnp.asarray(self._pad_batch(
+                np.asarray(audio_feats, np.float32), bucket)))
         else:
-            out = self._apply(self.params, jnp.asarray(text_feats))
-        return np.asarray(out)
+            out = self._apply(self.params, jnp.asarray(self._pad_batch(
+                np.asarray(text_feats, np.float32), bucket)))
+        return np.asarray(out)[:n]
 
     def predict_batch(self, waveforms_per_speaker=None, sample_rates=None,
                       texts_per_speaker=None, ordinal_bases=None
