@@ -62,27 +62,41 @@ def read_transcript(path: Path) -> List[dict]:
 
 
 def segment_responses(transcript: List[dict], wave_data: np.ndarray, sr: int,
-                      queries: Sequence[str]) -> List[np.ndarray]:
+                      queries: Sequence[str], with_text: bool = False):
     """Split a session into per-question participant response signals,
     reproducing the reference's accumulation rules
     (``feature_extraction.py:45-60``): a matching Ellie question closes the
-    current signal (if nonempty); ``scrubbed_entry`` rows are skipped."""
+    current signal (if nonempty); ``scrubbed_entry`` rows are skipped.
+
+    ``with_text`` additionally returns the concatenated participant
+    transcript per response — the reference accumulates this ``response``
+    string (``:39,49,59``) but never uses it; completing the text modality
+    enables DAIC multimodal training (see ``train/daic.py``).
+    """
     signals: List[np.ndarray] = []
+    texts: List[str] = []
     signal = np.empty(0, np.float64)
+    response = ""
     for t in transcript:
         if t["speaker"] == "Ellie" and (
                 is_topic_question(t["value"], queries) or
                 "i think i have asked everything" in t["value"]):
             if len(signal) == 0:
+                response = ""
                 continue
             signals.append(signal)
+            texts.append(response.strip())
             signal = np.empty(0, np.float64)
+            response = ""
         elif t["speaker"] == "Participant":
             if "scrubbed_entry" in t["value"]:
                 continue
             start = int(t["start_time"] * sr)
             stop = int(t["stop_time"] * sr)
             signal = np.hstack((signal, wave_data[start:stop].astype(np.float64)))
+            response += " " + t["value"]
+    if with_text:
+        return signals, texts
     return signals
 
 
@@ -139,6 +153,26 @@ def extract_split(daic_dir: Path, split_csv: Path, queries_path: Path,
         np.savez(out_prefix / f"{split_name}_labels_clf.npz", np.asarray(clabels))
         np.savez(out_prefix / f"{split_name}_labels_reg.npz", np.asarray(rlabels))
     return features, clabels, rlabels
+
+
+def extract_participant_text(daic_dir: Path, number: int,
+                             queries: Sequence[str], elmo_params,
+                             elmo_cfg) -> np.ndarray:
+    """One participant's per-response transcripts -> [n_responses, D] text
+    embeddings (the DAIC text modality the reference drops)."""
+    from icassp2022_depression_tpu.frontend import text as text_fe
+
+    base = Path(daic_dir) / f"{number}_P"
+    transcript = read_transcript(base / f"{number}_TRANSCRIPT.csv")
+    from icassp2022_depression_tpu.data.eatd import read_wav as _read_wav
+
+    wave_data, sr = _read_wav(base / f"{number}_AUDIO.wav")
+    _, texts = segment_responses(transcript, wave_data, sr, queries,
+                                 with_text=True)
+    if not texts:
+        return np.zeros((0, elmo_cfg.output_dim), np.float32)
+    sentences = [text_fe.tokenize(t) for t in texts]
+    return text_fe.embed_sentences(elmo_params, sentences, elmo_cfg)
 
 
 def pad_responses(features: List[np.ndarray], max_responses: int | None = None):

@@ -77,6 +77,21 @@ def _fns(tcfg: C.TrainerConfig):
     return train_loss, eval_fn
 
 
+def concat_multimodal(audio_features: List[np.ndarray],
+                      text_features: List[np.ndarray]) -> List[np.ndarray]:
+    """Per-participant [n_i, 1, Da] audio + [n_i, Dt] text response features
+    -> [n_i, 1, Da+Dt] multimodal blocks for :func:`train_daic` (set the
+    trainer's ``embedding_size`` to Da+Dt).  Completes the DAIC cross-corpus
+    multimodal path (the reference extracts audio only)."""
+    out = []
+    for a, t in zip(audio_features, text_features):
+        a2 = a[:, 0, :] if a.ndim == 3 else a
+        n = min(len(a2), len(t))
+        out.append(np.concatenate([a2[:n], t[:n]], axis=-1)[:, None, :]
+                   .astype(np.float32))
+    return out
+
+
 def train_daic(train_features: List[np.ndarray], train_labels,
                test_features: List[np.ndarray], test_labels,
                tcfg: C.TrainerConfig = DAIC_CLF,
