@@ -130,14 +130,20 @@ def _pallas_fits(p, x, cell: str) -> bool:
 
 def _run_direction(p, x, cell: str, reverse: bool, backend: str = "xla"):
     backend = resolve_backend(backend)
-    if backend == "pallas" and _pallas_fits(p, x, cell):
+    if backend == "pallas":
         from icassp2022_depression_tpu.ops import rnn_pallas
 
+        if _pallas_fits(p, x, cell):
+            if cell == "gru":
+                ys, h_last = rnn_pallas.gru_layer(p, x, reverse=reverse)
+                return ys, h_last, None
+            ys, h_last, c_last = rnn_pallas.lstm_layer(p, x, reverse=reverse)
+            return ys, h_last, c_last
         if cell == "gru":
-            ys, h_last = rnn_pallas.gru_layer(p, x, reverse=reverse)
+            # long sequence: grid-over-time streaming kernel (chunked DMA)
+            ys, h_last = rnn_pallas.gru_layer_streamed(p, x, reverse=reverse)
             return ys, h_last, None
-        ys, h_last, c_last = rnn_pallas.lstm_layer(p, x, reverse=reverse)
-        return ys, h_last, c_last
+        # long-sequence LSTM: fall through to the scan path
     b, _, _ = x.shape
     hidden = p["w_hh"].shape[1]
     h0 = jnp.zeros((b, hidden), x.dtype)

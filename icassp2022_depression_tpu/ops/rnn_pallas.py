@@ -167,6 +167,208 @@ gru_sequence.defvjp(_fwd_rule, _bwd_rule)
 
 
 # ---------------------------------------------------------------------------
+# Streaming GRU: grid over time chunks (long sequences that exceed VMEM)
+# ---------------------------------------------------------------------------
+#
+# The single-block kernels above keep the whole sequence resident in VMEM.
+# For long sequences (ELMo-scale token batches) the sequence is processed in
+# time chunks instead: the grid iterates chunks IN ORDER (TPU grids are
+# sequential), the hidden state persists in VMEM scratch across grid steps,
+# and Pallas's block pipeline double-buffers the per-chunk xp/ys (dys/dxp)
+# DMA against compute.  The backward kernel walks chunks in reverse via the
+# BlockSpec index maps and accumulates dW_hh/db_hh into VMEM-resident
+# outputs (constant index map -> the block stays on chip for the whole
+# grid).
+
+
+def _gru_stream_fwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_ref, h_scratch):
+    hidden = whh_t_ref.shape[0]
+    chunk = xp_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_scratch[...] = jnp.zeros_like(h_scratch)
+
+    def step(t, _):
+        h = h_scratch[...]
+        hp = jnp.dot(h, whh_t_ref[...],
+                     preferred_element_type=jnp.float32) + bhh_ref[...]
+        xp_t = xp_ref[t]
+        r = jax.nn.sigmoid(xp_t[:, :hidden] + hp[:, :hidden])
+        z = jax.nn.sigmoid(xp_t[:, hidden:2 * hidden] +
+                           hp[:, hidden:2 * hidden])
+        n = jnp.tanh(xp_t[:, 2 * hidden:] + r * hp[:, 2 * hidden:])
+        h_new = (1.0 - z) * n + z * h
+        h_scratch[...] = h_new
+        ys_ref[t] = h_new
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0)
+
+
+def _gru_stream_bwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_ref, ys_prev_ref,
+                           dys_ref, dxp_ref, dwhh_ref, dbhh_ref, dh_scratch):
+    """One reverse-time chunk.  ``ys_prev_ref`` is the chunk shifted one
+    step earlier in time (h_{t-1} for the chunk's first step comes from the
+    previous chunk's last state; global step 0 uses zeros via masking)."""
+    hidden = whh_t_ref.shape[0]
+    chunk = xp_ref.shape[0]
+    n_chunks = pl.num_programs(0)
+    chunk_idx = n_chunks - 1 - pl.program_id(0)   # time order index
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dh_scratch[...] = jnp.zeros_like(dh_scratch)
+        dwhh_ref[...] = jnp.zeros_like(dwhh_ref)
+        dbhh_ref[...] = jnp.zeros_like(dbhh_ref)
+
+    def step(k, _):
+        t = chunk - 1 - k
+        global_first = (chunk_idx == 0) & (t == 0)
+        h_prev = jnp.where(global_first, 0.0, 1.0) * ys_prev_ref[t]
+        hp = jnp.dot(h_prev, whh_t_ref[...],
+                     preferred_element_type=jnp.float32) + bhh_ref[...]
+        xp_t = xp_ref[t]
+        r = jax.nn.sigmoid(xp_t[:, :hidden] + hp[:, :hidden])
+        z = jax.nn.sigmoid(xp_t[:, hidden:2 * hidden] +
+                           hp[:, hidden:2 * hidden])
+        hn = hp[:, 2 * hidden:]
+        n = jnp.tanh(xp_t[:, 2 * hidden:] + r * hn)
+
+        dh = dys_ref[t] + dh_scratch[...]
+        dz = dh * (h_prev - n)
+        ds_n = dh * (1.0 - z) * (1.0 - n * n)
+        dr = ds_n * hn
+        dhn = ds_n * r
+        ds_r = dr * r * (1.0 - r)
+        ds_z = dz * z * (1.0 - z)
+        dgates_h = jnp.concatenate([ds_r, ds_z, dhn], axis=1)
+        dxp_ref[t] = jnp.concatenate([ds_r, ds_z, ds_n], axis=1)
+        dh_scratch[...] = dh * z + jnp.dot(
+            dgates_h, whh_t_ref[...].T, preferred_element_type=jnp.float32)
+        dwhh_ref[...] += jnp.dot(h_prev.T, dgates_h,
+                                 preferred_element_type=jnp.float32)
+        dbhh_ref[...] += jnp.sum(dgates_h, axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0)
+
+
+def _stream_chunk(t_steps: int, b: int, g: int) -> int:
+    """Largest power-of-two chunk whose backward working set fits the same
+    12 MB budget used by the single-block guard."""
+    budget = 12 * 1024 * 1024
+    per_step = (2 * b * g + 3 * b * (g // 3)) * 4   # xp+dxp + ys,ys_prev,dys
+    chunk = 8
+    while chunk * 2 <= t_steps and (chunk * 2) * per_step <= budget:
+        chunk *= 2
+    return chunk
+
+
+def _gru_stream_fwd(xp, w_hh_t, b_hh, chunk):
+    t_steps, b, g = xp.shape
+    hidden = g // 3
+    n_chunks = t_steps // chunk
+    return pl.pallas_call(
+        _gru_stream_fwd_kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((chunk, b, g), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, b, hidden), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_steps, b, hidden), xp.dtype),
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=_interpret(),
+    )(xp, w_hh_t, b_hh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gru_sequence_streamed(xp, w_hh_t, b_hh, chunk: int):
+    """Streaming variant of :func:`gru_sequence` for sequences whose fused
+    working set exceeds VMEM.  ``t_steps`` must be a multiple of ``chunk``
+    (wrappers pad; trailing zero-padded steps are safe — see
+    :func:`gru_layer_streamed`)."""
+    return _gru_stream_fwd(xp, w_hh_t, b_hh, chunk)
+
+
+def _stream_fwd_rule(xp, w_hh_t, b_hh, chunk):
+    ys = _gru_stream_fwd(xp, w_hh_t, b_hh, chunk)
+    return ys, (xp, w_hh_t, b_hh, ys)
+
+
+def _stream_bwd_rule(chunk, residuals, dys):
+    xp, w_hh_t, b_hh, ys = residuals
+    t_steps, b, g = xp.shape
+    hidden = g // 3
+    n_chunks = t_steps // chunk
+    # h_{t-1} stream: ys shifted right by one step (zeros at t=0 handled by
+    # the global_first mask in-kernel)
+    ys_prev = jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
+    rev = lambda i: (n_chunks - 1 - i, 0, 0)   # reverse-time block order
+    dxp, dwhh, dbhh = pl.pallas_call(
+        _gru_stream_bwd_kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((chunk, b, g), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, hidden), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((chunk, b, g), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((t_steps, b, g), xp.dtype),
+                   jax.ShapeDtypeStruct((hidden, g), w_hh_t.dtype),
+                   jax.ShapeDtypeStruct((1, g), b_hh.dtype)),
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=_interpret(),
+    )(xp, w_hh_t, b_hh, ys, ys_prev, dys)
+    return dxp, dwhh, dbhh
+
+
+gru_sequence_streamed.defvjp(_stream_fwd_rule, _stream_bwd_rule)
+
+
+def gru_layer_streamed(p: dict, x: jnp.ndarray, reverse: bool = False,
+                       chunk: int | None = None):
+    """GRU layer via the streaming kernel (torch param layout).  The time
+    axis is zero-padded to a chunk multiple; padded trailing steps are
+    discarded from the outputs and contribute zero gradient (dys there is
+    zero and the reverse dh carry starts at zero)."""
+    if reverse:
+        x = jnp.flip(x, axis=1)
+    b, t_steps, _ = x.shape
+    xp = jnp.einsum("btd,gd->btg", x, p["w_ih"],
+                    preferred_element_type=None) + p["b_ih"]
+    xp = jnp.swapaxes(xp, 0, 1)
+    g = xp.shape[-1]
+    if chunk is None:
+        chunk = _stream_chunk(t_steps, b, g)
+    pad = (-t_steps) % chunk
+    if pad:
+        xp = jnp.concatenate(
+            [xp, jnp.zeros((pad,) + xp.shape[1:], xp.dtype)], axis=0)
+    ys = gru_sequence_streamed(xp, p["w_hh"].T, p["b_hh"][None, :], chunk)
+    ys = ys[:t_steps]
+    h_last = ys[-1]
+    ys = jnp.swapaxes(ys, 0, 1)
+    if reverse:
+        ys = jnp.flip(ys, axis=1)
+    return ys, h_last
+
+
+# ---------------------------------------------------------------------------
 # LSTM (i,f,g,o gate order — torch nn.LSTM)
 # ---------------------------------------------------------------------------
 
