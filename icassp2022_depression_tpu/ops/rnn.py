@@ -139,11 +139,13 @@ def _run_direction(p, x, cell: str, reverse: bool, backend: str = "xla"):
                 return ys, h_last, None
             ys, h_last, c_last = rnn_pallas.lstm_layer(p, x, reverse=reverse)
             return ys, h_last, c_last
+        # long sequence: grid-over-time streaming kernels (chunked DMA)
         if cell == "gru":
-            # long sequence: grid-over-time streaming kernel (chunked DMA)
             ys, h_last = rnn_pallas.gru_layer_streamed(p, x, reverse=reverse)
             return ys, h_last, None
-        # long-sequence LSTM: fall through to the scan path
+        ys, h_last, c_last = rnn_pallas.lstm_layer_streamed(p, x,
+                                                            reverse=reverse)
+        return ys, h_last, c_last
     b, _, _ = x.shape
     hidden = p["w_hh"].shape[1]
     h0 = jnp.zeros((b, hidden), x.dtype)

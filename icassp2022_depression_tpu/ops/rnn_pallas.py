@@ -369,6 +369,197 @@ def gru_layer_streamed(p: dict, x: jnp.ndarray, reverse: bool = False,
 
 
 # ---------------------------------------------------------------------------
+# Streaming LSTM (same chunked-grid structure; carries (h, c))
+# ---------------------------------------------------------------------------
+
+
+def _lstm_stream_fwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_ref, cs_ref,
+                            h_scratch, c_scratch):
+    hidden = whh_t_ref.shape[0]
+    chunk = xp_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_scratch[...] = jnp.zeros_like(h_scratch)
+        c_scratch[...] = jnp.zeros_like(c_scratch)
+
+    def step(t, _):
+        h = h_scratch[...]
+        c = c_scratch[...]
+        gp = xp_ref[t] + jnp.dot(h, whh_t_ref[...],
+                                 preferred_element_type=jnp.float32) + \
+            bhh_ref[...]
+        i = jax.nn.sigmoid(gp[:, :hidden])
+        f = jax.nn.sigmoid(gp[:, hidden:2 * hidden])
+        g = jnp.tanh(gp[:, 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gp[:, 3 * hidden:])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        h_scratch[...] = h_new
+        c_scratch[...] = c_new
+        ys_ref[t] = h_new
+        cs_ref[t] = c_new
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0)
+
+
+def _lstm_stream_bwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_prev_ref,
+                            cs_ref, cs_prev_ref, dys_ref,
+                            dxp_ref, dwhh_ref, dbhh_ref,
+                            dh_scratch, dc_scratch):
+    hidden = whh_t_ref.shape[0]
+    chunk = xp_ref.shape[0]
+    n_chunks = pl.num_programs(0)
+    chunk_idx = n_chunks - 1 - pl.program_id(0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dh_scratch[...] = jnp.zeros_like(dh_scratch)
+        dc_scratch[...] = jnp.zeros_like(dc_scratch)
+        dwhh_ref[...] = jnp.zeros_like(dwhh_ref)
+        dbhh_ref[...] = jnp.zeros_like(dbhh_ref)
+
+    def step(k, _):
+        t = chunk - 1 - k
+        global_first = (chunk_idx == 0) & (t == 0)
+        not_first = jnp.where(global_first, 0.0, 1.0)
+        h_prev = not_first * ys_prev_ref[t]
+        c_prev = not_first * cs_prev_ref[t]
+        gp = xp_ref[t] + jnp.dot(h_prev, whh_t_ref[...],
+                                 preferred_element_type=jnp.float32) + \
+            bhh_ref[...]
+        i = jax.nn.sigmoid(gp[:, :hidden])
+        f = jax.nn.sigmoid(gp[:, hidden:2 * hidden])
+        g = jnp.tanh(gp[:, 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gp[:, 3 * hidden:])
+        c = cs_ref[t]
+        tanh_c = jnp.tanh(c)
+
+        dh = dys_ref[t] + dh_scratch[...]
+        ds_o = dh * tanh_c * o * (1.0 - o)
+        dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_scratch[...]
+        ds_i = dc * g * i * (1.0 - i)
+        ds_g = dc * i * (1.0 - g * g)
+        ds_f = dc * c_prev * f * (1.0 - f)
+        dgates = jnp.concatenate([ds_i, ds_f, ds_g, ds_o], axis=1)
+        dxp_ref[t] = dgates
+        dh_scratch[...] = jnp.dot(dgates, whh_t_ref[...].T,
+                                  preferred_element_type=jnp.float32)
+        dc_scratch[...] = dc * f
+        dwhh_ref[...] += jnp.dot(h_prev.T, dgates,
+                                 preferred_element_type=jnp.float32)
+        dbhh_ref[...] += jnp.sum(dgates, axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0)
+
+
+def _lstm_stream_fwd(xp, w_hh_t, b_hh, chunk):
+    t_steps, b, g = xp.shape
+    hidden = g // 4
+    n_chunks = t_steps // chunk
+    return pl.pallas_call(
+        _lstm_stream_fwd_kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((chunk, b, g), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((chunk, b, hidden), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((chunk, b, hidden), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((t_steps, b, hidden), xp.dtype),
+                   jax.ShapeDtypeStruct((t_steps, b, hidden), xp.dtype)),
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
+                        pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=_interpret(),
+    )(xp, w_hh_t, b_hh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def lstm_sequence_streamed(xp, w_hh_t, b_hh, chunk: int):
+    """Streaming LSTM: (ys, cs) like :func:`lstm_sequence`, chunked grid."""
+    return _lstm_stream_fwd(xp, w_hh_t, b_hh, chunk)
+
+
+def _lstm_stream_fwd_rule(xp, w_hh_t, b_hh, chunk):
+    ys, cs = _lstm_stream_fwd(xp, w_hh_t, b_hh, chunk)
+    return (ys, cs), (xp, w_hh_t, b_hh, ys, cs)
+
+
+def _lstm_stream_bwd_rule(chunk, residuals, grads):
+    xp, w_hh_t, b_hh, ys, cs = residuals
+    dys, _dcs = grads   # cell-state cotangents unused by our models
+    t_steps, b, g = xp.shape
+    hidden = g // 4
+    n_chunks = t_steps // chunk
+    ys_prev = jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
+    cs_prev = jnp.concatenate([jnp.zeros_like(cs[:1]), cs[:-1]], axis=0)
+    rev = lambda i: (n_chunks - 1 - i, 0, 0)
+    dxp, dwhh, dbhh = pl.pallas_call(
+        _lstm_stream_bwd_kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((chunk, b, g), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, hidden), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((chunk, b, g), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((t_steps, b, g), xp.dtype),
+                   jax.ShapeDtypeStruct((hidden, g), w_hh_t.dtype),
+                   jax.ShapeDtypeStruct((1, g), b_hh.dtype)),
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
+                        pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=_interpret(),
+    )(xp, w_hh_t, b_hh, ys_prev, cs, cs_prev, dys)
+    return dxp, dwhh, dbhh
+
+
+lstm_sequence_streamed.defvjp(_lstm_stream_fwd_rule, _lstm_stream_bwd_rule)
+
+
+def lstm_layer_streamed(p: dict, x: jnp.ndarray, reverse: bool = False,
+                        chunk: int | None = None):
+    """LSTM layer via the streaming kernel (torch param layout)."""
+    if reverse:
+        x = jnp.flip(x, axis=1)
+    b, t_steps, _ = x.shape
+    xp = jnp.einsum("btd,gd->btg", x, p["w_ih"],
+                    preferred_element_type=None) + p["b_ih"]
+    xp = jnp.swapaxes(xp, 0, 1)
+    g = xp.shape[-1]
+    if chunk is None:
+        chunk = _stream_chunk(t_steps, b, g)
+    pad = (-t_steps) % chunk
+    if pad:
+        xp = jnp.concatenate(
+            [xp, jnp.zeros((pad,) + xp.shape[1:], xp.dtype)], axis=0)
+    ys, cs = lstm_sequence_streamed(xp, p["w_hh"].T, p["b_hh"][None, :],
+                                    chunk)
+    ys, cs = ys[:t_steps], cs[:t_steps]
+    h_last, c_last = ys[-1], cs[-1]
+    ys = jnp.swapaxes(ys, 0, 1)
+    if reverse:
+        ys = jnp.flip(ys, axis=1)
+    return ys, h_last, c_last
+
+
+# ---------------------------------------------------------------------------
 # LSTM (i,f,g,o gate order — torch nn.LSTM)
 # ---------------------------------------------------------------------------
 

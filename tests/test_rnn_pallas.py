@@ -140,6 +140,45 @@ def test_streamed_gru_gradients_match_scan():
     np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), atol=1e-4)
 
 
+def test_streamed_lstm_matches_scan():
+    p = rnn.init_params(jax.random.PRNGKey(30), "lstm", 16, 8, 1, False)[0]["fwd"]
+    x = jax.random.normal(jax.random.PRNGKey(31), (4, 37, 16))
+    ys_scan, h_scan, c_scan = rnn._run_direction(p, x, "lstm", False)
+    ys_st, h_st, c_st = rnn_pallas.lstm_layer_streamed(p, x, chunk=8)
+    np.testing.assert_allclose(np.asarray(ys_st), np.asarray(ys_scan),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_st), np.asarray(h_scan),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_st), np.asarray(c_scan),
+                               atol=1e-5)
+    ys_r, _, _ = rnn_pallas.lstm_layer_streamed(p, x, reverse=True, chunk=8)
+    ys_rs, _, _ = rnn._run_direction(p, x, "lstm", True)
+    np.testing.assert_allclose(np.asarray(ys_r), np.asarray(ys_rs),
+                               atol=1e-5)
+
+
+def test_streamed_lstm_gradients_match_scan():
+    p = rnn.init_params(jax.random.PRNGKey(32), "lstm", 16, 8, 1, False)[0]["fwd"]
+    x = jax.random.normal(jax.random.PRNGKey(33), (4, 37, 16))
+
+    def loss_scan(p, x):
+        ys, _, _ = rnn._run_direction(p, x, "lstm", False)
+        return jnp.sum(jnp.sin(ys))
+
+    def loss_st(p, x):
+        ys, _, _ = rnn_pallas.lstm_layer_streamed(p, x, chunk=8)
+        return jnp.sum(jnp.sin(ys))
+
+    g1 = jax.grad(loss_scan)(p, x)
+    g2 = jax.grad(loss_st)(p, x)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
+                                   atol=5e-4, err_msg=k)
+    gx1 = jax.grad(loss_scan, argnums=1)(p, x)
+    gx2 = jax.grad(loss_st, argnums=1)(p, x)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), atol=1e-4)
+
+
 def test_pallas_backend_in_rnn_api():
     params = rnn.init_params(jax.random.PRNGKey(6), "gru", 16, 8, 2, False)
     x = jax.random.normal(jax.random.PRNGKey(7), (4, 3, 16))
