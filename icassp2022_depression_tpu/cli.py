@@ -76,6 +76,14 @@ def _load_clf_inputs(root: Path):
     return xa, ya, xt, yt
 
 
+def _require_features(path: Path, kind: str):
+    if not path.exists():
+        raise SystemExit(
+            f"{kind} features not found under {path} — run "
+            f"`extract-{kind}` (or point --root at a directory with "
+            "Features/AudioWhole and Features/TextWhole)")
+
+
 def _train_folds(root: Path, targets, seed: int, idx_files=None):
     from icassp2022_depression_tpu.data import folds
 
@@ -102,6 +110,9 @@ def cmd_train(args):
     if args.resume_dir:
         resume_kw = {"resume_dir": Path(args.resume_dir),
                      "chunk_epochs": args.chunk_epochs}
+    _require_features(audio_dir if args.task.startswith("audio")
+                      else text_dir,
+                      "audio" if args.task.startswith("audio") else "text")
     if args.task in ("audio_clf", "text_clf"):
         if args.task == "audio_clf":
             x, y = afe.load_features(audio_dir, "clf")
@@ -169,6 +180,8 @@ def cmd_pipeline(args):
         return C.replace(tcfg, optimizer=C.replace(tcfg.optimizer,
                                                    learning_rate=args.lr))
 
+    _require_features(audio_dir, "audio")
+    _require_features(text_dir, "text")
     if args.track == "clf":
         xa, ya = afe.load_features(audio_dir, "clf")
         xt, yt = tfe.load_features(text_dir, "clf")
