@@ -224,10 +224,24 @@ def extract_eatd(root: Path, cfg: FrontendConfig = FrontendConfig(),
         np.savez(out_dir / f"whole_samples_clf_{dim}.npz", features)
         np.savez(out_dir / f"whole_labels_clf_{dim}.npz", clf_targets)
         import json
-        (out_dir / "manifest.json").write_text(json.dumps(
+
+        # durations were only measured for non-cached speakers; merge with
+        # the previous manifest so incremental reruns keep corpus-wide stats
+        prev = {}
+        manifest_path = out_dir / "manifest.json"
+        if incremental and manifest_path.exists():
+            try:
+                prev = json.loads(manifest_path.read_text())
+            except ValueError:
+                prev = {}
+        if prev.get("min_len_s") is not None:
+            min_len = min(min_len, prev["min_len_s"])
+        if prev.get("max_len_s") is not None:
+            max_len = max(max_len, prev["max_len_s"])
+        manifest_path.write_text(json.dumps(
             {"speakers": manifest,
-             # None (not bare Infinity, which is invalid JSON) when every
-             # speaker came from the incremental cache
+             # None (not bare Infinity, which is invalid JSON) when no
+             # duration has ever been measured
              "min_len_s": min_len if np.isfinite(min_len) else None,
              "max_len_s": max_len if max_len > 0 else None}, indent=2))
     return features, sds_targets, clf_targets, manifest

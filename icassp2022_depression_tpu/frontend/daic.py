@@ -155,18 +155,44 @@ def extract_split(daic_dir: Path, split_csv: Path, queries_path: Path,
     return features, clabels, rlabels
 
 
-def extract_participant_text(daic_dir: Path, number: int,
-                             queries: Sequence[str], elmo_params,
-                             elmo_cfg) -> np.ndarray:
-    """One participant's per-response transcripts -> [n_responses, D] text
-    embeddings (the DAIC text modality the reference drops)."""
+def extract_participant_multimodal(daic_dir: Path, number: int,
+                                   queries: Sequence[str], elmo_params,
+                                   elmo_cfg,
+                                   cfg: FrontendConfig = FrontendConfig(),
+                                   start_ordinal: int = 0):
+    """One participant, ONE session decode -> ([n, 1, Da] audio features,
+    [n, Dt] text embeddings).  Reads the (large) session wav and transcript
+    once for both modalities."""
+    from icassp2022_depression_tpu.frontend import audio as audio_frontend_
     from icassp2022_depression_tpu.frontend import text as text_fe
 
     base = Path(daic_dir) / f"{number}_P"
     transcript = read_transcript(base / f"{number}_TRANSCRIPT.csv")
-    from icassp2022_depression_tpu.data.eatd import read_wav as _read_wav
+    wave_data, sr = read_wav(base / f"{number}_AUDIO.wav")
+    signals, texts = segment_responses(transcript, wave_data, sr, queries,
+                                       with_text=True)
+    if not signals:
+        return (np.zeros((0, 1, cfg.netvlad_output_dim), np.float32),
+                np.zeros((0, elmo_cfg.output_dim), np.float32))
+    audio_feats = audio_frontend_.extract_batch(
+        signals, [sr] * len(signals), cfg, start_ordinal=start_ordinal)
+    sentences = [text_fe.tokenize(t) for t in texts]
+    text_feats = text_fe.embed_sentences(elmo_params, sentences, elmo_cfg)
+    return audio_feats[:, None, :], text_feats
 
-    wave_data, sr = _read_wav(base / f"{number}_AUDIO.wav")
+
+def extract_participant_text(daic_dir: Path, number: int,
+                             queries: Sequence[str], elmo_params,
+                             elmo_cfg) -> np.ndarray:
+    """One participant's per-response transcripts -> [n_responses, D] text
+    embeddings (the DAIC text modality the reference drops).  Prefer
+    :func:`extract_participant_multimodal` when audio features are also
+    needed (single session decode for both)."""
+    from icassp2022_depression_tpu.frontend import text as text_fe
+
+    base = Path(daic_dir) / f"{number}_P"
+    transcript = read_transcript(base / f"{number}_TRANSCRIPT.csv")
+    wave_data, sr = read_wav(base / f"{number}_AUDIO.wav")
     _, texts = segment_responses(transcript, wave_data, sr, queries,
                                  with_text=True)
     if not texts:

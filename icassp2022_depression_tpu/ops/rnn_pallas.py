@@ -206,7 +206,7 @@ def _gru_stream_fwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_ref, h_scratch):
     jax.lax.fori_loop(0, chunk, step, 0)
 
 
-def _gru_stream_bwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_ref, ys_prev_ref,
+def _gru_stream_bwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_prev_ref,
                            dys_ref, dxp_ref, dwhh_ref, dbhh_ref, dh_scratch):
     """One reverse-time chunk.  ``ys_prev_ref`` is the chunk shifted one
     step earlier in time (h_{t-1} for the chunk's first step comes from the
@@ -320,7 +320,6 @@ def _stream_bwd_rule(chunk, residuals, dys):
             pl.BlockSpec((1, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, hidden), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, hidden), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, b, hidden), rev, memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((chunk, b, g), rev, memory_space=pltpu.VMEM),
@@ -333,7 +332,7 @@ def _stream_bwd_rule(chunk, residuals, dys):
                    jax.ShapeDtypeStruct((1, g), b_hh.dtype)),
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
         interpret=_interpret(),
-    )(xp, w_hh_t, b_hh, ys, ys_prev, dys)
+    )(xp, w_hh_t, b_hh, ys_prev, dys)
     return dxp, dwhh, dbhh
 
 
@@ -350,7 +349,7 @@ def gru_layer_streamed(p: dict, x: jnp.ndarray, reverse: bool = False,
         x = jnp.flip(x, axis=1)
     b, t_steps, _ = x.shape
     xp = jnp.einsum("btd,gd->btg", x, p["w_ih"],
-                    preferred_element_type=None) + p["b_ih"]
+                    preferred_element_type=jnp.float32) + p["b_ih"]
     xp = jnp.swapaxes(xp, 0, 1)
     g = xp.shape[-1]
     if chunk is None:
@@ -405,7 +404,7 @@ def _lstm_stream_fwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_ref, cs_ref,
 
 
 def _lstm_stream_bwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_prev_ref,
-                            cs_ref, cs_prev_ref, dys_ref,
+                            cs_ref, cs_prev_ref, dys_ref, dcs_ref,
                             dxp_ref, dwhh_ref, dbhh_ref,
                             dh_scratch, dc_scratch):
     hidden = whh_t_ref.shape[0]
@@ -438,7 +437,7 @@ def _lstm_stream_bwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_prev_ref,
 
         dh = dys_ref[t] + dh_scratch[...]
         ds_o = dh * tanh_c * o * (1.0 - o)
-        dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_scratch[...]
+        dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_scratch[...] + dcs_ref[t]
         ds_i = dc * g * i * (1.0 - i)
         ds_g = dc * i * (1.0 - g * g)
         ds_f = dc * c_prev * f * (1.0 - f)
@@ -494,7 +493,7 @@ def _lstm_stream_fwd_rule(xp, w_hh_t, b_hh, chunk):
 
 def _lstm_stream_bwd_rule(chunk, residuals, grads):
     xp, w_hh_t, b_hh, ys, cs = residuals
-    dys, _dcs = grads   # cell-state cotangents unused by our models
+    dys, dcs = grads
     t_steps, b, g = xp.shape
     hidden = g // 4
     n_chunks = t_steps // chunk
@@ -513,6 +512,7 @@ def _lstm_stream_bwd_rule(chunk, residuals, grads):
             pl.BlockSpec((chunk, b, hidden), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, hidden), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, hidden), rev, memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((chunk, b, g), rev, memory_space=pltpu.VMEM),
@@ -526,7 +526,7 @@ def _lstm_stream_bwd_rule(chunk, residuals, grads):
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
                         pltpu.VMEM((b, hidden), jnp.float32)],
         interpret=_interpret(),
-    )(xp, w_hh_t, b_hh, ys_prev, cs, cs_prev, dys)
+    )(xp, w_hh_t, b_hh, ys_prev, cs, cs_prev, dys, dcs)
     return dxp, dwhh, dbhh
 
 
@@ -540,7 +540,7 @@ def lstm_layer_streamed(p: dict, x: jnp.ndarray, reverse: bool = False,
         x = jnp.flip(x, axis=1)
     b, t_steps, _ = x.shape
     xp = jnp.einsum("btd,gd->btg", x, p["w_ih"],
-                    preferred_element_type=None) + p["b_ih"]
+                    preferred_element_type=jnp.float32) + p["b_ih"]
     xp = jnp.swapaxes(xp, 0, 1)
     g = xp.shape[-1]
     if chunk is None:
@@ -593,7 +593,8 @@ def _lstm_fwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_ref, cs_ref,
 
 
 def _lstm_bwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_ref, cs_ref, dys_ref,
-                     dxp_ref, dwhh_ref, dbhh_ref, dh_scratch, dc_scratch):
+                     dcs_ref, dxp_ref, dwhh_ref, dbhh_ref,
+                     dh_scratch, dc_scratch):
     t_steps = xp_ref.shape[0]
     hidden = whh_t_ref.shape[0]
     dh_scratch[...] = jnp.zeros_like(dh_scratch)
@@ -619,7 +620,7 @@ def _lstm_bwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_ref, cs_ref, dys_ref,
         dh = dys_ref[t] + dh_scratch[...]
         do = dh * tanh_c
         ds_o = do * o * (1.0 - o)
-        dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_scratch[...]
+        dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_scratch[...] + dcs_ref[t]
         di = dc * g
         ds_i = di * i * (1.0 - i)
         dg = dc * i
@@ -673,9 +674,6 @@ def _lstm_fwd_rule(xp, w_hh_t, b_hh):
 def _lstm_bwd_rule(residuals, grads):
     xp, w_hh_t, b_hh, ys, cs = residuals
     dys, dcs = grads
-    # gradient w.r.t. the cell-state output is not propagated (the models
-    # only consume h); assert-by-construction: dcs is zeros whenever cs is
-    # unused downstream, which holds for every model in this framework.
     t_steps, b, g = xp.shape
     hidden = g // 4
     dxp, dwhh, dbhh = pl.pallas_call(
@@ -683,14 +681,14 @@ def _lstm_bwd_rule(residuals, grads):
         out_shape=(jax.ShapeDtypeStruct((t_steps, b, g), xp.dtype),
                    jax.ShapeDtypeStruct((hidden, g), w_hh_t.dtype),
                    jax.ShapeDtypeStruct((1, g), b_hh.dtype)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
                         pltpu.VMEM((b, hidden), jnp.float32)],
         interpret=_interpret(),
-    )(xp, w_hh_t, b_hh, ys, cs, dys)
+    )(xp, w_hh_t, b_hh, ys, cs, dys, dcs)
     return dxp, dwhh, dbhh
 
 

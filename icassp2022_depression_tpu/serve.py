@@ -59,7 +59,11 @@ class Predictor:
         self.frontend_cfg = frontend_cfg
         self.elmo_cfg = elmo_cfg
         if elmo_params is None and not task.startswith("audio"):
-            elmo_params = elmo.init(jax.random.PRNGKey(seed), elmo_cfg)
+            if isinstance(elmo_cfg, elmo.ElmoLstmpConfig):
+                elmo_params = elmo.init_lstmp_encoder(
+                    jax.random.PRNGKey(seed), elmo_cfg)
+            else:
+                elmo_params = elmo.init(jax.random.PRNGKey(seed), elmo_cfg)
         self.elmo_params = elmo_params
 
         module, mcfg = _model_for(task)
@@ -85,8 +89,23 @@ class Predictor:
 
     @classmethod
     def from_torch_state_dict(cls, sd, task: str, **kw):
-        """Serve a model trained by the reference (ported .pt state dict)."""
+        """Serve a model trained by the reference (ported .pt state dict).
+
+        For text/fusion tasks, reference-trained weights were fit on
+        *pretrained ELMoForManyLangs* features — pass matching
+        ``elmo_params`` (see ``models.elmo.from_elmoformanylangs``) or the
+        text features will come from a different (PRNG-initialised)
+        encoder and predictions will be meaningless.
+        """
+        import sys
+
         from icassp2022_depression_tpu.models import porting
+
+        if not task.startswith("audio") and "elmo_params" not in kw:
+            print("WARNING: serving a reference-trained text/fusion model "
+                  "without elmo_params — the default PRNG-initialised text "
+                  "encoder does NOT match the pretrained ELMo features the "
+                  "reference model was trained on", file=sys.stderr)
 
         module, mcfg = _model_for(task)
         if module is audio_net:
@@ -112,6 +131,10 @@ class Predictor:
         speaker's corpus ordinal base (3 x corpus position) per speaker in
         ``ordinal_bases`` (the ``cli predict`` path does this).
         """
+        if waveforms_per_speaker is None or sample_rates is None:
+            raise ValueError(
+                f"task {self.task!r} needs 3 waveforms (+ sample rates) per "
+                "speaker; got None")
         flat_w = [w for ws in waveforms_per_speaker for w in ws]
         flat_sr = [sr for srs in sample_rates for sr in srs]
         if ordinal_bases is None:

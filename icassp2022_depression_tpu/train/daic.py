@@ -84,10 +84,13 @@ def concat_multimodal(audio_features: List[np.ndarray],
     trainer's ``embedding_size`` to Da+Dt).  Completes the DAIC cross-corpus
     multimodal path (the reference extracts audio only)."""
     out = []
-    for a, t in zip(audio_features, text_features):
+    for idx, (a, t) in enumerate(zip(audio_features, text_features)):
         a2 = a[:, 0, :] if a.ndim == 3 else a
-        n = min(len(a2), len(t))
-        out.append(np.concatenate([a2[:n], t[:n]], axis=-1)[:, None, :]
+        assert len(a2) == len(t), (
+            f"participant {idx}: {len(a2)} audio vs {len(t)} text responses "
+            "— modalities come from different segmentations (re-extract "
+            "with extract_participant_multimodal)")
+        out.append(np.concatenate([a2, t], axis=-1)[:, None, :]
                    .astype(np.float32))
     return out
 

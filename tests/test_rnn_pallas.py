@@ -179,6 +179,32 @@ def test_streamed_lstm_gradients_match_scan():
     np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), atol=1e-4)
 
 
+def test_lstm_cell_state_cotangent_propagates():
+    """Gradients through the cell-state outputs (c_last / cs) must flow —
+    both fused and streamed LSTM VJPs."""
+    p = rnn.init_params(jax.random.PRNGKey(40), "lstm", 8, 8, 1, False)[0]["fwd"]
+    x = jax.random.normal(jax.random.PRNGKey(41), (2, 9, 8))
+
+    def loss_scan(p):
+        _, _, c_last = rnn._run_direction(p, x, "lstm", False)
+        return jnp.sum(c_last ** 2)
+
+    def loss_fused(p):
+        _, _, c_last = rnn_pallas.lstm_layer(p, x)
+        return jnp.sum(c_last ** 2)
+
+    def loss_streamed(p):
+        _, _, c_last = rnn_pallas.lstm_layer_streamed(p, x, chunk=8)
+        return jnp.sum(c_last ** 2)
+
+    g_ref = jax.grad(loss_scan)(p)
+    for name, fn in (("fused", loss_fused), ("streamed", loss_streamed)):
+        g = jax.grad(fn)(p)
+        for k in g_ref:
+            np.testing.assert_allclose(np.asarray(g[k]), np.asarray(g_ref[k]),
+                                       atol=5e-4, err_msg=f"{name}/{k}")
+
+
 def test_pallas_backend_in_rnn_api():
     params = rnn.init_params(jax.random.PRNGKey(6), "gru", 16, 8, 2, False)
     x = jax.random.normal(jax.random.PRNGKey(7), (4, 3, 16))
