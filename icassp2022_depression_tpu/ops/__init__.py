@@ -5,4 +5,5 @@ from icassp2022_depression_tpu.ops import (  # noqa: F401
     netvlad,
     nn,
     rnn,
+    rnn_pallas,
 )
