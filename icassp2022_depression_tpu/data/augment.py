@@ -110,10 +110,12 @@ def augment_classification_fold(feature_arrays, targets, train_idxs_tmp,
     order (the reference's ``list(set(...) - set(...))`` — CPython int-set
     iteration is ascending for these index magnitudes).
     """
-    all_idxs = sorted(set(int(i) for i in np.asarray(dep_idxs).ravel()) |
-                      set(int(i) for i in np.asarray(non_idxs).ravel()))
-    train_set = set(int(i) for i in np.asarray(train_idxs_tmp).ravel())
-    test_idxs_tmp = [i for i in all_idxs if i not in train_set]
+    from icassp2022_depression_tpu.data.folds import ascending_complement
+
+    universe = (list(np.asarray(dep_idxs).ravel()) +
+                list(np.asarray(non_idxs).ravel()))
+    test_idxs_tmp = ascending_complement(universe,
+                                         np.asarray(train_idxs_tmp).ravel())
     train = augment_split(feature_arrays, targets, list(train_idxs_tmp),
                           dep_idxs, train_perm_ids, dep_target_value=1)
     test = augment_split(feature_arrays, targets, test_idxs_tmp,

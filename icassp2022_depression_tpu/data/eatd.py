@@ -147,7 +147,12 @@ def load_speakers(root: Path, splits=("Data", "ValidationData"),
             if (d / "positive_out.wav").exists():
                 dirs.append((split, number, d))
     paths = [d / f"{topic}_out.wav" for _, _, d in dirs for topic in TOPICS]
-    decoded = native.read_wav_batch(paths)
+    try:
+        decoded = native.read_wav_batch(paths)
+    except IOError:
+        # e.g. a non-mono/odd-format wav the native decoder rejects —
+        # fall back to the stdlib path for the whole corpus
+        return list(iter_speakers(root, splits, max_id, read_text))
     speakers = []
     for i, (split, number, d) in enumerate(dirs):
         waveforms = [decoded[i * 3 + j][0].astype(np.float64)

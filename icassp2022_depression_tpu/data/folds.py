@@ -84,8 +84,16 @@ def reg_fold_split(dep_idxs: np.ndarray, non_idxs: np.ndarray, fold: int,
     return train_dep, train_non, test_dep_idxs, test_non_idxs
 
 
+def ascending_complement(universe, exclude) -> list:
+    """Sorted members of ``universe`` not in ``exclude`` — THE complement
+    ordering for every fold recipe (the documented deterministic stand-in
+    for the reference's CPython set-difference ordering)."""
+    excl = set(int(i) for i in np.asarray(list(exclude)).ravel())
+    return [i for i in sorted(set(int(i) for i in universe))
+            if i not in excl]
+
+
 def clf_test_complement(train_idxs: Sequence[int], n_total: int) -> np.ndarray:
     """Ascending complement — the classification fold's test speakers."""
-    train_set = set(int(i) for i in np.asarray(train_idxs).ravel())
-    return np.array([i for i in range(n_total) if i not in train_set],
+    return np.array(ascending_complement(range(n_total), train_idxs),
                     dtype=np.int64)

@@ -34,17 +34,18 @@ def _clf_fold_eval(pred_probs: np.ndarray, y: np.ndarray) -> dict:
     return m
 
 
-def _mean(results: List[dict], keys: Sequence[str]) -> dict:
-    return {k: float(np.mean([r[k] for r in results])) for k in keys}
+_mean = metrics.fold_mean
 
 
 def check_branch_clf(model_module, mcfg: C.RNNConfig, features, targets,
                      train_folds_idx, ckpt_paths: Sequence[Path],
-                     batch_size: int = 4):
+                     fold_cfg: C.FoldConfig = C.FoldConfig()):
     """Audio/Text classification checking: per-fold + mean P/R/F1.
 
     ``ckpt_paths[fold]`` may be a path (loaded with the model's param
-    template) or an in-memory param pytree."""
+    template) or an in-memory param pytree.  Pass the same ``fold_cfg`` as
+    training so the recomputed test split (augmentation perm ids) matches
+    the trainer's."""
     dep = np.where(np.asarray(targets) == 1)[0]
     non = np.where(np.asarray(targets) == 0)[0]
     template = model_module.init(jax.random.PRNGKey(0), mcfg)
@@ -53,7 +54,9 @@ def check_branch_clf(model_module, mcfg: C.RNNConfig, features, targets,
     for fold, (tr_idx, ckpt) in enumerate(zip(train_folds_idx, ckpt_paths),
                                           start=1):
         _, (xte, yte) = augment.augment_classification_fold(
-            [features], targets, tr_idx, dep, non)
+            [features], targets, tr_idx, dep, non,
+            train_perm_ids=fold_cfg.train_perm_ids,
+            test_perm_ids=fold_cfg.test_perm_ids)
         params = ckpt if isinstance(ckpt, dict) else \
             checkpoints.load(ckpt, like=template)
         probs = np.asarray(apply_fn(params, jnp.asarray(xte[0])))
@@ -65,19 +68,22 @@ def check_branch_clf(model_module, mcfg: C.RNNConfig, features, targets,
 
 
 def check_audio_clf(features, targets, train_folds_idx, ckpt_paths,
-                    mcfg: C.RNNConfig = C.AUDIO_CLF.model):
+                    mcfg: C.RNNConfig = C.AUDIO_CLF.model,
+                    fold_cfg: C.FoldConfig = C.FoldConfig()):
     return check_branch_clf(audio_net, mcfg, features, targets,
-                            train_folds_idx, ckpt_paths)
+                            train_folds_idx, ckpt_paths, fold_cfg)
 
 
 def check_text_clf(features, targets, train_folds_idx, ckpt_paths,
-                   mcfg: C.RNNConfig = C.TEXT_CLF.model):
+                   mcfg: C.RNNConfig = C.TEXT_CLF.model,
+                   fold_cfg: C.FoldConfig = C.FoldConfig()):
     return check_branch_clf(text_net, mcfg, features, targets,
-                            train_folds_idx, ckpt_paths)
+                            train_folds_idx, ckpt_paths, fold_cfg)
 
 
 def check_fuse_clf(audio_features, text_features, targets, train_folds_idx,
-                   ckpt_paths, fcfg: C.FusionConfig = C.FUSE_CLF):
+                   ckpt_paths, fcfg: C.FusionConfig = C.FUSE_CLF,
+                   fold_cfg: C.FoldConfig = C.FoldConfig()):
     """Fusion checking (``FuseModelChecking.py:62-105``)."""
     dep = np.where(np.asarray(targets) == 1)[0]
     non = np.where(np.asarray(targets) == 0)[0]
@@ -92,7 +98,9 @@ def check_fuse_clf(audio_features, text_features, targets, train_folds_idx,
     for fold, (tr_idx, ckpt) in enumerate(zip(train_folds_idx, ckpt_paths),
                                           start=1):
         _, ((xa, xt), yte) = augment.augment_classification_fold(
-            [audio_features, text_features], targets, tr_idx, dep, non)
+            [audio_features, text_features], targets, tr_idx, dep, non,
+            train_perm_ids=fold_cfg.train_perm_ids,
+            test_perm_ids=fold_cfg.test_perm_ids)
         params = ckpt if isinstance(ckpt, dict) else \
             checkpoints.load(ckpt, like=template)
         probs = np.asarray(apply_fn(params, jnp.asarray(xa), jnp.asarray(xt)))

@@ -42,6 +42,20 @@ def windows_of_3(responses: np.ndarray) -> np.ndarray:
     return padded.reshape(n_win, 3, d).astype(np.float32)
 
 
+def _bucketed_apply(apply_fn, params, wins: np.ndarray) -> np.ndarray:
+    """Pad the window count to a power-of-two bucket: one compile per
+    bucket instead of one per distinct participant response count (compiles
+    are expensive through this environment's remote service)."""
+    n = len(wins)
+    bucket = 1
+    while bucket < n:
+        bucket *= 2
+    if bucket > n:
+        wins = np.concatenate(
+            [wins, np.zeros((bucket - n,) + wins.shape[1:], wins.dtype)])
+    return np.asarray(apply_fn(params, jnp.asarray(wins)))[:n]
+
+
 def evaluate_clf(params, features: Sequence[np.ndarray], labels,
                  mcfg: C.RNNConfig = C.AUDIO_CLF.model) -> dict:
     """EATD audio classifier on DAIC participants (soft-voted windows)."""
@@ -52,7 +66,7 @@ def evaluate_clf(params, features: Sequence[np.ndarray], labels,
         if len(wins) == 0:
             preds.append(0)
             continue
-        probs = np.asarray(apply_fn(params, jnp.asarray(wins)))
+        probs = _bucketed_apply(apply_fn, params, wins)
         preds.append(int(np.argmax(probs.mean(axis=0))))
     cm = metrics.standard_confusion_matrix(np.asarray(labels),
                                            np.asarray(preds))
@@ -76,7 +90,7 @@ def evaluate_reg(params, features: Sequence[np.ndarray], scores,
         if len(wins) == 0:
             preds.append(0.0)
             continue
-        out = np.asarray(apply_fn(params, jnp.asarray(wins)))
+        out = _bucketed_apply(apply_fn, params, wins)
         preds.append(float(out.mean()))
     preds = np.asarray(preds)
     scores = np.asarray(scores, np.float64)

@@ -67,6 +67,12 @@ def safe_classification_metrics(conf_matrix: np.ndarray) -> dict:
     return {k: (0.0 if not np.isfinite(v) else v) for k, v in m.items()}
 
 
+def fold_mean(results, keys) -> dict:
+    """Mean of per-fold metric dicts over ``keys`` (one definition shared
+    by the checking harness and the traditional baselines)."""
+    return {k: float(np.mean([r[k] for r in results])) for k in keys}
+
+
 def mean_absolute_error(y_true, y_pred) -> float:
     y_true = np.asarray(y_true, dtype=np.float64).ravel()
     y_pred = np.asarray(y_pred, dtype=np.float64).ravel()

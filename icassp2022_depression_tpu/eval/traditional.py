@@ -70,8 +70,8 @@ def classify(features: np.ndarray, targets: np.ndarray,
         m = metrics.safe_classification_metrics(cm)
         m["fold"] = fold
         results.append(m)
-    summary = {k: float(np.mean([r[k] for r in results]))
-               for k in ("precision", "recall", "f1", "accuracy")}
+    summary = metrics.fold_mean(results,
+                                ("precision", "recall", "f1", "accuracy"))
     return results, summary
 
 
@@ -97,6 +97,5 @@ def regress(features: np.ndarray, targets: np.ndarray,
             "mae": metrics.mean_absolute_error(targets[te], pred),
             "rmse": metrics.root_mean_squared_error(targets[te], pred),
         })
-    summary = {k: float(np.mean([r[k] for r in results]))
-               for k in ("mae", "rmse")}
+    summary = metrics.fold_mean(results, ("mae", "rmse"))
     return results, summary

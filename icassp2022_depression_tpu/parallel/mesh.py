@@ -53,16 +53,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _param_spec(path, leaf) -> P:
-    """Tensor-parallel placement for a param leaf: RNN/Linear weight
-    matrices are row-sharded (gate/output dim) over ``model``; biases and
-    LayerNorm params are sharded on their only dim when it is the gate dim,
-    otherwise replicated."""
+def _param_spec(path, leaf, model_size: int) -> P:
+    """Tensor-parallel placement for a param leaf: the RNN *gate* matrices
+    (w_ih/w_hh, [G*H, ...]) and their biases are row-sharded over ``model``
+    when divisible; everything else — including tiny head weights like
+    [num_classes, H], which are rarely divisible and not worth sharding —
+    is replicated."""
     names = [str(e.key) for e in path if isinstance(e, jax.tree_util.DictKey)]
     leafname = names[-1] if names else ""
-    if leafname in ("w_ih", "w_hh", "w") and leaf.ndim == 2:
+    if leafname in ("w_ih", "w_hh") and leaf.ndim == 2 and \
+            leaf.shape[0] % model_size == 0:
         return P("model", None)
-    if leafname in ("b_ih", "b_hh",) and leaf.ndim == 1:
+    if leafname in ("b_ih", "b_hh") and leaf.ndim == 1 and \
+            leaf.shape[0] % model_size == 0:
         return P("model")
     return P()
 
@@ -73,8 +76,10 @@ def param_shardings(mesh: Mesh, params):
     With ``model`` axis of size 1 this degenerates to replication, so the
     same annotations serve pure-DP and DP+TP meshes.
     """
+    model_size = mesh.shape.get("model", 1)
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _param_spec(path, leaf)),
+        lambda path, leaf: NamedSharding(
+            mesh, _param_spec(path, leaf, model_size)),
         params)
 
 

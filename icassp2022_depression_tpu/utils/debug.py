@@ -21,7 +21,7 @@ import numpy as np
 def nan_debug(enable: bool = True):
     """Enable ``jax_debug_nans`` for the enclosed region: any NaN produced
     by a jitted computation raises with a traceback to the culprit op."""
-    prev = jax.config.read("jax_debug_nans")
+    prev = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", enable)
     try:
         yield

@@ -39,7 +39,7 @@ class MetricsLogger:
 
     def log_fold(self, trainer: str, fold: int, logs: dict, best: dict):
         """Write the per-epoch arrays + best summary for one fold."""
-        n = len(next(iter(logs.values())))
+        n = len(next(iter(logs.values()))) if logs else 0
         for ep in range(n):
             self.log("epoch", trainer=trainer, fold=fold, epoch=ep + 1,
                      **{k: float(v[ep]) for k, v in logs.items()})

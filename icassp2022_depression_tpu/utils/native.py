@@ -52,23 +52,29 @@ def load() -> Optional[ctypes.CDLL]:
             if not _SRC.exists() or not _build():
                 _build_failed = True
                 return None
-        lib = ctypes.CDLL(str(_SO))
-        lib.wavio_read_info.argtypes = [ctypes.c_char_p,
-                                        ctypes.POINTER(ctypes.c_int32),
-                                        ctypes.POINTER(ctypes.c_int64)]
-        lib.wavio_read_info.restype = ctypes.c_int
-        lib.wavio_read.argtypes = [ctypes.c_char_p,
-                                   ctypes.POINTER(ctypes.c_float),
-                                   ctypes.c_int64,
-                                   ctypes.POINTER(ctypes.c_int32)]
-        lib.wavio_read.restype = ctypes.c_int
-        lib.wavio_read_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
-        lib.wavio_read_batch.restype = ctypes.c_int
+        try:
+            lib = ctypes.CDLL(str(_SO))
+            lib.wavio_read_info.argtypes = [ctypes.c_char_p,
+                                            ctypes.POINTER(ctypes.c_int32),
+                                            ctypes.POINTER(ctypes.c_int64)]
+            lib.wavio_read_info.restype = ctypes.c_int
+            lib.wavio_read.argtypes = [ctypes.c_char_p,
+                                       ctypes.POINTER(ctypes.c_float),
+                                       ctypes.c_int64,
+                                       ctypes.POINTER(ctypes.c_int32)]
+            lib.wavio_read.restype = ctypes.c_int
+            lib.wavio_read_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
+            lib.wavio_read_batch.restype = ctypes.c_int
+        except OSError:
+            # corrupt / wrong-arch cached .so: the native layer is an
+            # accelerator, never a requirement — fall back to stdlib
+            _build_failed = True
+            return None
         _lib = lib
         return _lib
 
@@ -109,15 +115,21 @@ def read_wav_batch(paths: Sequence, n_threads: int = 0
     if n_threads <= 0:
         n_threads = min(n, os.cpu_count() or 1)
 
-    infos = []
-    for p in paths:
+    def _info(p):
         sr = ctypes.c_int32(0)
         cnt = ctypes.c_int64(0)
+        # ctypes releases the GIL around the libc-bound header parse, so the
+        # sizing pass threads instead of serially fopen-ing every file twice
         rc = lib.wavio_read_info(str(p).encode(), ctypes.byref(sr),
                                  ctypes.byref(cnt))
         if rc != 0:
             raise IOError(f"wavio_read_info({p}) -> {rc}")
-        infos.append(cnt.value)
+        return cnt.value
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        infos = list(pool.map(_info, paths))
     bufs = [np.empty(c, np.float32) for c in infos]
 
     c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])

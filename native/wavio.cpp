@@ -87,7 +87,9 @@ int read_one(const char* path, float* out, int64_t capacity, int32_t* sr) {
     fclose(f);
     return rc;
   }
-  if (info.bits != 16 || info.channels < 1) {
+  // mono 16-bit PCM only: multi-channel semantics would diverge from the
+  // stdlib wave path (which keeps interleaved samples) — reject instead
+  if (info.bits != 16 || info.channels != 1) {
     fclose(f);
     return -6;
   }
@@ -130,7 +132,7 @@ int wavio_read_info(const char* path, int32_t* sr, int64_t* n_samples) {
   int rc = parse_header(f, &info);
   fclose(f);
   if (rc != 0) return rc;
-  if (info.bits != 16 || info.channels < 1) return -6;
+  if (info.bits != 16 || info.channels != 1) return -6;
   *sr = static_cast<int32_t>(info.sample_rate);
   *n_samples = info.data_size / (info.channels * (info.bits / 8));
   return 0;
