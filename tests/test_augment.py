@@ -88,6 +88,51 @@ def test_fusion_lockstep_permutation():
         np.testing.assert_array_equal(t_aug[row], text[0][list(perm)])
 
 
+def _reg_oracle(features, targets, train_dep_tmp, train_non, test_dep,
+                test_non, first_n=14):
+    """Replay of the reference regression fold loop
+    (audio_bilstm_perm.py:221-241 semantics) on copies."""
+    features = features.copy()
+    targets = targets.copy()
+    train_dep_idxs = []
+    for (i, idx) in enumerate(train_dep_tmp):
+        feat = features[idx]
+        if i < first_n:
+            for p in itertools.permutations(feat, feat.shape[0]):
+                features = np.vstack((features, np.expand_dims(list(p), 0)))
+                targets = np.hstack((targets, targets[idx]))
+                train_dep_idxs.append(len(features) - 1)
+        else:
+            train_dep_idxs.append(idx)
+    train_idxs = train_dep_idxs + list(train_non)
+    test_idxs = list(test_dep) + list(test_non)
+    return (features[train_idxs], targets[train_idxs],
+            features[test_idxs], targets[test_idxs])
+
+
+def test_regression_augmentation_matches_reference_algorithm():
+    rng = np.random.default_rng(4)
+    n, d = 30, 5
+    features = rng.standard_normal((n, 3, d)).astype(np.float32)
+    targets = rng.uniform(20, 80, n).astype(np.float32)
+    dep = np.where(targets >= 53)[0]
+    non = np.where(targets < 53)[0]
+    train_dep, test_dep = dep[:-3], dep[-3:]
+    train_non, test_non = non[:-5], non[-5:]
+    first_n = 4
+
+    xo_tr, yo_tr, xo_te, yo_te = _reg_oracle(
+        features, targets, list(train_dep), list(train_non),
+        list(test_dep), list(test_non), first_n)
+    (xs_tr, y_tr), (xs_te, y_te) = augment.augment_regression_fold(
+        [features], targets, train_dep, train_non, test_dep, test_non,
+        augment_first_n=first_n)
+    np.testing.assert_array_equal(xs_tr[0], xo_tr)
+    np.testing.assert_array_equal(y_tr, yo_tr)
+    np.testing.assert_array_equal(xs_te[0], xo_te)
+    np.testing.assert_array_equal(y_te, yo_te)
+
+
 def test_regression_augmentation_first_n_and_label_copy():
     rng = np.random.default_rng(2)
     n = 40

@@ -118,6 +118,39 @@ def test_sharded_fold_runner_matches_unsharded():
     assert float(best_1["f1"]) == pytest.approx(float(best_8["f1"]), abs=1e-5)
 
 
+def test_dp_step_dropout_differs_per_shard():
+    """The replicated PRNG key must be folded with the shard index, or all
+    shards draw identical dropout masks (fixed in collectives.dp_train_step)."""
+    m = mesh_lib.make_mesh(8)
+    cfg_drop = C.replace(CFG, dropout=0.9)  # aggressive dropout -> visible
+    params = audio_net.init(jax.random.PRNGKey(0), cfg_drop)
+    optimizer = optim.build(OPT, params)
+    opt_state = optimizer.init(params)
+
+    def loss_drop(p, xs, yb, mb, k):
+        pred = audio_net.apply(p, cfg_drop, xs[0], train=True, key=k)
+        from icassp2022_depression_tpu.ops.nn import (
+            masked_cross_entropy_on_probs,
+        )
+        return masked_cross_entropy_on_probs(pred, yb.astype(jnp.int32), mb,
+                                             2), pred
+
+    step = collectives.dp_train_step(loss_drop, optimizer, m)
+    # identical inputs on every shard: if keys were shared, per-shard preds
+    # would be identical too
+    x = jnp.tile(jnp.asarray(np.random.default_rng(0)
+                             .standard_normal((1, 3, 16))
+                             .astype(np.float32)), (16, 1, 1))
+    y = jnp.zeros(16, jnp.int32)
+    mask = jnp.ones(16, jnp.float32)
+    _, _, _, pred = step(params, opt_state, jax.random.PRNGKey(7),
+                         (x,), y, mask)
+    pred = np.asarray(pred).reshape(8, 2, 2)  # [shards, rows, classes]
+    # at least one pair of shards must differ (independent dropout draws)
+    diffs = [not np.allclose(pred[i], pred[0]) for i in range(1, 8)]
+    assert any(diffs), "all shards drew identical dropout masks"
+
+
 def test_param_shardings_tp_spec():
     m = mesh_lib.make_mesh(8, model_parallel=2)
     params = audio_net.init(jax.random.PRNGKey(0), CFG)
