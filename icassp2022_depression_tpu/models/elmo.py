@@ -130,6 +130,37 @@ def init_lstmp_encoder(key, cfg: ElmoLstmpConfig = ElmoLstmpConfig()):
     return params
 
 
+def encode_lstmp_from_reps(params, token_reps: jnp.ndarray,
+                           lengths: jnp.ndarray,
+                           cfg: ElmoLstmpConfig = ElmoLstmpConfig()):
+    """Variant of :func:`encode_lstmp` that takes precomputed [B, T, 512]
+    token representations (e.g. from the char-CNN token embedder,
+    :mod:`.char_cnn`) instead of hashed token ids — the full
+    ELMoForManyLangs pipeline with converted weights is
+    ``char_cnn.embed_tokens -> encode_lstmp_from_reps``."""
+    e = token_reps
+    f_in, b_in = e, e
+    layer_reps = [jnp.concatenate([e, e], axis=-1)]
+    for idx, layer in enumerate(params["layers"]):
+        f_out, _, _ = rnn_ops.lstmp_layer(layer["fwd"], f_in, False,
+                                          cfg.cell_clip, cfg.proj_clip)
+        b_rev_in = reverse_padded(b_in, lengths)
+        b_out_rev, _, _ = rnn_ops.lstmp_layer(layer["bwd"], b_rev_in, False,
+                                              cfg.cell_clip, cfg.proj_clip)
+        b_out = reverse_padded(b_out_rev, lengths)
+        if idx > 0:
+            f_out = f_out + f_in
+            b_out = b_out + b_in
+        layer_reps.append(jnp.concatenate([f_out, b_out], axis=-1))
+        f_in, b_in = f_out, b_out
+    rep = sum(layer_reps) / len(layer_reps)
+    mask = (jnp.arange(token_reps.shape[1])[None, :] <
+            lengths[:, None]).astype(rep.dtype)
+    pooled = jnp.sum(rep * mask[:, :, None], axis=1) / \
+        jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+    return rep, pooled
+
+
 def encode_lstmp(params, token_ids: jnp.ndarray, lengths: jnp.ndarray,
                  cfg: ElmoLstmpConfig = ElmoLstmpConfig()):
     """ELMo-style encoding: forward/backward 512-d streams through stacked
@@ -142,27 +173,8 @@ def encode_lstmp(params, token_ids: jnp.ndarray, lengths: jnp.ndarray,
 
     Returns (per-token [B, T, 2P], masked mean-pooled [B, 2P]).
     """
-    e = params["embed"][token_ids]                      # [B, T, 512]
-    f_in, b_in = e, e
-    layer_reps = [jnp.concatenate([e, e], axis=-1)]
-    for idx, layer in enumerate(params["layers"]):
-        f_out, _, _ = rnn_ops.lstmp_layer(layer["fwd"], f_in, False,
-                                          cfg.cell_clip, cfg.proj_clip)
-        b_rev_in = reverse_padded(b_in, lengths)
-        b_out_rev, _, _ = rnn_ops.lstmp_layer(layer["bwd"], b_rev_in, False,
-                                              cfg.cell_clip, cfg.proj_clip)
-        b_out = reverse_padded(b_out_rev, lengths)
-        if idx > 0:  # residual between stacked layers
-            f_out = f_out + f_in
-            b_out = b_out + b_in
-        layer_reps.append(jnp.concatenate([f_out, b_out], axis=-1))
-        f_in, b_in = f_out, b_out
-    rep = sum(layer_reps) / len(layer_reps)
-    mask = (jnp.arange(token_ids.shape[1])[None, :] <
-            lengths[:, None]).astype(rep.dtype)
-    pooled = jnp.sum(rep * mask[:, :, None], axis=1) / \
-        jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
-    return rep, pooled
+    return encode_lstmp_from_reps(params, params["embed"][token_ids],
+                                  lengths, cfg)
 
 
 encode_lstmp_jit = jax.jit(encode_lstmp, static_argnames=("cfg",))
@@ -181,9 +193,11 @@ def from_elmoformanylangs(sd, cfg: ElmoLstmpConfig = ElmoLstmpConfig(),
       encoder.{forward,backward}_layer_{k}.state_linearity.bias    [4C]
       encoder.{forward,backward}_layer_{k}.state_projection.weight [P, C]
 
-    The char-CNN token embedder is not ported (host-side string work that
-    the hashed table stands in for); pass ``word_embedding`` ([V, 512]) or
-    ``embed_key`` to substitute a real embedding matrix.
+    For the checkpoint's char-CNN token embedder, use
+    :mod:`..models.char_cnn` (``from_elmoformanylangs_token_embedder``) and
+    feed its output through :func:`encode_lstmp_from_reps`; alternatively
+    pass ``word_embedding`` ([V, 512]) or ``embed_key`` to substitute an
+    embedding matrix for the hashed-id path.
     """
     def cell(direction: str, k: int):
         p = f"encoder.{direction}_layer_{k}"
