@@ -51,7 +51,8 @@ def cmd_extract_text(args):
 
     root = Path(args.root)
     out = Path(args.out) if args.out else root / "Features" / "TextWhole"
-    feats, sds, clf = text.extract_eatd(root, out_dir=out, seed=args.seed)
+    feats, sds, clf = text.extract_eatd(root, out_dir=out, seed=args.seed,
+                                        elmo_weights=args.elmo_weights)
     print(f"text features {feats.shape} -> {out}")
 
 
@@ -359,6 +360,10 @@ def build_parser():
     sp.add_argument("--root", required=True)
     sp.add_argument("--out")
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--elmo-weights", default="auto",
+                    help="converted ELMoForManyLangs bundle "
+                    "(scripts/convert_elmo_zhs.py); 'auto' checks "
+                    "ICASSP_ELMO_WEIGHTS and the cache, '' disables")
     sp.set_defaults(fn=cmd_extract_text)
 
     sp = sub.add_parser("extract-daic", help="DAIC-WOZ features")

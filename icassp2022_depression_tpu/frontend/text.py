@@ -99,9 +99,29 @@ def extract_eatd(root: Path, params=None,
                  cfg=elmo.ElmoConfig(),
                  out_dir: Optional[Path] = None, seed: int = 0,
                  max_id: int = eatd.MAX_SPEAKER_ID,
-                 sds_threshold: float = 53.0):
-    """Full EATD text pass -> ([N, 3, 1024] features, sds, clf labels)."""
-    if params is None:
+                 sds_threshold: float = 53.0,
+                 elmo_weights: Optional[str] = "auto"):
+    """Full EATD text pass -> ([N, 3, 1024] features, sds, clf labels).
+
+    ``elmo_weights``: path to a converted ELMoForManyLangs bundle
+    (``scripts/convert_elmo_zhs.py``); the default ``"auto"`` picks up
+    ``ICASSP_ELMO_WEIGHTS`` / the cache location when present and falls
+    back to the PRNG-initialised encoder otherwise (the reference's text
+    embedder is the pretrained zhs model,
+    ``Classification/text_features_whole.py:16,40``).  Passing ``params``
+    explicitly always wins.
+    """
+    from icassp2022_depression_tpu.models import elmo_pretrained
+
+    pretrained = None
+    if params is None and elmo_weights:
+        if elmo_weights == "auto":
+            found = elmo_pretrained.default_weights_path()
+            if found is not None:
+                pretrained = elmo_pretrained.load_npz(found)
+        else:
+            pretrained = elmo_pretrained.load_npz(Path(elmo_weights))
+    if params is None and pretrained is None:
         if isinstance(cfg, elmo.ElmoLstmpConfig):
             params = elmo.init_lstmp_encoder(jax.random.PRNGKey(seed), cfg)
         else:
@@ -113,9 +133,12 @@ def extract_eatd(root: Path, params=None,
         for text in sp.texts:
             sentences.append(tokenize(text))
         sds.append(sp.sds)
-    flat = embed_sentences(params, sentences, cfg)
+    if pretrained is not None:
+        flat = pretrained.embed_sentences(sentences)
+    else:
+        flat = embed_sentences(params, sentences, cfg)
     n = len(sds)
-    features = flat.reshape(n, 3, cfg.output_dim)
+    features = flat.reshape(n, 3, flat.shape[1])
     sds_targets = np.asarray(sds, np.float32)
     clf_targets = (sds_targets >= sds_threshold).astype(np.int64)
     if out_dir is not None:

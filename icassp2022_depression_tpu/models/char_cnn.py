@@ -161,6 +161,12 @@ def from_elmoformanylangs_token_embedder(sd: Mapping,
       token_embedder.highways._layers.{i}.bias         [2F]
       token_embedder.projection.weight                 [output_dim, in]
       token_embedder.projection.bias                   [output_dim]
+
+    ELMoForManyLangs' ``ConvTokenEmbedder.forward`` concatenates the word
+    embedding FIRST and the char-CNN output second before the projection;
+    :func:`embed_tokens` concatenates char-first.  When the word branch is
+    present the projection weight columns are reordered here so the mapped
+    parameters compute the identical function.
     """
     def a(key):
         return jnp.asarray(np.array(sd[key], copy=True))
@@ -183,4 +189,10 @@ def from_elmoformanylangs_token_embedder(sd: Mapping,
     wkey = "token_embedder.word_emb_layer.embedding.weight"
     if wkey in sd:
         params["word_emb"] = a(wkey)
+        word_dim = params["word_emb"].shape[1]
+        pw = params["projection"]["w"]
+        if pw.shape[1] == word_dim + cfg.n_filters:
+            # upstream column order [word | char] -> ours [char | word]
+            params["projection"]["w"] = jnp.concatenate(
+                [pw[:, word_dim:], pw[:, :word_dim]], axis=1)
     return params

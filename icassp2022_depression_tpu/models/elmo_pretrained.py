@@ -1,0 +1,338 @@
+"""Pretrained ELMoForManyLangs (zhs) pipeline: convert, load, embed.
+
+The reference embeds each jieba-segmented answer with the released
+ELMoForManyLangs zhs model and mean-pools the per-token 1024-d vectors
+(``Classification/text_features_whole.py:9,16,40`` — ``Embedder(...)``,
+``sents2elmo(answers)[k].mean(axis=0)``).  This module closes that path
+TPU-natively:
+
+* :func:`convert_model_dir` reads a released model directory **without the
+  upstream package** — ``token_embedder.pkl``/``encoder.pkl`` are plain
+  ``torch.save``-d state dicts, the lexicons are tab-separated text, and
+  ``config.json`` points at the architecture config — and maps everything
+  onto this package's param layout (:mod:`.char_cnn` + :mod:`.elmo`).
+* :func:`save_npz` / :func:`load_npz` bundle the converted params,
+  lexicons, and configs into one ``.npz`` artifact that
+  ``extract-text --elmo-weights`` (and the ``ICASSP_ELMO_WEIGHTS`` env
+  var) auto-loads.
+* :class:`PretrainedElmo` runs the full ``sents2elmo``-equivalent forward
+  as one jitted XLA program per padded batch: char-CNN token embedder →
+  stacked LSTMP biLM → average of the 3 ELMo layers (``output_layer=-1``)
+  → mean over the sentence's real tokens (BOS/EOS stripped).
+
+Faithfulness notes (each mirrors upstream ``elmoformanylangs/elmo.py``):
+
+* every sentence is wrapped in ``<bos>``/``<eos>`` tokens before encoding
+  and those positions are excluded from the mean pool (``read_list`` /
+  the ``data[1:lens-1]`` strip in ``sents2elmo``);
+* a token longer than ``max_chars - 2`` characters is truncated to
+  ``max_chars - 2`` (``read_list``);
+* each token's char sequence is ``[bow, chars..., eow]`` padded with
+  ``<pad>``; the ``<bos>``/``<eos>`` tokens themselves are encoded as the
+  single "char" ``<bos>``/``<eos>`` between the markers;
+* upstream's ``create_one_batch`` fetches the markers **swapped** —
+  ``bow_id, eow_id = char_lexicon['<eow>'], char_lexicon['<bow>']`` — and
+  the released models were used that way, so :func:`build_batch`
+  reproduces the swap (flip ``SWAP_BOW_EOW`` if validating against a
+  variant without it);
+* upstream's ``ElmobiLm`` is *stateful* across batches (allennlp
+  ``_EncoderBase(stateful=True)``), so its embeddings depend on corpus
+  processing order.  Like the NetVLAD per-call random init that the
+  framework replaces with deterministic keys, this encoder is
+  deterministically zero-state per sentence — the documented
+  reproducibility fix, equal to upstream's very first batch behaviour.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+from typing import Dict, List, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icassp2022_depression_tpu.models import char_cnn, elmo
+
+#: upstream create_one_batch reads ('<eow>', '<bow>', ...) into
+#: (bow_id, eow_id, ...) — markers swapped; reproduced for fidelity.
+SWAP_BOW_EOW = True
+
+BOS, EOS, OOV, PAD, BOW, EOW = ("<bos>", "<eos>", "<oov>", "<pad>",
+                                "<bow>", "<eow>")
+
+
+def load_lexicon(path) -> Dict[str, int]:
+    """Tab-separated ``token\\tid`` lexicon (upstream ``char.dic`` /
+    ``word.dic`` format, including its full-width-space special case)."""
+    lex: Dict[str, int] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) == 1:  # token was the ideographic space
+                parts.insert(0, "　")
+            token, idx = parts[0], parts[1]
+            lex[token] = int(idx)
+    return lex
+
+
+def build_batch(sents: Sequence[Sequence[str]],
+                char_lexicon: Mapping[str, int],
+                word_lexicon: Optional[Mapping[str, int]],
+                max_chars: int, pad_to: Optional[int] = None):
+    """Tokenised sentences -> (char_ids [B,T,C], word_ids [B,T] or None,
+    lengths [B]) with BOS/EOS wrapping, upstream's truncation rule and
+    char-marker conventions.  ``T`` covers the wrapped length."""
+    bow_key, eow_key = (EOW, BOW) if SWAP_BOW_EOW else (BOW, EOW)
+    bow = char_lexicon[bow_key]
+    eow = char_lexicon[eow_key]
+    cpad = char_lexicon[PAD]
+    coov = char_lexicon[OOV]
+
+    wrapped: List[List[str]] = []
+    for sent in sents:
+        toks = [BOS]
+        for tok in sent:
+            if len(tok) + 2 > max_chars:
+                tok = tok[:max_chars - 2]
+            toks.append(tok)
+        toks.append(EOS)
+        wrapped.append(toks)
+
+    lengths = np.asarray([len(t) for t in wrapped], np.int32)
+    max_t = int(pad_to if pad_to is not None else lengths.max())
+    b = len(wrapped)
+    char_ids = np.full((b, max_t, max_chars), cpad, np.int32)
+    word_ids = None
+    if word_lexicon is not None:
+        woov = word_lexicon[OOV]
+        wpad = word_lexicon[PAD]
+        word_ids = np.full((b, max_t), wpad, np.int32)
+    for i, toks in enumerate(wrapped):
+        for j, tok in enumerate(toks):
+            char_ids[i, j, 0] = bow
+            if tok in (BOS, EOS):
+                char_ids[i, j, 1] = char_lexicon[tok]
+                char_ids[i, j, 2] = eow
+            else:
+                for k, ch in enumerate(tok):
+                    char_ids[i, j, k + 1] = char_lexicon.get(ch, coov)
+                char_ids[i, j, len(tok) + 1] = eow
+            if word_ids is not None:
+                word_ids[i, j] = word_lexicon.get(tok, woov)
+    return char_ids, word_ids, lengths
+
+
+def encode_pooled(cc_params, enc_params, char_ids, word_ids, lengths,
+                  char_cfg: char_cnn.CharCnnConfig,
+                  lstmp_cfg: elmo.ElmoLstmpConfig):
+    """Jittable: ids -> ([B, T, 2P] 3-layer-averaged reps,
+    [B, 2P] mean over real tokens — BOS/EOS and padding excluded)."""
+    reps = char_cnn.embed_tokens(cc_params, char_ids, char_cfg, word_ids)
+    rep, _ = elmo.encode_lstmp_from_reps(enc_params, reps, lengths,
+                                         lstmp_cfg)
+    pos = jnp.arange(rep.shape[1])[None, :]
+    interior = ((pos >= 1) & (pos < (lengths[:, None] - 1))).astype(rep.dtype)
+    pooled = jnp.sum(rep * interior[:, :, None], axis=1) / \
+        jnp.maximum(jnp.sum(interior, axis=1, keepdims=True), 1.0)
+    return rep, pooled
+
+
+_encode_pooled_jit = jax.jit(encode_pooled,
+                             static_argnames=("char_cfg", "lstmp_cfg"))
+
+
+@dataclasses.dataclass
+class PretrainedElmo:
+    char_cfg: char_cnn.CharCnnConfig
+    lstmp_cfg: elmo.ElmoLstmpConfig
+    cc_params: dict
+    enc_params: dict
+    char_lexicon: Dict[str, int]
+    word_lexicon: Optional[Dict[str, int]]
+
+    @property
+    def output_dim(self) -> int:
+        return self.lstmp_cfg.output_dim
+
+    def embed_sentences(self, sentences: Sequence[Sequence[str]],
+                        batch_size: int = 64) -> np.ndarray:
+        """sents2elmo(output_layer=-1) + per-sentence token mean ->
+        [N, 1024]; batches padded to multiples of 16 tokens so the whole
+        corpus reuses a handful of compiled programs."""
+        n = len(sentences)
+        out = np.zeros((n, self.output_dim), np.float32)
+        for start in range(0, n, batch_size):
+            chunk = sentences[start:start + batch_size]
+            max_t = max(2, max(len(s) for s in chunk) + 2)
+            pad_to = -(-max_t // 16) * 16
+            char_ids, word_ids, lengths = build_batch(
+                chunk, self.char_lexicon, self.word_lexicon,
+                self.char_cfg.max_chars, pad_to=pad_to)
+            _, pooled = _encode_pooled_jit(
+                self.cc_params, self.enc_params, jnp.asarray(char_ids),
+                None if word_ids is None else jnp.asarray(word_ids),
+                jnp.asarray(lengths), self.char_cfg, self.lstmp_cfg)
+            out[start:start + len(chunk)] = np.asarray(pooled)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Conversion from a released ELMoForManyLangs model directory
+# ---------------------------------------------------------------------------
+
+
+def _load_arch_config(model_dir: Path) -> dict:
+    """model_dir/config.json either IS the architecture config or carries a
+    ``config_path`` naming it (released zips ship both; the recorded path
+    is often stale, so fall back to its basename inside model_dir)."""
+    top = json.loads((model_dir / "config.json").read_text())
+    if "token_embedder" in top:
+        return top
+    cfg_path = Path(top["config_path"])
+    for cand in (model_dir / cfg_path, model_dir / cfg_path.name):
+        if cand.exists():
+            return json.loads(cand.read_text())
+    raise FileNotFoundError(
+        f"architecture config {cfg_path} not found under {model_dir}")
+
+
+def convert_model_dir(model_dir) -> PretrainedElmo:
+    """Released model dir (config.json, char.dic[, word.dic],
+    token_embedder.pkl, encoder.pkl) -> :class:`PretrainedElmo`.
+
+    Needs only torch (to unpickle the state dicts), not the upstream
+    package.  Reference load site:
+    ``Classification/text_features_whole.py:16``.
+    """
+    import torch
+
+    model_dir = Path(model_dir)
+    arch = _load_arch_config(model_dir)
+    te_cfg = arch["token_embedder"]
+    enc_cfg = arch["encoder"]
+
+    char_lexicon = load_lexicon(model_dir / "char.dic")
+    word_lexicon = None
+    use_word = te_cfg.get("word_dim") and (model_dir / "word.dic").exists()
+    if use_word:
+        word_lexicon = load_lexicon(model_dir / "word.dic")
+
+    te_sd = {f"token_embedder.{k}": v.detach().cpu().numpy()
+             for k, v in torch.load(model_dir / "token_embedder.pkl",
+                                    map_location="cpu").items()}
+    enc_sd = {f"encoder.{k}": v.detach().cpu().numpy()
+              for k, v in torch.load(model_dir / "encoder.pkl",
+                                     map_location="cpu").items()}
+
+    char_cfg = char_cnn.CharCnnConfig(
+        n_chars=len(char_lexicon),
+        char_dim=te_cfg["char_dim"],
+        filters=tuple((int(w), int(c)) for w, c in te_cfg["filters"]),
+        n_highway=te_cfg["n_highway"],
+        output_dim=enc_cfg["projection_dim"],
+        activation=te_cfg.get("activation", "relu"),
+        word_vocab=len(word_lexicon) if word_lexicon else None,
+        word_dim=te_cfg.get("word_dim", 0) if word_lexicon else 0,
+        max_chars=te_cfg["max_characters_per_token"])
+    lstmp_cfg = elmo.ElmoLstmpConfig(
+        vocab_size=1,  # unused: token reps come from the char-CNN
+        input_dim=enc_cfg["projection_dim"],
+        cell_size=enc_cfg["dim"],
+        proj_size=enc_cfg["projection_dim"],
+        layers=enc_cfg["n_layers"],
+        cell_clip=float(enc_cfg.get("cell_clip", 3.0)),
+        proj_clip=float(enc_cfg.get("proj_clip", 3.0)))
+
+    cc_params = char_cnn.from_elmoformanylangs_token_embedder(te_sd,
+                                                              char_cfg)
+    enc_params = elmo.from_elmoformanylangs(
+        enc_sd, lstmp_cfg,
+        word_embedding=np.zeros((1, lstmp_cfg.input_dim), np.float32))
+    enc_params = {"layers": enc_params["layers"]}
+    return PretrainedElmo(char_cfg, lstmp_cfg, cc_params, enc_params,
+                          char_lexicon, word_lexicon)
+
+
+# ---------------------------------------------------------------------------
+# Single-artifact bundle
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree, prefix, out):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            _flatten(v, f"{prefix}/{k}", out)
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            _flatten(v, f"{prefix}/{i}", out)
+    else:
+        out[prefix] = np.asarray(tree)
+
+
+def _unflatten(flat: Mapping[str, np.ndarray]):
+    root: dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(val)
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def save_npz(path, pe: PretrainedElmo) -> None:
+    arrays: Dict[str, np.ndarray] = {}
+    _flatten(pe.cc_params, "cc", arrays)
+    _flatten(pe.enc_params, "enc", arrays)
+    meta = {
+        "char_cfg": dataclasses.asdict(pe.char_cfg),
+        "lstmp_cfg": dataclasses.asdict(pe.lstmp_cfg),
+        "char_lexicon": pe.char_lexicon,
+        "word_lexicon": pe.word_lexicon,
+    }
+    np.savez_compressed(path, __meta__=np.asarray(json.dumps(meta)),
+                        **arrays)
+
+
+def load_npz(path) -> PretrainedElmo:
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["__meta__"]))
+        flat = {k: z[k] for k in z.files if k != "__meta__"}
+    cc = {k[3:]: v for k, v in flat.items() if k.startswith("cc/")}
+    enc = {k[4:]: v for k, v in flat.items() if k.startswith("enc/")}
+    ccfg = dict(meta["char_cfg"])
+    ccfg["filters"] = tuple(tuple(f) for f in ccfg["filters"])
+    return PretrainedElmo(
+        char_cfg=char_cnn.CharCnnConfig(**ccfg),
+        lstmp_cfg=elmo.ElmoLstmpConfig(**meta["lstmp_cfg"]),
+        cc_params=_unflatten(cc),
+        enc_params=_unflatten(enc),
+        char_lexicon={k: int(v) for k, v in meta["char_lexicon"].items()},
+        word_lexicon=None if meta["word_lexicon"] is None else
+        {k: int(v) for k, v in meta["word_lexicon"].items()})
+
+
+def default_weights_path() -> Optional[Path]:
+    """Resolution order for auto-loading converted weights: the
+    ``ICASSP_ELMO_WEIGHTS`` env var, then ``~/.cache/icassp2022_tpu/
+    elmo_zhs.npz``.  Returns None when neither exists."""
+    env = os.environ.get("ICASSP_ELMO_WEIGHTS")
+    if env and Path(env).exists():
+        return Path(env)
+    cached = Path.home() / ".cache" / "icassp2022_tpu" / "elmo_zhs.npz"
+    if cached.exists():
+        return cached
+    return None

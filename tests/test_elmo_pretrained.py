@@ -1,0 +1,254 @@
+"""Pretrained ELMoForManyLangs path vs an independent torch oracle.
+
+Builds a synthetic released-model directory — the exact on-disk layout of
+the zhs.model zip (state-dict pickles with upstream key names, tab-
+separated lexicons, indirected config.json) at a small geometry — runs the
+framework's converter + npz roundtrip + jitted batched encoder, and
+compares every pooled sentence embedding against a torch re-implementation
+of ELMoForManyLangs' ``Model.forward`` + ``sents2elmo(output_layer=-1)``
+written from upstream semantics (ConvTokenEmbedder word-first concat,
+allennlp ``LstmCellWithProjection`` gate order/clipping, inter-layer
+residuals, BOS/EOS wrap + strip, swapped bow/eow markers).
+"""
+
+import json
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from icassp2022_depression_tpu.models import elmo_pretrained
+
+CHAR_DIM = 8
+FILTERS = [[1, 4], [2, 8], [3, 12]]
+NFILT = 4 + 8 + 12
+N_HIGHWAY = 2
+WORD_DIM = 6
+PROJ = 16          # projection_dim == biLM input/proj size
+CELL = 32
+LAYERS = 2
+MAX_CHARS = 6      # small so truncation triggers
+SPECIALS = ["<pad>", "<oov>", "<bos>", "<eos>", "<bow>", "<eow>"]
+CHARS = list("今天气很好我有点累高兴不太想说话了谢") + ["　"]
+WORDS = ["今天", "天气", "很", "好", "我", "有点", "累", "不", "太",
+         "想", "说话", "了"]
+
+SENTS = [
+    ["今天", "天气", "很", "好"],
+    ["我", "有点", "累", "不", "太", "想", "说话", "了"],
+    ["我", "很", "高兴"],          # 高兴 is word-OOV; chars in-dic
+    ["谢谢谢谢谢谢", "好"],          # token longer than max_chars-2
+]
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("zhs.model")
+    torch.manual_seed(0)
+
+    char_lex = {tok: i for i, tok in enumerate(SPECIALS + CHARS)}
+    word_lex = {tok: i for i, tok in enumerate(SPECIALS[:4] + WORDS)}
+    with open(root / "char.dic", "w", encoding="utf-8") as f:
+        for tok, i in char_lex.items():
+            f.write(f"{tok}\t{i}\n")
+    with open(root / "word.dic", "w", encoding="utf-8") as f:
+        for tok, i in word_lex.items():
+            f.write(f"{tok}\t{i}\n")
+
+    arch = {
+        "encoder": {"name": "elmo", "projection_dim": PROJ, "dim": CELL,
+                    "n_layers": LAYERS, "cell_clip": 3, "proj_clip": 3},
+        "token_embedder": {"name": "cnn", "activation": "relu",
+                           "filters": FILTERS, "n_highway": N_HIGHWAY,
+                           "word_dim": WORD_DIM, "char_dim": CHAR_DIM,
+                           "max_characters_per_token": MAX_CHARS},
+    }
+    (root / "cnn_small.json").write_text(json.dumps(arch))
+    # released zips record a stale absolute config_path; basename fallback
+    (root / "config.json").write_text(json.dumps(
+        {"config_path": "/home/someone/configs/cnn_small.json"}))
+
+    te = {
+        "char_emb_layer.embedding.weight":
+            torch.randn(len(char_lex), CHAR_DIM),
+        "word_emb_layer.embedding.weight":
+            torch.randn(len(word_lex), WORD_DIM),
+        "projection.weight": torch.randn(PROJ, WORD_DIM + NFILT) * 0.3,
+        "projection.bias": torch.randn(PROJ) * 0.1,
+    }
+    for i, (w, out) in enumerate(FILTERS):
+        te[f"convolutions.{i}.weight"] = torch.randn(out, CHAR_DIM, w) * 0.3
+        te[f"convolutions.{i}.bias"] = torch.randn(out) * 0.1
+    for i in range(N_HIGHWAY):
+        te[f"highways._layers.{i}.weight"] = torch.randn(2 * NFILT,
+                                                         NFILT) * 0.2
+        te[f"highways._layers.{i}.bias"] = torch.randn(2 * NFILT) * 0.1
+    torch.save(te, root / "token_embedder.pkl")
+
+    enc = {}
+    for d in ("forward", "backward"):
+        for k in range(LAYERS):
+            p = f"{d}_layer_{k}"
+            enc[f"{p}.input_linearity.weight"] = \
+                torch.randn(4 * CELL, PROJ) * 0.2
+            enc[f"{p}.state_linearity.weight"] = \
+                torch.randn(4 * CELL, PROJ) * 0.2
+            enc[f"{p}.state_linearity.bias"] = torch.randn(4 * CELL) * 0.1
+            enc[f"{p}.state_projection.weight"] = \
+                torch.randn(PROJ, CELL) * 0.2
+    torch.save(enc, root / "encoder.pkl")
+    return root, char_lex, word_lex, te, enc
+
+
+# --------------------------- torch oracle ---------------------------------
+
+
+def _oracle_token_embedder(te, char_ids, word_ids):
+    x = te["char_emb_layer.embedding.weight"][char_ids]   # [T, C, D]
+    x = x.transpose(1, 2)                                  # [T, D, C]
+    convs = []
+    i = 0
+    while f"convolutions.{i}.weight" in te:
+        y = F.conv1d(x, te[f"convolutions.{i}.weight"],
+                     te[f"convolutions.{i}.bias"])
+        y, _ = torch.max(y, dim=-1)
+        convs.append(F.relu(y))
+        i += 1
+    h = torch.cat(convs, dim=-1)
+    f = h.shape[-1]
+    j = 0
+    while f"highways._layers.{j}.weight" in te:
+        proj = h @ te[f"highways._layers.{j}.weight"].t() + \
+            te[f"highways._layers.{j}.bias"]
+        nonlinear = F.relu(proj[:, :f])
+        gate = torch.sigmoid(proj[:, f:])
+        h = gate * h + (1.0 - gate) * nonlinear
+        j += 1
+    w = te["word_emb_layer.embedding.weight"][word_ids]
+    emb = torch.cat([w, h], dim=-1)                        # word FIRST
+    return emb @ te["projection.weight"].t() + te["projection.bias"]
+
+
+def _oracle_lstmp_dir(enc, prefix, x, cell, proj, clip=3.0):
+    w_x = enc[f"{prefix}.input_linearity.weight"]
+    w_h = enc[f"{prefix}.state_linearity.weight"]
+    b = enc[f"{prefix}.state_linearity.bias"]
+    w_p = enc[f"{prefix}.state_projection.weight"]
+    h = torch.zeros(proj)
+    c = torch.zeros(cell)
+    outs = []
+    for t in range(x.shape[0]):
+        z = w_x @ x[t] + w_h @ h + b
+        i = torch.sigmoid(z[:cell])
+        f = torch.sigmoid(z[cell:2 * cell])
+        g = torch.tanh(z[2 * cell:3 * cell])
+        o = torch.sigmoid(z[3 * cell:])
+        c = i * g + f * c
+        c = torch.clamp(c, -clip, clip)
+        h = torch.clamp(w_p @ (o * torch.tanh(c)), -clip, clip)
+        outs.append(h)
+    return torch.stack(outs)
+
+
+def _oracle_embed(te, enc, sent, char_lex, word_lex):
+    toks = ["<bos>"]
+    for tok in sent:
+        if len(tok) + 2 > MAX_CHARS:
+            tok = tok[:MAX_CHARS - 2]
+        toks.append(tok)
+    toks.append("<eos>")
+    t_len = len(toks)
+    # upstream create_one_batch fetches the markers swapped:
+    bow, eow = char_lex["<eow>"], char_lex["<bow>"]
+    char_ids = torch.full((t_len, MAX_CHARS), char_lex["<pad>"],
+                          dtype=torch.long)
+    word_ids = torch.zeros(t_len, dtype=torch.long)
+    for j, tok in enumerate(toks):
+        char_ids[j, 0] = bow
+        if tok in ("<bos>", "<eos>"):
+            char_ids[j, 1] = char_lex[tok]
+            char_ids[j, 2] = eow
+        else:
+            for k, ch in enumerate(tok):
+                char_ids[j, k + 1] = char_lex.get(ch, char_lex["<oov>"])
+            char_ids[j, len(tok) + 1] = eow
+        word_ids[j] = word_lex.get(tok, word_lex["<oov>"])
+
+    with torch.no_grad():
+        emb = _oracle_token_embedder(te, char_ids, word_ids)   # [T, P]
+        layer_reps = [torch.cat([emb, emb], dim=-1)]
+        f_in = b_in = emb
+        for k in range(LAYERS):
+            f_out = _oracle_lstmp_dir(enc, f"forward_layer_{k}", f_in,
+                                      CELL, PROJ)
+            b_out = torch.flip(
+                _oracle_lstmp_dir(enc, f"backward_layer_{k}",
+                                  torch.flip(b_in, [0]), CELL, PROJ), [0])
+            if k > 0:
+                f_out = f_out + f_in
+                b_out = b_out + b_in
+            layer_reps.append(torch.cat([f_out, b_out], dim=-1))
+            f_in, b_in = f_out, b_out
+        avg = torch.stack(layer_reps).mean(dim=0)              # [T, 2P]
+        return avg[1:-1].mean(dim=0).numpy()                   # strip + mean
+
+
+# ------------------------------- tests ------------------------------------
+
+
+def test_convert_roundtrip_matches_oracle(model_dir, tmp_path):
+    root, char_lex, word_lex, te, enc = model_dir
+    pe = elmo_pretrained.convert_model_dir(root)
+    bundle = tmp_path / "elmo_small.npz"
+    elmo_pretrained.save_npz(bundle, pe)
+    pe2 = elmo_pretrained.load_npz(bundle)
+
+    got = pe2.embed_sentences(SENTS, batch_size=3)  # spans 2 padded batches
+    want = np.stack([_oracle_embed(te, enc, s, char_lex, word_lex)
+                     for s in SENTS])
+    assert got.shape == (len(SENTS), 2 * PROJ)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_converted_configs(model_dir):
+    root, char_lex, word_lex, _, _ = model_dir
+    pe = elmo_pretrained.convert_model_dir(root)
+    assert pe.char_cfg.n_chars == len(char_lex)
+    assert pe.char_cfg.word_vocab == len(word_lex)
+    assert pe.char_cfg.filters == tuple((w, c) for w, c in FILTERS)
+    assert pe.lstmp_cfg.cell_size == CELL
+    assert pe.lstmp_cfg.proj_size == PROJ
+    assert pe.output_dim == 2 * PROJ
+
+
+def test_extract_eatd_autoloads_bundle(model_dir, tmp_path, monkeypatch):
+    """extract-text picks converted weights up from ICASSP_ELMO_WEIGHTS
+    and produces pretrained (not PRNG-encoder) embeddings."""
+    from icassp2022_depression_tpu.data import eatd
+    from icassp2022_depression_tpu.frontend import text as text_fe
+
+    root, *_ = model_dir
+    pe = elmo_pretrained.convert_model_dir(root)
+    bundle = tmp_path / "elmo_small.npz"
+    elmo_pretrained.save_npz(bundle, pe)
+
+    corpus = tmp_path / "corpus"
+    eatd.make_synthetic_corpus(corpus, n_data=2, n_validation=0, seconds=0.2)
+
+    monkeypatch.setenv("ICASSP_ELMO_WEIGHTS", str(bundle))
+    feats, sds, clf = text_fe.extract_eatd(corpus)
+    assert feats.shape == (2, 3, pe.output_dim)  # 2*PROJ, not the 1024 stub
+
+    monkeypatch.delenv("ICASSP_ELMO_WEIGHTS")
+    feats_stub, *_ = text_fe.extract_eatd(corpus, elmo_weights=None)
+    assert feats_stub.shape[2] == 1024
+
+
+def test_batch_padding_invariance(model_dir):
+    """Same sentence embedded alone and inside a longer-padded batch."""
+    root, *_ = model_dir
+    pe = elmo_pretrained.convert_model_dir(root)
+    alone = pe.embed_sentences([SENTS[0]])
+    batched = pe.embed_sentences(SENTS)
+    np.testing.assert_allclose(alone[0], batched[0], atol=1e-5)
