@@ -149,6 +149,47 @@ class Postprocessor:
         return quantized.astype(np.uint8)
 
 
+#: slim variable scopes in the released vggish_model.ckpt, in stack order
+#: (``Classification/audio_features_whole.py:31`` loads this checkpoint)
+_TF_CONV_SCOPES = ["vggish/conv1", "vggish/conv2",
+                   "vggish/conv3/conv3_1", "vggish/conv3/conv3_2",
+                   "vggish/conv4/conv4_1", "vggish/conv4/conv4_2"]
+_TF_FC_SCOPES = ["vggish/fc1/fc1_1", "vggish/fc1/fc1_2", "vggish/fc2"]
+
+
+def from_tf_checkpoint(ckpt_path) -> dict:
+    """Convert the released TF-slim VGGish checkpoint to this module's
+    param pytree (``audio_features_whole.py:31,41-53`` is the reference
+    load site).  Slim stores conv kernels HWIO and FC kernels [in, out] —
+    both exactly this module's layouts, and slim's ``flatten`` of the NHWC
+    feature map matches :func:`apply`'s reshape, so tensors port verbatim.
+    Requires tensorflow only for the checkpoint reader."""
+    import tensorflow as tf  # local: heavy import, converter-only
+
+    reader = tf.train.load_checkpoint(str(ckpt_path))
+
+    def tensors(scope):
+        w = np.asarray(reader.get_tensor(f"{scope}/weights"), np.float32)
+        b = np.asarray(reader.get_tensor(f"{scope}/biases"), np.float32)
+        return {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+
+    params = {"convs": [tensors(s) for s in _TF_CONV_SCOPES],
+              "fcs": [tensors(s) for s in _TF_FC_SCOPES]}
+    for i, ((cin, cout), conv) in enumerate(zip(_CONV_CHANNELS,
+                                                params["convs"])):
+        assert conv["w"].shape == (3, 3, cin, cout), \
+            f"conv {i}: got {conv['w'].shape}, want (3, 3, {cin}, {cout})"
+    assert params["fcs"][-1]["w"].shape[1] == EMBEDDING_SIZE
+    return params
+
+
+def load_pca_params(pca_params_path) -> Postprocessor:
+    """Released ``vggish_pca_params.npz`` -> :class:`Postprocessor`
+    (``audio_features_whole.py:32,44``)."""
+    with np.load(pca_params_path) as z:
+        return Postprocessor(z["pca_eigen_vectors"], z["pca_means"])
+
+
 def to_vggish_embedds(params, x: np.ndarray, sr: int,
                       postprocessor: Postprocessor | None = None):
     """Full reference path: waveform -> examples -> embeddings
