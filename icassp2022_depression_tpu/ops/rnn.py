@@ -162,10 +162,16 @@ def _run_direction(p, x, cell: str, reverse: bool, backend: str = "xla"):
 
 
 def lstmp_layer(p: dict, x: jnp.ndarray, reverse: bool = False,
-                cell_clip: float = 3.0, proj_clip: float = 3.0):
+                cell_clip: float = 3.0, proj_clip: float = 3.0,
+                backend: str = "auto"):
     """LSTM with projection (the ELMo biLM cell — allennlp
     ``LstmCellWithProjection`` semantics, which ELMoForManyLangs' ``ElmobiLm``
     uses for its zhs model).
+
+    ``backend``: "auto" uses the streaming Pallas kernel on TPU when the
+    geometry tiles cleanly (the pretrained zhs biLM's 4096x512 does) —
+    its recurrent weights exceed VMEM, so the kernel streams weight slabs
+    over a (time, slab) grid (:mod:`.rnn_pallas`); "xla" forces the scan.
 
     Params (allennlp tensor layouts, enabling direct weight porting):
       w_x: [4C, In]  input linearity, no bias
@@ -177,11 +183,18 @@ def lstmp_layer(p: dict, x: jnp.ndarray, reverse: bool = False,
     projected state to ±proj_clip, as in ELMo.
     x: [B, T, In] -> (h_proj sequence [B, T, P], h_last [B, P], c_last [B, C]).
     """
-    if reverse:
-        x = jnp.flip(x, axis=1)
     four_c = p["w_x"].shape[0]
     c_dim = four_c // 4
     p_dim = p["w_p"].shape[0]
+    if (resolve_backend(backend) == "pallas" and c_dim % 128 == 0
+            and p_dim % 128 == 0):
+        from icassp2022_depression_tpu.ops import rnn_pallas
+
+        return rnn_pallas.lstmp_layer_streamed(
+            p, x, reverse=reverse, cell_clip=cell_clip,
+            proj_clip=proj_clip)
+    if reverse:
+        x = jnp.flip(x, axis=1)
     b_sz = x.shape[0]
 
     xp = jnp.einsum("bti,gi->btg", x, p["w_x"],

@@ -560,6 +560,333 @@ def lstm_layer_streamed(p: dict, x: jnp.ndarray, reverse: bool = False,
 
 
 # ---------------------------------------------------------------------------
+# Streaming LSTMP (LSTM with projection — the ELMo biLM cell)
+# ---------------------------------------------------------------------------
+#
+# The zhs ELMo geometry (4096 cells, 512 projection) makes the recurrent
+# weights alone ~41 MB f32 — far beyond VMEM — so unlike the GRU/LSTM
+# kernels the weights cannot stay resident.  The kernel runs on a
+# ``(time, cell-slab)`` grid: the cell dimension is split into slabs of
+# ``slab`` cells, each grid step processes one slab of one timestep, and
+# the Pallas pipeline double-buffers the next slab's weight DMA against the
+# current slab's compute (the kernel is HBM-bandwidth bound, ~weights/step).
+#
+# State layout: the projected hidden state h [B, P] and clipped cell state
+# c [B, C] persist in VMEM scratch across grid steps; the per-step
+# projection accumulates over slabs into an [B, P] accumulator, finalised
+# (clipped, written) on the last slab.
+#
+# The backward kernel walks time in reverse with the same slab structure
+# and emits per-step gate grads and pre-projection grads; the *weight*
+# grads (dW_h, dW_p, db) are then three large MXU matmuls outside the
+# kernel (einsum over [T, B, ...]) instead of in-kernel accumulators —
+# a slab's accumulator block would be revisited non-consecutively across
+# the grid, which the block pipeline does not keep resident.
+#
+# Gate order i,f,g,o and ±cell/proj clipping match allennlp
+# ``LstmCellWithProjection`` (see ``ops/rnn.py::lstmp_layer``); zero
+# initial state.
+
+
+def _lstmp_stream_fwd_kernel(xp_ref, whh_ref, b_ref, wp_ref,
+                             ys_ref, hpre_ref, cpre_ref, hf_ref,
+                             h_scratch, c_scratch, acc_scratch,
+                             *, cell_clip: float, proj_clip: float):
+    s = pl.program_id(1)
+    n_slabs = pl.num_programs(1)
+    slab = wp_ref.shape[0]
+
+    @pl.when((pl.program_id(0) == 0) & (s == 0))
+    def _():
+        h_scratch[...] = jnp.zeros_like(h_scratch)
+        c_scratch[...] = jnp.zeros_like(c_scratch)
+
+    @pl.when(s == 0)
+    def _():
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    wdt = whh_ref.dtype   # weights may stream as bf16 (halved DMA bytes)
+    h = h_scratch[...]
+    c_prev = c_scratch[:, pl.ds(s * slab, slab)]
+    gp = xp_ref[0] + jax.lax.dot_general(
+        h.astype(wdt), whh_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ref[0]
+    i = jax.nn.sigmoid(gp[:, 0])
+    f = jax.nn.sigmoid(gp[:, 1])
+    g = jnp.tanh(gp[:, 2])
+    o = jax.nn.sigmoid(gp[:, 3])
+    c_pre = f * c_prev + i * g
+    cpre_ref[0] = c_pre
+    c_clip = jnp.clip(c_pre, -cell_clip, cell_clip) if cell_clip else c_pre
+    c_scratch[:, pl.ds(s * slab, slab)] = c_clip
+    hf = o * jnp.tanh(c_clip)
+    hf_ref[0] = hf
+    acc_scratch[...] += jnp.dot(hf.astype(wdt), wp_ref[...],
+                                preferred_element_type=jnp.float32)
+
+    @pl.when(s == n_slabs - 1)
+    def _():
+        hp_pre = acc_scratch[...]
+        hpre_ref[0] = hp_pre
+        h_new = jnp.clip(hp_pre, -proj_clip, proj_clip) if proj_clip \
+            else hp_pre
+        ys_ref[0] = h_new
+        h_scratch[...] = h_new
+
+
+def _lstmp_stream_bwd_kernel(xp_ref, whh_ref, b_ref, wp_ref, ys_prev_ref,
+                             cpre_ref, cpre_prev_ref, hpre_ref, dys_ref,
+                             dcpre_ref, dgates_ref, dhpre_ref,
+                             dh_scratch, dc_scratch, dhp_scratch,
+                             *, cell_clip: float, proj_clip: float):
+    s = pl.program_id(1)
+    slab = wp_ref.shape[0]
+    wdt = whh_ref.dtype
+    # reverse-time walk: grid step 0 is the LAST timestep
+    is_t0 = pl.program_id(0) == pl.num_programs(0) - 1
+
+    @pl.when((pl.program_id(0) == 0) & (s == 0))
+    def _():
+        dh_scratch[...] = jnp.zeros_like(dh_scratch)
+        dc_scratch[...] = jnp.zeros_like(dc_scratch)
+
+    @pl.when(s == 0)
+    def _():
+        dh_total = dys_ref[0] + dh_scratch[...]
+        if proj_clip:
+            hp_pre = hpre_ref[0]
+            dh_total = dh_total * ((hp_pre >= -proj_clip) &
+                                   (hp_pre <= proj_clip)).astype(
+                                       dh_total.dtype)
+        dhp_scratch[...] = dh_total
+        dhpre_ref[0] = dh_total
+        dh_scratch[...] = jnp.zeros_like(dh_scratch)
+
+    dhp = dhp_scratch[...]
+    d_hf = jnp.dot(dhp.astype(wdt), wp_ref[...].T,
+                   preferred_element_type=jnp.float32)
+
+    not_first = jnp.where(is_t0, 0.0, 1.0)
+    h_prev = not_first * ys_prev_ref[0]
+    c_prev_pre = cpre_prev_ref[0]
+    c_prev = (jnp.clip(c_prev_pre, -cell_clip, cell_clip)
+              if cell_clip else c_prev_pre) * not_first
+    gp = xp_ref[0] + jax.lax.dot_general(
+        h_prev.astype(wdt), whh_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ref[0]
+    i = jax.nn.sigmoid(gp[:, 0])
+    f = jax.nn.sigmoid(gp[:, 1])
+    g = jnp.tanh(gp[:, 2])
+    o = jax.nn.sigmoid(gp[:, 3])
+    c_pre = cpre_ref[0]
+    c_clip = jnp.clip(c_pre, -cell_clip, cell_clip) if cell_clip else c_pre
+    tanh_c = jnp.tanh(c_clip)
+
+    ds_o = d_hf * tanh_c * o * (1.0 - o)
+    dc_clip = d_hf * o * (1.0 - tanh_c * tanh_c) + \
+        dc_scratch[:, pl.ds(s * slab, slab)]
+    if cell_clip:
+        dc_pre = dc_clip * ((c_pre >= -cell_clip) &
+                            (c_pre <= cell_clip)).astype(dc_clip.dtype)
+    else:
+        dc_pre = dc_clip
+    dc_pre = dc_pre + dcpre_ref[0]
+    ds_i = dc_pre * g * i * (1.0 - i)
+    ds_f = dc_pre * c_prev * f * (1.0 - f)
+    ds_g = dc_pre * i * (1.0 - g * g)
+    dgates = jnp.stack([ds_i, ds_f, ds_g, ds_o], axis=1)   # [B, 4, slab]
+    dgates_ref[0] = dgates
+    # Mosaic's matmul wants single contracting dims: flatten (4, slab)
+    whh = whh_ref[...]
+    dh_scratch[...] += jax.lax.dot_general(
+        dgates.reshape(dgates.shape[0], 4 * slab).astype(wdt),
+        whh.reshape(whh.shape[0], 4 * slab),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dc_scratch[:, pl.ds(s * slab, slab)] = dc_pre * f
+
+
+def _lstmp_stream_fwd(xp4, w_h_t3, b3, w_p_t, slab, cell_clip, proj_clip):
+    t_steps, b, _, c_dim = xp4.shape
+    p_dim = w_h_t3.shape[0]
+    n_slabs = c_dim // slab
+    kernel = functools.partial(_lstmp_stream_fwd_kernel,
+                               cell_clip=cell_clip, proj_clip=proj_clip)
+    return pl.pallas_call(
+        kernel,
+        grid=(t_steps, n_slabs),
+        in_specs=[
+            pl.BlockSpec((1, b, 4, slab), lambda t, s: (t, 0, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_dim, 4, slab), lambda t, s: (0, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, slab), lambda t, s: (0, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab, p_dim), lambda t, s: (s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b, p_dim), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, p_dim), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, slab), lambda t, s: (t, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, slab), lambda t, s: (t, 0, s),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_steps, b, p_dim), xp4.dtype),  # ys
+            jax.ShapeDtypeStruct((t_steps, b, p_dim), xp4.dtype),  # hp_pre
+            jax.ShapeDtypeStruct((t_steps, b, c_dim), xp4.dtype),  # c_pre
+            jax.ShapeDtypeStruct((t_steps, b, c_dim), xp4.dtype),  # o*tanh(c)
+        ),
+        scratch_shapes=[pltpu.VMEM((b, p_dim), jnp.float32),
+                        pltpu.VMEM((b, c_dim), jnp.float32),
+                        pltpu.VMEM((b, p_dim), jnp.float32)],
+        interpret=_interpret(),
+    )(xp4, w_h_t3, b3, w_p_t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def lstmp_sequence_streamed(xp4, w_h_t3, b3, w_p_t, slab: int,
+                            cell_clip: float, proj_clip: float):
+    """Streaming LSTMP sequence.  xp4: [T, B, 4, C] input projections
+    (gate-major), w_h_t3: [P, 4, C] (state linearity, transposed),
+    b3: [1, 4, C], w_p_t: [C, P] (state projection, transposed).
+    Returns (ys [T, B, P] clipped projected states, cs_pre [T, B, C]
+    pre-clip cell states — ``clip(cs_pre[-1])`` is the final cell state).
+    """
+    ys, hpre, cpre, hf = _lstmp_stream_fwd(xp4, w_h_t3, b3, w_p_t, slab,
+                                           cell_clip, proj_clip)
+    return ys, cpre
+
+
+def _lstmp_stream_fwd_rule(xp4, w_h_t3, b3, w_p_t, slab, cell_clip,
+                           proj_clip):
+    ys, hpre, cpre, hf = _lstmp_stream_fwd(xp4, w_h_t3, b3, w_p_t, slab,
+                                           cell_clip, proj_clip)
+    return (ys, cpre), (xp4, w_h_t3, b3, w_p_t, ys, hpre, cpre, hf)
+
+
+def _lstmp_stream_bwd_rule(slab, cell_clip, proj_clip, residuals, grads):
+    xp4, w_h_t3, b3, w_p_t, ys, hpre, cpre, hf = residuals
+    dys, dcpre = grads
+    t_steps, b, _, c_dim = xp4.shape
+    p_dim = w_h_t3.shape[0]
+    n_slabs = c_dim // slab
+    ys_prev = jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
+    cpre_prev = jnp.concatenate([jnp.zeros_like(cpre[:1]), cpre[:-1]],
+                                axis=0)
+    rev_t = lambda t, s: (t_steps - 1 - t, 0, 0)
+    rev_ts = lambda t, s: (t_steps - 1 - t, 0, s)
+    kernel = functools.partial(_lstmp_stream_bwd_kernel,
+                               cell_clip=cell_clip, proj_clip=proj_clip)
+    dgates, dhpre = pl.pallas_call(
+        kernel,
+        grid=(t_steps, n_slabs),
+        in_specs=[
+            pl.BlockSpec((1, b, 4, slab),
+                         lambda t, s: (t_steps - 1 - t, 0, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_dim, 4, slab), lambda t, s: (0, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, slab), lambda t, s: (0, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab, p_dim), lambda t, s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, p_dim), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, slab), rev_ts, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, slab), rev_ts, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, p_dim), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, p_dim), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, slab), rev_ts, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b, 4, slab),
+                         lambda t, s: (t_steps - 1 - t, 0, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, p_dim), rev_t, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_steps, b, 4, c_dim), xp4.dtype),
+            jax.ShapeDtypeStruct((t_steps, b, p_dim), xp4.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((b, p_dim), jnp.float32),
+                        pltpu.VMEM((b, c_dim), jnp.float32),
+                        pltpu.VMEM((b, p_dim), jnp.float32)],
+        interpret=_interpret(),
+    )(xp4, w_h_t3, b3, w_p_t, ys_prev, cpre, cpre_prev, hpre, dys, dcpre)
+    # weight grads as three large MXU matmuls (T*B contracted)
+    dw_h_t3 = jnp.einsum("tbgc,tbp->pgc", dgates, ys_prev,
+                         preferred_element_type=jnp.float32)
+    db3 = jnp.sum(dgates, axis=(0, 1))[None]
+    dw_p_t = jnp.einsum("tbp,tbc->cp", dhpre, hf,
+                        preferred_element_type=jnp.float32)
+    return (dgates, dw_h_t3.astype(w_h_t3.dtype), db3,
+            dw_p_t.astype(w_p_t.dtype))
+
+
+lstmp_sequence_streamed.defvjp(_lstmp_stream_fwd_rule,
+                               _lstmp_stream_bwd_rule)
+
+
+def _lstmp_slab(c_dim: int, p_dim: int, b: int) -> int:
+    """Largest power-of-two slab (>=128 when possible) whose double-
+    buffered weight blocks fit the VMEM budget used elsewhere."""
+    budget = 10 * 1024 * 1024
+    slab = c_dim
+    while slab > 128:
+        # whh + wp blocks double-buffered, plus xp/cpre/hf blocks
+        need = (2 * (p_dim * 4 * slab + slab * p_dim) +
+                2 * (b * 4 * slab + 2 * b * slab)) * 4
+        if need <= budget or slab % 2 or (slab // 2) % 128:
+            break
+        slab //= 2
+    return slab
+
+
+def lstmp_layer_streamed(p: dict, x: jnp.ndarray, reverse: bool = False,
+                         cell_clip: float = 3.0, proj_clip: float = 3.0,
+                         slab: int | None = None, weight_dtype=None):
+    """LSTMP layer via the streaming kernel (allennlp param layout, as
+    ``ops/rnn.py::lstmp_layer``): p = {w_x [4C, In], w_h [4C, P], b [4C],
+    w_p [P, C]}; x: [B, T, In] -> (ys [B, T, P], h_last, c_last).
+
+    The kernel is HBM-bandwidth bound on the per-step weight stream
+    (~41 MB f32 at ELMo geometry); ``weight_dtype=jnp.bfloat16`` halves
+    that — and matches what XLA's default-precision f32 matmul would
+    round the operands to on the MXU anyway, so TPU numerics are
+    unchanged in practice.  Activations/state stay f32."""
+    if reverse:
+        x = jnp.flip(x, axis=1)
+    b, t_steps, _ = x.shape
+    p_dim, c_dim = p["w_p"].shape
+    xp = jnp.einsum("bti,gi->btg", x, p["w_x"],
+                    preferred_element_type=jnp.float32)
+    xp4 = jnp.swapaxes(xp, 0, 1).reshape(t_steps, b, 4, c_dim)
+    w_h_t3 = p["w_h"].T.reshape(p_dim, 4, c_dim)
+    b3 = p["b"].reshape(1, 4, c_dim)
+    w_p_t = p["w_p"].T
+    if weight_dtype is not None:
+        w_h_t3 = w_h_t3.astype(weight_dtype)
+        w_p_t = w_p_t.astype(weight_dtype)
+    if slab is None:
+        slab = _lstmp_slab(c_dim, p_dim, b)
+    ys, cs_pre = lstmp_sequence_streamed(xp4, w_h_t3, b3, w_p_t, slab,
+                                         cell_clip, proj_clip)
+    c_last = jnp.clip(cs_pre[-1], -cell_clip, cell_clip) if cell_clip \
+        else cs_pre[-1]
+    h_last = ys[-1]
+    ys = jnp.swapaxes(ys, 0, 1)
+    if reverse:
+        ys = jnp.flip(ys, axis=1)
+    return ys, h_last, c_last
+
+
+# ---------------------------------------------------------------------------
 # LSTM (i,f,g,o gate order — torch nn.LSTM)
 # ---------------------------------------------------------------------------
 

@@ -214,3 +214,84 @@ def test_pallas_backend_in_rnn_api():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(hn_pal), np.asarray(hn_scan),
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Streaming LSTMP (ELMo biLM cell)
+# ---------------------------------------------------------------------------
+
+
+def _lstmp_params(key, d, c, p_dim):
+    return rnn.init_lstmp(key, d, c, p_dim)
+
+
+@pytest.mark.parametrize("slab", [None, 8])
+@pytest.mark.parametrize("reverse", [False, True])
+def test_streamed_lstmp_matches_scan(slab, reverse):
+    p = _lstmp_params(jax.random.PRNGKey(0), 12, 16, 8)
+    # scale up so the +-3 cell/proj clips actually bind
+    p = {k: v * 3.0 for k, v in p.items()}
+    p["w_p"] = p["w_p"] * 5.0
+    p["b"] = jnp.ones_like(p["b"])
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 6, 12)) * 2.0
+    ys_s, h_s, c_s = rnn.lstmp_layer(p, x, reverse=reverse, backend="xla")
+    ys_p, h_p, c_p = rnn_pallas.lstmp_layer_streamed(p, x, reverse=reverse,
+                                                     slab=slab)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s), atol=1e-5)
+    # clips must actually have fired for this to test the masks
+    assert float(jnp.max(jnp.abs(ys_s))) == pytest.approx(3.0)
+
+
+def test_streamed_lstmp_no_clip_matches_scan():
+    p = _lstmp_params(jax.random.PRNGKey(2), 8, 8, 8)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 5, 8))
+    ys_s, _, c_s = rnn.lstmp_layer(p, x, cell_clip=0.0, proj_clip=0.0,
+                                   backend="xla")
+    ys_p, _, c_p = rnn_pallas.lstmp_layer_streamed(p, x, cell_clip=0.0,
+                                                   proj_clip=0.0)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s), atol=1e-5)
+
+
+@pytest.mark.parametrize("slab", [None, 4])
+def test_streamed_lstmp_gradients_match_scan(slab):
+    p = _lstmp_params(jax.random.PRNGKey(4), 12, 16, 8)
+    p = {k: v * 2.0 for k, v in p.items()}
+    x = jax.random.normal(jax.random.PRNGKey(5), (3, 7, 12)) * 1.5
+
+    def loss(layer_fn, p, x):
+        ys, h_last, c_last = layer_fn(p, x)
+        return (jnp.sum(jnp.sin(ys)) + jnp.sum(c_last * 0.3) +
+                jnp.sum(h_last))
+
+    scan_fn = lambda p, x: rnn.lstmp_layer(p, x, backend="xla")
+    pal_fn = lambda p, x: rnn_pallas.lstmp_layer_streamed(p, x, slab=slab)
+    g1 = jax.grad(lambda p, x: loss(scan_fn, p, x))(p, x)
+    g2 = jax.grad(lambda p, x: loss(pal_fn, p, x))(p, x)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
+                                   atol=1e-4, err_msg=k)
+    gx1 = jax.grad(lambda p, x: loss(scan_fn, p, x), argnums=1)(p, x)
+    gx2 = jax.grad(lambda p, x: loss(pal_fn, p, x), argnums=1)(p, x)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), atol=1e-4)
+
+
+def test_streamed_lstmp_reverse_gradients_match_scan():
+    p = _lstmp_params(jax.random.PRNGKey(6), 8, 8, 8)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 5, 8))
+
+    def loss(layer_fn, p, x):
+        ys, _, _ = layer_fn(p, x)
+        return jnp.sum(ys ** 2)
+
+    g1 = jax.grad(lambda p, x: loss(
+        lambda p, x: rnn.lstmp_layer(p, x, reverse=True, backend="xla"),
+        p, x))(p, x)
+    g2 = jax.grad(lambda p, x: loss(
+        lambda p, x: rnn_pallas.lstmp_layer_streamed(p, x, reverse=True),
+        p, x))(p, x)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
+                                   atol=1e-4, err_msg=k)
