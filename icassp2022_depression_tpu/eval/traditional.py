@@ -78,24 +78,37 @@ def classify(features: np.ndarray, targets: np.ndarray,
 def regress(features: np.ndarray, targets: np.ndarray,
             dep_idxs: np.ndarray, non_idxs: np.ndarray,
             model: str = "svr", seed: int = 0, n_folds: int = 3,
-            test_dep: int = 10, test_non: int = 44):
+            test_dep: int = 10, test_non: int = 44,
+            augment_first_n: int = 14):
     """3-fold traditional regression (the commented sklearn blocks of the
-    regression scripts, made runnable)."""
+    regression scripts, made runnable).
+
+    Fits on the same *augmented* train split the neural trainer builds —
+    first ``augment_first_n`` depressed train speakers expanded to all 6
+    permutations — matching the arrays the reference's commented blocks
+    operate on (``Regression/audio_bilstm_perm.py:221-231,268-376``; those
+    blocks index the grown ``audio_features`` with
+    ``train_dep_idxs + train_non_idxs + ...``).  Deliberate deviation: the
+    commented SVM block then re-splits that concatenation with a fresh
+    ``KFold`` and scores against a commented-out validation set — an
+    internally inconsistent fragment — so evaluation here uses the
+    trainer's own unaugmented per-fold test split instead."""
+    from icassp2022_depression_tpu.data import augment
     from icassp2022_depression_tpu.data import folds as folds_lib
 
     results: List[dict] = []
     for fold in range(n_folds):
         tr_d, tr_n, te_d, te_n = folds_lib.reg_fold_split(
             dep_idxs, non_idxs, fold, test_dep, test_non)
-        tr = np.concatenate([tr_d, tr_n]).astype(np.int64)
-        te = np.concatenate([te_d, te_n]).astype(np.int64)
+        (xtr, ytr), (xte, yte) = augment.augment_regression_fold(
+            [features], targets, tr_d, tr_n, te_d, te_n, augment_first_n)
         reg = _make_regressor(model, seed)
-        reg.fit(features[tr].reshape(len(tr), -1), targets[tr])
-        pred = reg.predict(features[te].reshape(len(te), -1))
+        reg.fit(xtr[0].reshape(len(ytr), -1), ytr)
+        pred = reg.predict(xte[0].reshape(len(yte), -1))
         results.append({
             "fold": fold + 1,
-            "mae": metrics.mean_absolute_error(targets[te], pred),
-            "rmse": metrics.root_mean_squared_error(targets[te], pred),
+            "mae": metrics.mean_absolute_error(yte, pred),
+            "rmse": metrics.root_mean_squared_error(yte, pred),
         })
     summary = metrics.fold_mean(results, ("mae", "rmse"))
     return results, summary

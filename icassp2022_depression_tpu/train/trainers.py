@@ -75,6 +75,32 @@ def _gated(results):
     return [r for r in results if r["best"]["epoch"] >= 0]
 
 
+def _save_gated(out_dir, name, r, task: str, seed: int, train_idx=None,
+                dump_idx: bool = False, extras: dict | None = None):
+    """Gated-best save with a self-describing JSON sidecar — task, seed,
+    fold, and the fold's train indices — so any saved best is reproducible
+    standalone.  With ``dump_idx`` also emits the winning train-idx
+    artifact ``train_idxs_{f1:.2f}_{fold}.npy`` next to the checkpoint, as
+    the reference does on gate fire
+    (``Classification/audio_gru_whole.py:240``); downstream scripts (and
+    ``cli check --idx-files``) consume those exact files (``:261-263``)."""
+    meta = {k: v for k, v in r["best"].items() if k != "params"}
+    meta.update(task=task, seed=seed, fold=r["fold"])
+    if train_idx is not None:
+        meta["train_idx"] = [int(i) for i in np.asarray(train_idx)]
+    if extras:
+        meta.update(extras)
+    path = Path(out_dir) / name
+    saved = checkpoints.save(path, r["best"]["params"], meta)
+    if dump_idx and train_idx is not None:
+        np.save(saved.parent / "train_idxs_{:.2f}_{}.npy".format(
+            r["best"]["f1"], r["fold"]), np.asarray(train_idx))
+
+
+def _intlist(a):
+    return [int(i) for i in np.asarray(a)]
+
+
 def _host_best(best):
     out = {k: (float(v) if k != "params" else v) for k, v in best.items()}
     return out
@@ -268,8 +294,9 @@ def train_audio_clf(features: np.ndarray, targets: np.ndarray,
             name = checkpoints.audio_clf_name(
                 tcfg.model.embedding_size, tcfg.model.hidden_dims,
                 r["best"]["f1"], r["fold"])
-            checkpoints.save(Path(out_dir) / name, r["best"]["params"],
-                             {k: v for k, v in r["best"].items() if k != "params"})
+            _save_gated(out_dir, name, r, "audio_clf", seed,
+                        train_idx=train_folds_idx[r["fold"] - 1],
+                        dump_idx=True)
     return results
 
 
@@ -290,8 +317,9 @@ def train_text_clf(features: np.ndarray, targets: np.ndarray,
         for r in _gated(results):
             name = checkpoints.text_clf_name(
                 tcfg.model.hidden_dims, r["best"]["f1"], r["fold"])
-            checkpoints.save(Path(out_dir) / name, r["best"]["params"],
-                             {k: v for k, v in r["best"].items() if k != "params"})
+            _save_gated(out_dir, name, r, "text_clf", seed,
+                        train_idx=train_folds_idx[r["fold"] - 1],
+                        dump_idx=True)
     return results
 
 
@@ -408,8 +436,9 @@ def train_fuse_clf(audio_features: np.ndarray, text_features: np.ndarray,
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.fuse_clf_name(r["best"]["f1"], r["fold"])
-            checkpoints.save(Path(out_dir) / name, r["best"]["params"],
-                             {k: v for k, v in r["best"].items() if k != "params"})
+            _save_gated(out_dir, name, r, "fuse_clf", seed,
+                        train_idx=train_folds_idx[r["fold"] - 1],
+                        dump_idx=True)
     return results
 
 
@@ -452,9 +481,10 @@ def train_audio_reg(features: np.ndarray, targets: np.ndarray,
             name = checkpoints.audio_reg_name(
                 tcfg.model.embedding_size, tcfg.model.hidden_dims,
                 r["best"]["mae"])
-            checkpoints.save(Path(out_dir) / f"Audio{r['fold']}" / name,
-                             r["best"]["params"],
-                             {k: v for k, v in r["best"].items() if k != "params"})
+            _save_gated(Path(out_dir) / f"Audio{r['fold']}", name, r,
+                        "audio_reg", seed,
+                        extras={"dep_idxs": _intlist(dep_idxs),
+                                "non_idxs": _intlist(non_idxs)})
     return results
 
 
@@ -472,9 +502,10 @@ def train_text_reg(features: np.ndarray, targets: np.ndarray,
         for r in _gated(results):
             name = checkpoints.text_reg_name(tcfg.model.hidden_dims,
                                              r["best"]["mae"])
-            checkpoints.save(Path(out_dir) / f"Text{r['fold']}" / name,
-                             r["best"]["params"],
-                             {k: v for k, v in r["best"].items() if k != "params"})
+            _save_gated(Path(out_dir) / f"Text{r['fold']}", name, r,
+                        "text_reg", seed,
+                        extras={"dep_idxs": _intlist(dep_idxs),
+                                "non_idxs": _intlist(non_idxs)})
     return results
 
 
@@ -494,7 +525,8 @@ def train_fuse_reg(audio_features: np.ndarray, text_features: np.ndarray,
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.fuse_reg_name(r["best"]["mae"])
-            checkpoints.save(Path(out_dir) / f"Fuse{r['fold']}" / name,
-                             r["best"]["params"],
-                             {k: v for k, v in r["best"].items() if k != "params"})
+            _save_gated(Path(out_dir) / f"Fuse{r['fold']}", name, r,
+                        "fuse_reg", seed,
+                        extras={"dep_idxs": _intlist(dep_idxs),
+                                "non_idxs": _intlist(non_idxs)})
     return results
