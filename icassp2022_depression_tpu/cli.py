@@ -111,6 +111,10 @@ def cmd_train(args):
     if args.resume_dir:
         resume_kw = {"resume_dir": Path(args.resume_dir),
                      "chunk_epochs": args.chunk_epochs}
+    if args.vmap_folds or args.fold_parallel:
+        assert not args.resume_dir, "--vmap-folds does not support resume"
+        resume_kw.update(vmap_folds=args.vmap_folds or args.fold_parallel,
+                         fold_parallel=args.fold_parallel)
     _require_features(audio_dir if args.task.startswith("audio")
                       else text_dir,
                       "audio" if args.task.startswith("audio") else "text")
@@ -181,6 +185,10 @@ def cmd_pipeline(args):
         return C.replace(tcfg, optimizer=C.replace(tcfg.optimizer,
                                                    learning_rate=args.lr))
 
+    fold_kw = {}
+    if args.vmap_folds or args.fold_parallel:
+        fold_kw = {"vmap_folds": True, "fold_parallel": args.fold_parallel}
+
     _require_features(audio_dir, "audio")
     _require_features(text_dir, "text")
     if args.track == "clf":
@@ -189,10 +197,10 @@ def cmd_pipeline(args):
         tf_idx = _train_folds(root, ya, args.seed, args.idx_files)
         ra = trainers.train_audio_clf(xa, ya, tf_idx, _lr(C.AUDIO_CLF),
                                       out_dir=model_dir / "ClassificationWhole/Audio",
-                                      seed=args.seed)
+                                      seed=args.seed, **fold_kw)
         rt = trainers.train_text_clf(xt, yt, tf_idx, _lr(C.TEXT_CLF),
                                      out_dir=model_dir / "ClassificationWhole/Text",
-                                     seed=args.seed)
+                                     seed=args.seed, **fold_kw)
         _warn_ungated({"audio_clf": ra, "text_clf": rt})
         branch = [(rt[i]["best"]["params"], ra[i]["best"]["params"])
                   for i in range(len(ra))]
@@ -215,17 +223,17 @@ def cmd_pipeline(args):
         dep, non = folds.generate_reg_shuffles(ya, seed=args.seed)
         ra = trainers.train_audio_reg(xa, ya, dep, non, _lr(C.AUDIO_REG),
                                       out_dir=model_dir / "Regression",
-                                      seed=args.seed)
+                                      seed=args.seed, **fold_kw)
         rt = trainers.train_text_reg(xt, yt, dep, non, _lr(C.TEXT_REG),
                                      out_dir=model_dir / "Regression",
-                                     seed=args.seed)
+                                     seed=args.seed, **fold_kw)
         _warn_ungated({"audio_reg": ra, "text_reg": rt})
         branch = [(rt[i]["best"]["params"], ra[i]["best"]["params"])
                   for i in range(len(ra))]
         rf = trainers.train_fuse_reg(xa, xt, ya, dep, non, branch,
                                      tcfg=_lr(C.FUSE_REG_TRAINER),
                                      out_dir=model_dir / "Regression",
-                                     seed=args.seed)
+                                     seed=args.seed, **fold_kw)
         for name, results in (("audio_reg", ra), ("text_reg", rt),
                               ("fuse_reg", rf)):
             for r in results:
@@ -384,6 +392,12 @@ def build_parser():
     sp.add_argument("--verbose", action="store_true")
     sp.add_argument("--resume-dir", help="chunked execution + resume bundle dir")
     sp.add_argument("--chunk-epochs", type=int, default=25)
+    sp.add_argument("--vmap-folds", action="store_true",
+                    help="run all folds as ONE vmapped compiled program")
+    sp.add_argument("--fold-parallel", action="store_true",
+                    help="shard the vmapped fold axis over one device per "
+                         "fold (implies --vmap-folds; 3 folds ~ 1 fold "
+                         "wall-clock on a multi-chip mesh)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("pipeline", help="full track incl. fusion")
@@ -395,6 +409,14 @@ def build_parser():
     sp.add_argument("--lr", type=float, default=None,
                     help="override every trainer's learning rate (demo aid; "
                          "default keeps the reference values)")
+    sp.add_argument("--vmap-folds", action="store_true",
+                    help="vectorise folds for the branch trainers (and reg "
+                         "fusion; clf fusion is inherently sequential: "
+                         "fold k+1 continues fold k's fc_final + Adam "
+                         "state, fuse_net_whole.py:413-416)")
+    sp.add_argument("--fold-parallel", action="store_true",
+                    help="additionally shard the fold axis over one device "
+                         "per fold (implies --vmap-folds)")
     sp.set_defaults(fn=cmd_pipeline)
 
     sp = sub.add_parser("check", help="recompute fold metrics from checkpoints")

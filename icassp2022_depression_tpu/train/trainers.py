@@ -169,9 +169,12 @@ def _execute_fold(make_runner, runner_cache, params, optimizer, data,
 
 
 def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
-                          seed: int):
+                          seed: int, fold_parallel: bool = False):
     """Cross-fold vmap path: all folds as one compiled program
-    (:func:`..train.loop.make_multi_fold_runner`)."""
+    (:func:`..train.loop.make_multi_fold_runner`).  With ``fold_parallel``
+    the stacked fold axis is additionally sharded over a
+    :func:`..parallel.distributed.fold_mesh` (one device per fold), so
+    3 folds run in ~1 fold's wall-clock."""
     train_loss, eval_fn = fns
     stacked_params = jax.tree_util.tree_map(
         lambda *ls: jnp.stack(ls), *params_list)
@@ -181,6 +184,14 @@ def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
     stacked_data = loop.stack_fold_data(fold_datas)
     keys = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(seed + 1000), i)
                       for i in range(1, len(fold_datas) + 1)])
+    if fold_parallel:
+        from icassp2022_depression_tpu.parallel import distributed
+
+        mesh = distributed.fold_mesh(len(fold_datas))
+        stacked_params = distributed.shard_over_folds(mesh, stacked_params)
+        stacked_opt = distributed.shard_over_folds(mesh, stacked_opt)
+        stacked_data = distributed.shard_over_folds(mesh, stacked_data)
+        keys = distributed.shard_over_folds(mesh, keys)
     run = loop.make_multi_fold_runner(train_loss, eval_fn, optimizer,
                                       tcfg.track, tcfg.gate, tcfg.epochs)
     _, _, _, best, logs = run(stacked_params, stacked_opt, stacked_data, keys)
@@ -197,15 +208,16 @@ def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
 def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
                seed: int, init_params_per_fold=None, resume_dir=None,
                chunk_epochs=None, task_name: str = "task",
-               vmap_folds: bool = False):
+               vmap_folds: bool = False, fold_parallel: bool = False):
     """Shared fold loop: init -> compiled fold program -> host summary.
 
     All folds are padded to identical shapes (``_clf_fold_datas`` /
     ``_reg_fold_datas``) and share ONE compiled program — the optimizer and
     runner are built once from the first fold's param structure.  With
     ``vmap_folds`` all folds run as a single vmapped program (incompatible
-    with ``resume_dir``)."""
-    if vmap_folds:
+    with ``resume_dir``); ``fold_parallel`` additionally shards the fold
+    axis over one device per fold (implies ``vmap_folds``)."""
+    if vmap_folds or fold_parallel:
         assert resume_dir is None, "vmap_folds does not support resume"
         if init_params_per_fold is not None:
             params_list = list(init_params_per_fold)
@@ -219,7 +231,8 @@ def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
                                 _dead_paths(model_module))
         fns = _branch_fns(model_module, tcfg.model, tcfg)
         return _vmapped_fold_results(fns, optimizer, tcfg, fold_datas,
-                                     params_list, seed)
+                                     params_list, seed,
+                                     fold_parallel=fold_parallel)
     results = []
     make_runner = None
     runner_cache: dict = {}
@@ -281,14 +294,15 @@ def train_audio_clf(features: np.ndarray, targets: np.ndarray,
                     tcfg: C.TrainerConfig = C.AUDIO_CLF,
                     out_dir: Optional[Path] = None, seed: int = 0,
                     resume_dir=None, chunk_epochs=None,
-                    vmap_folds: bool = False,
+                    vmap_folds: bool = False, fold_parallel: bool = False,
                     fold_cfg: C.FoldConfig = C.FoldConfig()):
     """3-fold audio GRU classifier.  ``features``: [N, 3, 256]."""
     datas = _clf_fold_datas([features], targets, train_folds_idx,
                             tcfg.batch_size, fold_cfg)
     results = _run_folds(audio_net, tcfg, datas, seed,
                          resume_dir=resume_dir, chunk_epochs=chunk_epochs,
-                         task_name="audio_clf", vmap_folds=vmap_folds)
+                         task_name="audio_clf", vmap_folds=vmap_folds,
+                         fold_parallel=fold_parallel)
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.audio_clf_name(
@@ -305,14 +319,15 @@ def train_text_clf(features: np.ndarray, targets: np.ndarray,
                    tcfg: C.TrainerConfig = C.TEXT_CLF,
                    out_dir: Optional[Path] = None, seed: int = 0,
                    resume_dir=None, chunk_epochs=None,
-                   vmap_folds: bool = False,
+                   vmap_folds: bool = False, fold_parallel: bool = False,
                    fold_cfg: C.FoldConfig = C.FoldConfig()):
     """3-fold text BiLSTM classifier.  ``features``: [N, 3, 1024]."""
     datas = _clf_fold_datas([features], targets, train_folds_idx,
                             tcfg.batch_size, fold_cfg)
     results = _run_folds(text_net, tcfg, datas, seed,
                          resume_dir=resume_dir, chunk_epochs=chunk_epochs,
-                         task_name="text_clf", vmap_folds=vmap_folds)
+                         task_name="text_clf", vmap_folds=vmap_folds,
+                         fold_parallel=fold_parallel)
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.text_clf_name(
@@ -350,9 +365,36 @@ def _fusion_fns(fcfg: C.FusionConfig, tcfg: C.TrainerConfig):
     return train_loss, eval_fn
 
 
+def _vmapped_fusion_results(fcfg, tcfg, fold_datas, branch_params, seed,
+                            track, fold_parallel: bool = False):
+    """Regression-track fusion folds as one vmapped (optionally
+    fold-sharded) program — valid because every reg fold starts fresh
+    (``Regression/fuse_net.py:549-552``); per-fold init and PRNG keys are
+    identical to the serial path."""
+    precompute = jax.jit(
+        lambda p, xa, xt: fusion.pretrained_feature(p, fcfg, xa, xt,
+                                                    train=False))
+    params_list, datas = [], []
+    for fold_idx, data in enumerate(fold_datas, start=1):
+        base = fusion.init(
+            jax.random.fold_in(jax.random.PRNGKey(seed), fold_idx), fcfg)
+        text_p, audio_p = branch_params[fold_idx - 1]
+        params = fusion.init_from_branches(base, fcfg, text_p, audio_p,
+                                           track)
+        tf_te, af_te = precompute(params, data.test_x[0], data.test_x[1])
+        datas.append(data._replace(
+            test_x=(jnp.concatenate([tf_te, af_te], axis=-1),)))
+        params_list.append(params)
+    optimizer = optim.build(tcfg.optimizer, params_list[0])
+    fns = _fusion_fns(fcfg, tcfg)
+    return _vmapped_fold_results(fns, optimizer, tcfg, datas, params_list,
+                                 seed, fold_parallel=fold_parallel)
+
+
 def _run_fusion_folds(fcfg, tcfg, fold_datas, branch_params, seed, track,
                       resume_dir=None, chunk_epochs=None,
-                      task_name: str = "fuse"):
+                      task_name: str = "fuse", vmap_folds: bool = False,
+                      fold_parallel: bool = False):
     """Fold loop for the fusion trainers.
 
     Cross-fold state semantics mirror the reference exactly:
@@ -363,9 +405,26 @@ def _run_fusion_folds(fcfg, tcfg, fold_datas, branch_params, seed, track,
       fold k+1 *continues* from fold k's trained ``fc_final`` weights and
       accumulated Adam moments (``carry_across_folds``);
     * regression (``Regression/fuse_net.py:549-552``): model and optimizer
-      are re-created inside the fold loop — every fold starts fresh.
+      are re-created inside the fold loop — every fold starts fresh,
+      which is why ``vmap_folds``/``fold_parallel`` are available for the
+      regression track only: the clf track's fold k+1 *inputs* (params +
+      Adam moments) are fold k's *outputs*, a sequential chain that no
+      amount of fold vectorisation can break without changing the
+      reference's training semantics.
     """
     carry_across_folds = (track == "classification")
+    if vmap_folds or fold_parallel:
+        if carry_across_folds:
+            raise ValueError(
+                "fold vectorisation is impossible for the clf fusion "
+                "trainer: the reference chains folds sequentially — fold "
+                "k+1 starts from fold k's trained fc_final weights and "
+                "accumulated Adam moments (fuse_net_whole.py:413-416) — "
+                "so fold programs cannot run concurrently")
+        assert resume_dir is None, "vmap_folds does not support resume"
+        return _vmapped_fusion_results(fcfg, tcfg, fold_datas,
+                                       branch_params, seed, track,
+                                       fold_parallel=fold_parallel)
     results = []
     make_runner = None
     runner_cache: dict = {}
@@ -423,16 +482,20 @@ def train_fuse_clf(audio_features: np.ndarray, text_features: np.ndarray,
                    tcfg: C.TrainerConfig = C.FUSE_CLF_TRAINER,
                    out_dir: Optional[Path] = None, seed: int = 0,
                    resume_dir=None, chunk_epochs=None,
+                   vmap_folds: bool = False, fold_parallel: bool = False,
                    fold_cfg: C.FoldConfig = C.FoldConfig()):
     """3-fold multimodal fusion classifier.  ``branch_params[fold]`` is the
     (text_params, audio_params) pair from the pretrained branch trainers
-    (replacing the reference's state-dict surgery)."""
+    (replacing the reference's state-dict surgery).  ``vmap_folds``/
+    ``fold_parallel`` raise: the clf track chains folds sequentially (see
+    ``_run_fusion_folds``)."""
     datas = _clf_fold_datas([audio_features, text_features], targets,
                             train_folds_idx, tcfg.batch_size, fold_cfg)
     results = _run_fusion_folds(fcfg, tcfg, datas, branch_params, seed,
                                 "classification", resume_dir=resume_dir,
                                 chunk_epochs=chunk_epochs,
-                                task_name="fuse_clf")
+                                task_name="fuse_clf", vmap_folds=vmap_folds,
+                                fold_parallel=fold_parallel)
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.fuse_clf_name(r["best"]["f1"], r["fold"])
@@ -469,13 +532,15 @@ def train_audio_reg(features: np.ndarray, targets: np.ndarray,
                     dep_idxs: np.ndarray, non_idxs: np.ndarray,
                     tcfg: C.TrainerConfig = C.AUDIO_REG,
                     out_dir: Optional[Path] = None, seed: int = 0,
-                    resume_dir=None, chunk_epochs=None):
+                    resume_dir=None, chunk_epochs=None,
+                    vmap_folds: bool = False, fold_parallel: bool = False):
     """3-fold audio GRU SDS-score regressor (L1 loss, MAE gating)."""
     datas = _reg_fold_datas([features], targets, dep_idxs, non_idxs,
                             tcfg.batch_size)
     results = _run_folds(audio_net, tcfg, datas, seed,
                          resume_dir=resume_dir, chunk_epochs=chunk_epochs,
-                         task_name="audio_reg")
+                         task_name="audio_reg", vmap_folds=vmap_folds,
+                         fold_parallel=fold_parallel)
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.audio_reg_name(
@@ -492,12 +557,14 @@ def train_text_reg(features: np.ndarray, targets: np.ndarray,
                    dep_idxs: np.ndarray, non_idxs: np.ndarray,
                    tcfg: C.TrainerConfig = C.TEXT_REG,
                    out_dir: Optional[Path] = None, seed: int = 0,
-                   resume_dir=None, chunk_epochs=None):
+                   resume_dir=None, chunk_epochs=None,
+                   vmap_folds: bool = False, fold_parallel: bool = False):
     datas = _reg_fold_datas([features], targets, dep_idxs, non_idxs,
                             tcfg.batch_size)
     results = _run_folds(text_net, tcfg, datas, seed,
                          resume_dir=resume_dir, chunk_epochs=chunk_epochs,
-                         task_name="text_reg")
+                         task_name="text_reg", vmap_folds=vmap_folds,
+                         fold_parallel=fold_parallel)
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.text_reg_name(tcfg.model.hidden_dims,
@@ -515,13 +582,16 @@ def train_fuse_reg(audio_features: np.ndarray, text_features: np.ndarray,
                    fcfg: C.FusionConfig = C.FUSE_REG,
                    tcfg: C.TrainerConfig = C.FUSE_REG_TRAINER,
                    out_dir: Optional[Path] = None, seed: int = 0,
-                   resume_dir=None, chunk_epochs=None):
+                   resume_dir=None, chunk_epochs=None,
+                   vmap_folds: bool = False, fold_parallel: bool = False,
+                   fold_cfg: C.FoldConfig = C.FoldConfig()):
     datas = _reg_fold_datas([audio_features, text_features], targets,
-                            dep_idxs, non_idxs, tcfg.batch_size)
+                            dep_idxs, non_idxs, tcfg.batch_size, fold_cfg)
     results = _run_fusion_folds(fcfg, tcfg, datas, branch_params, seed,
                                 "regression", resume_dir=resume_dir,
                                 chunk_epochs=chunk_epochs,
-                                task_name="fuse_reg")
+                                task_name="fuse_reg", vmap_folds=vmap_folds,
+                                fold_parallel=fold_parallel)
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.fuse_reg_name(r["best"]["mae"])
