@@ -292,6 +292,15 @@ def cmd_check(args):
     return 0
 
 
+def cmd_serve(args):
+    """Run the stdlib HTTP serving front around one checkpoint."""
+    from icassp2022_depression_tpu import serve
+
+    predictor = serve.Predictor.from_checkpoint(args.ckpt, args.task)
+    serve.serve_http(predictor, args.host, args.port)
+    return 0
+
+
 def cmd_predict(args):
     """Serve a prediction for one corpus speaker from a checkpoint."""
     from icassp2022_depression_tpu import serve
@@ -439,6 +448,15 @@ def build_parser():
     sp.add_argument("--speaker", required=True,
                     help="e.g. Data/5 or ValidationData/12")
     sp.set_defaults(fn=cmd_predict)
+
+    sp = sub.add_parser("serve", help="HTTP serving front (stdlib)")
+    sp.add_argument("--task", required=True, choices=[
+        "audio_clf", "text_clf", "fuse_clf",
+        "audio_reg", "text_reg", "fuse_reg"])
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8000)
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("baselines", help="sklearn baselines")
     sp.add_argument("--task", required=True,

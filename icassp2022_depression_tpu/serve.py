@@ -14,11 +14,20 @@ Typical use::
 
 Batch APIs accept many speakers and share one device dispatch per
 modality; feature extraction reuses the bucketed frontend (so repeated
-serving traffic hits cached compilations).
+serving traffic hits cached compilations).  Per-speaker extracted
+features are additionally memoised in an LRU keyed by a content digest of
+the raw inputs, so repeat speakers skip the (relay-transfer-bound)
+extraction entirely.  ``serve_http`` is an optional stdlib HTTP front
+(``cli serve``).  When a converted ELMoForManyLangs bundle is available
+(``ICASSP_ELMO_WEIGHTS`` / the cache path — see
+``scripts/convert_elmo_zhs.py``), text features come from the pretrained
+encoder automatically, matching ``extract-text``.
 """
 
 from __future__ import annotations
 
+import hashlib
+from collections import OrderedDict
 from pathlib import Path
 from typing import List, Optional, Sequence
 
@@ -47,24 +56,74 @@ def _model_for(task: str):
     return fusion, fcfg
 
 
+class _FeatureCache:
+    """Content-addressed LRU of per-speaker extracted features, so repeat
+    serving traffic for the same speaker skips extraction (the pipeline's
+    relay-transfer-bound stage) entirely."""
+
+    def __init__(self, max_entries: int = 256):
+        self.max_entries = max_entries
+        self._store: OrderedDict[str, np.ndarray] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def key(parts) -> str:
+        h = hashlib.blake2b(digest_size=16)
+        for p in parts:
+            if isinstance(p, str):
+                h.update(p.encode("utf-8"))
+            elif p is None:
+                h.update(b"\x00none")
+            else:
+                a = np.ascontiguousarray(p)
+                h.update(str(a.dtype).encode())
+                h.update(str(a.shape).encode())
+                h.update(a.tobytes())
+            h.update(b"\x1f")
+        return h.hexdigest()
+
+    def get(self, key: str):
+        if key in self._store:
+            self._store.move_to_end(key)
+            self.hits += 1
+            return self._store[key]
+        self.misses += 1
+        return None
+
+    def put(self, key: str, value: np.ndarray) -> None:
+        self._store[key] = value
+        self._store.move_to_end(key)
+        while len(self._store) > self.max_entries:
+            self._store.popitem(last=False)
+
+
 class Predictor:
     """Loads one trained model and serves end-to-end predictions."""
 
     def __init__(self, params, task: str,
                  frontend_cfg: C.FrontendConfig = C.FrontendConfig(),
-                 elmo_cfg=elmo.ElmoConfig(), elmo_params=None, seed: int = 0):
+                 elmo_cfg=elmo.ElmoConfig(), elmo_params=None, seed: int = 0,
+                 feature_cache_entries: int = 256):
         assert task in TASKS, f"task must be one of {TASKS}"
         self.task = task
         self.params = params
         self.frontend_cfg = frontend_cfg
         self.elmo_cfg = elmo_cfg
+        self._pretrained_elmo = None
         if elmo_params is None and not task.startswith("audio"):
-            if isinstance(elmo_cfg, elmo.ElmoLstmpConfig):
+            from icassp2022_depression_tpu.models import elmo_pretrained
+
+            bundle = elmo_pretrained.default_weights_path()
+            if bundle is not None:
+                self._pretrained_elmo = elmo_pretrained.load_npz(bundle)
+            elif isinstance(elmo_cfg, elmo.ElmoLstmpConfig):
                 elmo_params = elmo.init_lstmp_encoder(
                     jax.random.PRNGKey(seed), elmo_cfg)
             else:
                 elmo_params = elmo.init(jax.random.PRNGKey(seed), elmo_cfg)
         self.elmo_params = elmo_params
+        self.feature_cache = _FeatureCache(feature_cache_entries)
 
         module, mcfg = _model_for(task)
         if module is fusion:
@@ -135,15 +194,38 @@ class Predictor:
             raise ValueError(
                 f"task {self.task!r} needs 3 waveforms (+ sample rates) per "
                 "speaker; got None")
-        flat_w = [w for ws in waveforms_per_speaker for w in ws]
-        flat_sr = [sr for srs in sample_rates for sr in srs]
-        if ordinal_bases is None:
-            ordinals = [k for _ in waveforms_per_speaker for k in range(3)]
-        else:
-            ordinals = [base + k for base in ordinal_bases for k in range(3)]
-        feats = audio_fe.extract_batch(flat_w, flat_sr, self.frontend_cfg,
-                                       ordinals=ordinals)
-        return feats.reshape(len(waveforms_per_speaker), 3, -1)
+        n = len(waveforms_per_speaker)
+        keys = [
+            _FeatureCache.key(
+                ["audio", str(None if ordinal_bases is None
+                              else ordinal_bases[i]),
+                 str(list(sample_rates[i]))] + list(waveforms_per_speaker[i]))
+            for i in range(n)]
+        out = np.zeros((n, 3, self.frontend_cfg.netvlad_output_dim),
+                       np.float32)
+        todo = []
+        for i, key in enumerate(keys):
+            cached = self.feature_cache.get(key)
+            if cached is not None:
+                out[i] = cached
+            else:
+                todo.append(i)
+        if todo:
+            flat_w = [w for i in todo for w in waveforms_per_speaker[i]]
+            flat_sr = [sr for i in todo for sr in sample_rates[i]]
+            if ordinal_bases is None:
+                ordinals = [k for _ in todo for k in range(3)]
+            else:
+                ordinals = [ordinal_bases[i] + k for i in todo
+                            for k in range(3)]
+            feats = audio_fe.extract_batch(flat_w, flat_sr,
+                                           self.frontend_cfg,
+                                           ordinals=ordinals)
+            feats = feats.reshape(len(todo), 3, -1)
+            for row, i in enumerate(todo):
+                out[i] = feats[row]
+                self.feature_cache.put(keys[i], feats[row])
+        return out
 
     def text_features(self, texts_per_speaker: Sequence[Sequence[str]]
                       ) -> np.ndarray:
@@ -153,11 +235,33 @@ class Predictor:
             raise ValueError(
                 f"task {self.task!r} needs 3 transcripts per speaker; "
                 "got None (speaker has no transcript files?)")
-        sentences = [text_fe.tokenize(t) for ts in texts_per_speaker
-                     for t in ts]
-        flat = text_fe.embed_sentences(self.elmo_params, sentences,
-                                       self.elmo_cfg)
-        return flat.reshape(len(texts_per_speaker), 3, -1)
+        n = len(texts_per_speaker)
+        keys = [_FeatureCache.key(["text"] + list(ts))
+                for ts in texts_per_speaker]
+        dim = (self._pretrained_elmo.output_dim
+               if self._pretrained_elmo is not None
+               else self.elmo_cfg.output_dim)
+        out = np.zeros((n, 3, dim), np.float32)
+        todo = []
+        for i, key in enumerate(keys):
+            cached = self.feature_cache.get(key)
+            if cached is not None:
+                out[i] = cached
+            else:
+                todo.append(i)
+        if todo:
+            sentences = [text_fe.tokenize(t) for i in todo
+                         for t in texts_per_speaker[i]]
+            if self._pretrained_elmo is not None:
+                flat = self._pretrained_elmo.embed_sentences(sentences)
+            else:
+                flat = text_fe.embed_sentences(self.elmo_params, sentences,
+                                               self.elmo_cfg)
+            flat = flat.reshape(len(todo), 3, -1)
+            for row, i in enumerate(todo):
+                out[i] = flat[row]
+                self.feature_cache.put(keys[i], flat[row])
+        return out
 
     # -- prediction ---------------------------------------------------------
 
@@ -225,3 +329,86 @@ class Predictor:
             [sample_rates] if sample_rates is not None else None,
             [texts] if texts is not None else None,
             [ordinal_base] if ordinal_base is not None else None)[0]
+
+
+# ---------------------------------------------------------------------------
+# Optional stdlib HTTP front
+# ---------------------------------------------------------------------------
+#
+# POST /predict  {"speakers": [{"texts": ["...", "...", "..."],
+#                               "wav_b64": ["<base64 int16 LE PCM>", ...],
+#                               "sr": [16000, 16000, 16000],
+#                               "ordinal_base": 0 (optional)}, ...]}
+#   -> {"results": [{...}, ...]}   (one dict per speaker, as predict_batch)
+# GET  /healthz -> {"ok": true, "task": ..., "cache": {hits, misses}}
+#
+# Single-threaded by design: the TPU is single-tenant, so serialising
+# requests at the HTTP layer is the correct concurrency model here.
+
+
+def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
+                     port: int = 8000):
+    """Build (not start) an ``http.server.HTTPServer`` around a Predictor.
+    Call ``.serve_forever()`` to run; tests drive ``.handle_request()``."""
+    import base64
+    import json
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "ok": True, "task": predictor.task,
+                    "cache": {"hits": predictor.feature_cache.hits,
+                              "misses": predictor.feature_cache.misses}})
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length))
+                speakers = req["speakers"]
+                waves = srs = texts = bases = None
+                if not predictor.task.startswith("text"):
+                    waves = [[np.frombuffer(base64.b64decode(b), np.int16)
+                              for b in sp["wav_b64"]] for sp in speakers]
+                    srs = [sp["sr"] for sp in speakers]
+                if not predictor.task.startswith("audio"):
+                    texts = [sp["texts"] for sp in speakers]
+                if any("ordinal_base" in sp for sp in speakers):
+                    bases = [int(sp.get("ordinal_base", 0))
+                             for sp in speakers]
+                results = predictor.predict_batch(waves, srs, texts, bases)
+                self._send(200, {"results": results})
+            except Exception as exc:  # surface errors as JSON, keep serving
+                self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+
+    return HTTPServer((host, port), Handler)
+
+
+def serve_http(predictor: Predictor, host: str = "127.0.0.1",
+               port: int = 8000) -> None:
+    server = make_http_server(predictor, host, port)
+    print(f"serving {predictor.task} on http://{host}:{port} "
+          "(POST /predict, GET /healthz)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()

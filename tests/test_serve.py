@@ -110,3 +110,135 @@ def test_ported_torch_model_serves():
     wavs, srs, _ = _speaker(rng)
     r = p.predict_speaker(waveforms=wavs, sample_rates=srs)
     assert r["label"] in (0, 1)
+
+
+def test_feature_cache_repeat_speaker():
+    """Second request for the same speaker hits the cache and returns
+    identical features; a different speaker misses."""
+    params = audio_net.init(jax.random.PRNGKey(5), C.AUDIO_CLF.model)
+    p = serve.Predictor(params, "audio_clf")
+    rng = np.random.default_rng(5)
+    wavs, srs, _ = _speaker(rng)
+    r1 = p.predict_speaker(waveforms=wavs, sample_rates=srs)
+    h0, m0 = p.feature_cache.hits, p.feature_cache.misses
+    r2 = p.predict_speaker(waveforms=wavs, sample_rates=srs)
+    assert p.feature_cache.hits == h0 + 1
+    assert p.feature_cache.misses == m0
+    np.testing.assert_allclose(r1["probs"], r2["probs"], atol=1e-6)
+    wavs2, srs2, _ = _speaker(rng)
+    p.predict_speaker(waveforms=wavs2, sample_rates=srs2)
+    assert p.feature_cache.misses == m0 + 1
+    # ordinal base participates in the key (different NetVLAD params)
+    p.predict_speaker(waveforms=wavs, sample_rates=srs, ordinal_base=9)
+    assert p.feature_cache.misses == m0 + 2
+
+
+def test_feature_cache_eviction():
+    cache = serve._FeatureCache(max_entries=2)
+    for i in range(3):
+        cache.put(f"k{i}", np.full(2, i, np.float32))
+    assert cache.get("k0") is None          # evicted (LRU)
+    assert cache.get("k2") is not None
+
+
+def test_http_front_end_to_end():
+    import base64
+    import http.client
+    import json
+    import threading
+
+    params = fusion.init(jax.random.PRNGKey(6), C.FUSE_CLF)
+    p = serve.Predictor(params, "fuse_clf")
+    server = serve.make_http_server(p, port=0)   # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(6)
+        wavs, srs, texts = _speaker(rng)
+        body = json.dumps({"speakers": [{
+            "texts": texts,
+            "wav_b64": [base64.b64encode(
+                w.astype(np.int16).tobytes()).decode() for w in wavs],
+            "sr": srs,
+        }]})
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/predict", body,
+                     {"Content-Type": "application/json"})
+        resp = json.loads(conn.getresponse().read())
+        assert len(resp["results"]) == 1
+        assert resp["results"][0]["label"] in (0, 1)
+
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["ok"] and health["task"] == "fuse_clf"
+        assert health["cache"]["misses"] >= 1
+
+        conn.request("POST", "/predict", "{bad json",
+                     {"Content-Type": "application/json"})
+        err = conn.getresponse()
+        assert err.status == 400 and "error" in json.loads(err.read())
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_predictor_uses_pretrained_elmo_bundle(tmp_path, monkeypatch):
+    """With a converted ELMo bundle present, text features come from the
+    pretrained encoder (different width proves the path was taken)."""
+    import json as _json
+
+    import torch
+
+    from icassp2022_depression_tpu.models import elmo_pretrained
+
+    # build a tiny synthetic released dir inline (16-d proj -> 32-d output)
+    root = tmp_path / "zhs.model"
+    root.mkdir()
+    SP = ["<pad>", "<oov>", "<bos>", "<eos>", "<bow>", "<eow>"]
+    chars = {t: i for i, t in enumerate(SP + list("我今天很好还可以有点累"))}
+    words = {t: i for i, t in enumerate(SP[:4] + ["我", "今天", "很", "好"])}
+    for name, lex in (("char.dic", chars), ("word.dic", words)):
+        (root / name).write_text(
+            "".join(f"{t}\t{i}\n" for t, i in lex.items()), encoding="utf-8")
+    arch = {"encoder": {"name": "elmo", "projection_dim": 16, "dim": 32,
+                        "n_layers": 2, "cell_clip": 3, "proj_clip": 3},
+            "token_embedder": {"name": "cnn", "activation": "relu",
+                               "filters": [[1, 4], [2, 8]], "n_highway": 1,
+                               "word_dim": 6, "char_dim": 8,
+                               "max_characters_per_token": 6}}
+    (root / "cnn.json").write_text(_json.dumps(arch))
+    (root / "config.json").write_text(_json.dumps({"config_path": "cnn.json"}))
+    torch.manual_seed(0)
+    F = 12
+    te = {"char_emb_layer.embedding.weight": torch.randn(len(chars), 8),
+          "word_emb_layer.embedding.weight": torch.randn(len(words), 6),
+          "projection.weight": torch.randn(16, 6 + F) * .3,
+          "projection.bias": torch.randn(16) * .1,
+          "convolutions.0.weight": torch.randn(4, 8, 1) * .3,
+          "convolutions.0.bias": torch.randn(4) * .1,
+          "convolutions.1.weight": torch.randn(8, 8, 2) * .3,
+          "convolutions.1.bias": torch.randn(8) * .1,
+          "highways._layers.0.weight": torch.randn(2 * F, F) * .2,
+          "highways._layers.0.bias": torch.randn(2 * F) * .1}
+    enc = {}
+    for d in ("forward", "backward"):
+        for k in range(2):
+            pre = f"{d}_layer_{k}"
+            enc[f"{pre}.input_linearity.weight"] = torch.randn(128, 16) * .2
+            enc[f"{pre}.state_linearity.weight"] = torch.randn(128, 16) * .2
+            enc[f"{pre}.state_linearity.bias"] = torch.randn(128) * .1
+            enc[f"{pre}.state_projection.weight"] = torch.randn(16, 32) * .2
+    torch.save(te, root / "token_embedder.pkl")
+    torch.save(enc, root / "encoder.pkl")
+
+    bundle = tmp_path / "elmo.npz"
+    elmo_pretrained.save_npz(bundle, elmo_pretrained.convert_model_dir(root))
+    monkeypatch.setenv("ICASSP_ELMO_WEIGHTS", str(bundle))
+
+    params = text_net.init(jax.random.PRNGKey(7),
+                           C.replace(C.TEXT_CLF.model, embedding_size=32))
+    p = serve.Predictor(params, "text_clf")
+    assert p._pretrained_elmo is not None
+    feats = p.text_features([["我 今天 很 好", "还 可以", "有点 累"]])
+    assert feats.shape == (1, 3, 32)
