@@ -59,12 +59,54 @@ def cmd_extract_text(args):
 def cmd_extract_daic(args):
     from icassp2022_depression_tpu.frontend import daic
 
-    features, clabels, rlabels = daic.extract_split(
-        Path(args.daic_dir), Path(args.split_csv), Path(args.queries),
-        out_prefix=Path(args.out), split_name=args.split_name)
+    if args.multimodal:
+        features, text_features, clabels, rlabels = \
+            daic.extract_split_multimodal(
+                Path(args.daic_dir), Path(args.split_csv),
+                Path(args.queries), out_prefix=Path(args.out),
+                split_name=args.split_name, seed=args.seed,
+                elmo_weights=args.elmo_weights)
+    else:
+        features, clabels, rlabels = daic.extract_split(
+            Path(args.daic_dir), Path(args.split_csv), Path(args.queries),
+            out_prefix=Path(args.out), split_name=args.split_name)
     counts = [f.shape[0] for f in features]
     print(f"{len(features)} participants, responses per participant: "
-          f"min {min(counts, default=0)} max {max(counts, default=0)} -> {args.out}")
+          f"min {min(counts, default=0)} max {max(counts, default=0)} "
+          f"-> {args.out}"
+          + (" (+ text modality)" if args.multimodal else ""))
+
+
+def cmd_train_daic(args):
+    """Train on the AVEC2017 splits (the reference stops at extraction)."""
+    from icassp2022_depression_tpu.frontend import daic as daic_fe
+    from icassp2022_depression_tpu.train import daic as daic_train
+
+    prefix = Path(args.features)
+    if args.multimodal:
+        xa_tr, xt_tr, y_tr = daic_fe.load_features(prefix, "train",
+                                                   args.track, True)
+        xa_te, xt_te, y_te = daic_fe.load_features(prefix, args.eval_split,
+                                                   args.track, True)
+        x_tr = daic_train.concat_multimodal(xa_tr, xt_tr)
+        x_te = daic_train.concat_multimodal(xa_te, xt_te)
+        dim = x_tr[0].shape[-1] if x_tr else 0
+    else:
+        x_tr, y_tr = daic_fe.load_features(prefix, "train", args.track)
+        x_te, y_te = daic_fe.load_features(prefix, args.eval_split,
+                                           args.track)
+        dim = x_tr[0].shape[-1] if x_tr else 0
+    from icassp2022_depression_tpu import config as C
+    base = (daic_train.DAIC_CLF if args.track == "clf"
+            else daic_train.DAIC_REG)
+    tcfg = C.replace(base, model=C.replace(base.model, embedding_size=dim))
+    out_dir = Path(args.model_dir) if args.model_dir else None
+    result = daic_train.train_daic(x_tr, y_tr, x_te, y_te, tcfg,
+                                   out_dir=out_dir, seed=args.seed)
+    best = {k: round(v, 4) for k, v in result["best"].items()
+            if k != "params"}
+    print(json.dumps(best))
+    return 0
 
 
 def _load_clf_inputs(root: Path):
@@ -389,7 +431,23 @@ def build_parser():
     sp.add_argument("--queries", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--split-name", default="train")
+    sp.add_argument("--multimodal", action="store_true",
+                    help="also extract the per-response text modality "
+                         "(the reference drops it)")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--elmo-weights", default="auto")
     sp.set_defaults(fn=cmd_extract_daic)
+
+    sp = sub.add_parser("train-daic", help="DAIC-WOZ downstream training")
+    sp.add_argument("--track", required=True, choices=["clf", "reg"])
+    sp.add_argument("--features", required=True,
+                    help="directory written by extract-daic")
+    sp.add_argument("--eval-split", default="test",
+                    help="split name used for gating/eval (e.g. dev/test)")
+    sp.add_argument("--model-dir")
+    sp.add_argument("--multimodal", action="store_true")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_train_daic)
 
     sp = sub.add_parser("train", help="train one branch task")
     sp.add_argument("--task", required=True,

@@ -155,29 +155,107 @@ def extract_split(daic_dir: Path, split_csv: Path, queries_path: Path,
     return features, clabels, rlabels
 
 
+def _save_ragged(path: Path, features) -> None:
+    ragged = np.empty(len(features), dtype=object)
+    for i, f in enumerate(features):
+        ragged[i] = f
+    np.savez(path, np.asarray(ragged, dtype=object))
+
+
+def extract_split_multimodal(daic_dir: Path, split_csv: Path,
+                             queries_path: Path,
+                             cfg: FrontendConfig = FrontendConfig(),
+                             elmo_params=None, elmo_cfg=None, seed: int = 0,
+                             elmo_weights: str | None = "auto",
+                             out_prefix: Optional[Path] = None,
+                             split_name: str = "train"):
+    """Full split pass over BOTH modalities — the DAIC text branch the
+    reference drops (it extracts audio only,
+    ``DAICFeatureExtarction/feature_extraction.py:83-100``).  One session
+    decode per participant feeds both modalities; the audio features are
+    saved in the reference's four-file layout plus
+    ``{split}_text_samples.npz`` (ragged [n_i, Dt] blocks).  The text
+    embedder resolves like ``extract-text`` (pretrained bundle when
+    available, see :func:`..frontend.text.make_embedder`)."""
+    from icassp2022_depression_tpu.frontend import text as text_fe
+
+    embed, _ = text_fe.make_embedder(elmo_params, elmo_cfg, seed,
+                                     elmo_weights)
+    queries = load_queries(queries_path)
+    ids, clabels, rlabels = read_split_csv(split_csv)
+    audio_features, text_features = [], []
+    ordinal = 0
+    for pid in ids:
+        af, tf = extract_participant_multimodal(
+            daic_dir, pid, queries, None, None, cfg,
+            start_ordinal=ordinal, embed_fn=embed)
+        ordinal += len(af)
+        audio_features.append(af)
+        text_features.append(tf)
+    if out_prefix is not None:
+        out_prefix = Path(out_prefix)
+        out_prefix.mkdir(parents=True, exist_ok=True)
+        _save_ragged(out_prefix / f"{split_name}_samples_clf.npz",
+                     audio_features)
+        _save_ragged(out_prefix / f"{split_name}_samples_reg.npz",
+                     audio_features)
+        _save_ragged(out_prefix / f"{split_name}_text_samples.npz",
+                     text_features)
+        np.savez(out_prefix / f"{split_name}_labels_clf.npz",
+                 np.asarray(clabels))
+        np.savez(out_prefix / f"{split_name}_labels_reg.npz",
+                 np.asarray(rlabels))
+    return audio_features, text_features, clabels, rlabels
+
+
+def load_features(prefix: Path, split_name: str = "train",
+                  track: str = "clf", multimodal: bool = False):
+    """Saved split features back as ragged per-participant lists ->
+    (audio_features[, text_features], labels)."""
+    prefix = Path(prefix)
+    with np.load(prefix / f"{split_name}_samples_{track}.npz",
+                 allow_pickle=True) as z:
+        audio = list(z["arr_0"])
+    labels = np.load(prefix / f"{split_name}_labels_{track}.npz")["arr_0"]
+    if not multimodal:
+        return audio, labels
+    with np.load(prefix / f"{split_name}_text_samples.npz",
+                 allow_pickle=True) as z:
+        text = list(z["arr_0"])
+    return audio, text, labels
+
+
 def extract_participant_multimodal(daic_dir: Path, number: int,
                                    queries: Sequence[str], elmo_params,
                                    elmo_cfg,
                                    cfg: FrontendConfig = FrontendConfig(),
-                                   start_ordinal: int = 0):
+                                   start_ordinal: int = 0, embed_fn=None):
     """One participant, ONE session decode -> ([n, 1, Da] audio features,
     [n, Dt] text embeddings).  Reads the (large) session wav and transcript
-    once for both modalities."""
+    once for both modalities.  ``embed_fn`` (from
+    :func:`..frontend.text.make_embedder`) overrides the explicit
+    ``elmo_params``/``elmo_cfg`` pair."""
     from icassp2022_depression_tpu.frontend import audio as audio_frontend_
     from icassp2022_depression_tpu.frontend import text as text_fe
 
+    if embed_fn is None:
+        embed_fn, tdim = text_fe.make_embedder(elmo_params, elmo_cfg,
+                                               elmo_weights=None)
+    else:
+        tdim = None
     base = Path(daic_dir) / f"{number}_P"
     transcript = read_transcript(base / f"{number}_TRANSCRIPT.csv")
     wave_data, sr = read_wav(base / f"{number}_AUDIO.wav")
     signals, texts = segment_responses(transcript, wave_data, sr, queries,
                                        with_text=True)
     if not signals:
+        if tdim is None:
+            tdim = embed_fn([["x"]]).shape[1]
         return (np.zeros((0, 1, cfg.netvlad_output_dim), np.float32),
-                np.zeros((0, elmo_cfg.output_dim), np.float32))
+                np.zeros((0, tdim), np.float32))
     audio_feats = audio_frontend_.extract_batch(
         signals, [sr] * len(signals), cfg, start_ordinal=start_ordinal)
-    sentences = [text_fe.tokenize(t) for t in texts]
-    text_feats = text_fe.embed_sentences(elmo_params, sentences, elmo_cfg)
+    text_feats = embed_fn([text_fe.tokenize(t) for t in texts])
     return audio_feats[:, None, :], text_feats
 
 

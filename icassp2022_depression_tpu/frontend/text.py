@@ -95,6 +95,40 @@ def embed_sentences(params, sentences: Sequence[List[str]],
     return out
 
 
+def make_embedder(params=None, cfg=None, seed: int = 0,
+                  elmo_weights: Optional[str] = "auto"):
+    """Resolve the sentence embedder once -> ``(embed_fn, output_dim)``.
+
+    Resolution order: explicit ``params`` (+ ``cfg``) win; else a converted
+    ELMoForManyLangs bundle (``elmo_weights`` path, or ``"auto"`` via
+    ``ICASSP_ELMO_WEIGHTS``/the cache — see ``scripts/convert_elmo_zhs.py``);
+    else a deterministic PRNG-initialised encoder (documented stand-in).
+    Shared by the EATD and DAIC text frontends and the serving Predictor.
+    """
+    from icassp2022_depression_tpu.models import elmo_pretrained
+
+    if cfg is None:
+        cfg = elmo.ElmoConfig()
+    if params is not None:
+        return (lambda sentences: embed_sentences(params, sentences, cfg),
+                cfg.output_dim)
+    pretrained = None
+    if elmo_weights == "auto":
+        found = elmo_pretrained.default_weights_path()
+        if found is not None:
+            pretrained = elmo_pretrained.load_npz(found)
+    elif elmo_weights:
+        pretrained = elmo_pretrained.load_npz(Path(elmo_weights))
+    if pretrained is not None:
+        return pretrained.embed_sentences, pretrained.output_dim
+    if isinstance(cfg, elmo.ElmoLstmpConfig):
+        params = elmo.init_lstmp_encoder(jax.random.PRNGKey(seed), cfg)
+    else:
+        params = elmo.init(jax.random.PRNGKey(seed), cfg)
+    return (lambda sentences: embed_sentences(params, sentences, cfg),
+            cfg.output_dim)
+
+
 def extract_eatd(root: Path, params=None,
                  cfg=elmo.ElmoConfig(),
                  out_dir: Optional[Path] = None, seed: int = 0,
@@ -111,21 +145,7 @@ def extract_eatd(root: Path, params=None,
     ``Classification/text_features_whole.py:16,40``).  Passing ``params``
     explicitly always wins.
     """
-    from icassp2022_depression_tpu.models import elmo_pretrained
-
-    pretrained = None
-    if params is None and elmo_weights:
-        if elmo_weights == "auto":
-            found = elmo_pretrained.default_weights_path()
-            if found is not None:
-                pretrained = elmo_pretrained.load_npz(found)
-        else:
-            pretrained = elmo_pretrained.load_npz(Path(elmo_weights))
-    if params is None and pretrained is None:
-        if isinstance(cfg, elmo.ElmoLstmpConfig):
-            params = elmo.init_lstmp_encoder(jax.random.PRNGKey(seed), cfg)
-        else:
-            params = elmo.init(jax.random.PRNGKey(seed), cfg)
+    embed, _ = make_embedder(params, cfg, seed, elmo_weights)
     sentences: List[List[str]] = []
     sds: List[float] = []
     for sp in eatd.iter_speakers(root, max_id=max_id, read_text=True):
@@ -133,10 +153,7 @@ def extract_eatd(root: Path, params=None,
         for text in sp.texts:
             sentences.append(tokenize(text))
         sds.append(sp.sds)
-    if pretrained is not None:
-        flat = pretrained.embed_sentences(sentences)
-    else:
-        flat = embed_sentences(params, sentences, cfg)
+    flat = embed(sentences)
     n = len(sds)
     features = flat.reshape(n, 3, flat.shape[1])
     sds_targets = np.asarray(sds, np.float32)

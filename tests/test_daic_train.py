@@ -90,3 +90,85 @@ def test_masked_pooling_ignores_padding():
     b = audio_net.apply(params, cfg, jnp.asarray(x_padded),
                         time_mask=jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def _make_daic_corpus(tmp_path, pids=(300, 301)):
+    from icassp2022_depression_tpu.data import eatd
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    for pid in pids:
+        d = tmp_path / f"{pid}_P"
+        d.mkdir(parents=True)
+        eatd.write_wav(d / f"{pid}_AUDIO.wav",
+                       rng.standard_normal(sr * 6) * 3000, sr)
+        rows = [
+            "start_time\tstop_time\tspeaker\tvalue",
+            "0.0\t0.5\tEllie\thow are you doing today",
+            "0.6\t1.4\tParticipant\tpretty good",
+            "2.0\t2.5\tEllie\twhat are you like when you don't sleep well",
+            "2.6\t4.0\tParticipant\tnot great honestly",
+            "4.2\t4.5\tEllie\ti think i have asked everything i need to",
+        ]
+        (d / f"{pid}_TRANSCRIPT.csv").write_text("\n".join(rows) + "\n")
+    queries = tmp_path / "queries.txt"
+    queries.write_text("how are you doing today\n"
+                       "what are you like when you don't sleep well\n")
+    train_csv = tmp_path / "train_split.csv"
+    train_csv.write_text("Participant_ID,PHQ8_Binary,PHQ8_Score\n"
+                         f"{pids[0]},1,15\n")
+    test_csv = tmp_path / "test_split.csv"
+    test_csv.write_text("Participant_ID,PHQ8_Binary,PHQ8_Score\n"
+                        f"{pids[1]},0,3\n")
+    return queries, train_csv, test_csv
+
+
+def test_extract_split_multimodal_roundtrip_and_train(tmp_path):
+    """extract-daic --multimodal layout -> loader -> concat -> trainer:
+    the full DAIC cross-corpus multimodal path end-to-end."""
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu.frontend import daic as daic_fe
+    from icassp2022_depression_tpu.models import elmo
+
+    queries, train_csv, test_csv = _make_daic_corpus(tmp_path)
+    ecfg = elmo.ElmoConfig(vocab_size=64, embed_dim=8, hidden=4, layers=1,
+                           output_dim=8)
+    feats = tmp_path / "Features"
+    for name, csv_path in (("train", train_csv), ("test", test_csv)):
+        a, t, cl, rl = daic_fe.extract_split_multimodal(
+            tmp_path, csv_path, queries, elmo_cfg=ecfg, elmo_weights=None,
+            out_prefix=feats, split_name=name)
+        assert a[0].shape == (2, 1, 256) and t[0].shape == (2, 8)
+
+    xa_tr, xt_tr, y_tr = daic_fe.load_features(feats, "train", "clf", True)
+    xa_te, xt_te, y_te = daic_fe.load_features(feats, "test", "clf", True)
+    np.testing.assert_array_equal(y_tr, [1])
+    np.testing.assert_array_equal(y_te, [0])
+    x_tr = daic.concat_multimodal(xa_tr, xt_tr)
+    x_te = daic.concat_multimodal(xa_te, xt_te)
+    assert x_tr[0].shape == (2, 1, 264)
+
+    tcfg = C.replace(
+        daic.DAIC_CLF, epochs=3, batch_size=2,
+        model=C.replace(daic.DAIC_CLF.model, embedding_size=264,
+                        hidden_dims=16))
+    result = daic.train_daic(x_tr, y_tr, x_te, y_te, tcfg,
+                             out_dir=tmp_path / "Model")
+    assert np.isfinite(result["logs"]["loss"]).all()
+
+    # audio-only loader path unchanged
+    xa, y = daic_fe.load_features(feats, "train", "reg")
+    assert xa[0].shape == (2, 1, 256) and y[0] == 15.0
+
+
+def test_daic_cli_flags_parse():
+    from icassp2022_depression_tpu import cli
+
+    p = cli.build_parser()
+    a = p.parse_args(["extract-daic", "--daic-dir", "/d", "--split-csv",
+                      "/s.csv", "--queries", "/q.txt", "--out", "/o",
+                      "--multimodal"])
+    assert a.multimodal
+    a = p.parse_args(["train-daic", "--track", "clf", "--features", "/f",
+                      "--multimodal", "--eval-split", "dev"])
+    assert a.multimodal and a.eval_split == "dev"
