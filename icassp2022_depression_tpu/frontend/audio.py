@@ -136,7 +136,11 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
         staged.append((blen, sr, idxs, jnp.asarray(wavs),
                        jnp.asarray(lengths), jnp.asarray(row_ordinals)))
 
-    # Stage 2: dispatch compute per bucket (transfers already in flight)
+    # Stage 2: dispatch compute per bucket (transfers already in flight).
+    # Readback is deferred and fused into ONE device->host transfer: the
+    # relay's per-round-trip latency (~0.5 s here) dwarfs the payload, so
+    # a blocking np.asarray per bucket would serialize K latencies.
+    computed = []
     for blen, sr, idxs, wavs_d, lengths_d, ordinals_d in staged:
         with profiling.annotate(f"wav2vlad/bucket{blen}"):
             nv_stacked = netvlad.batched_per_utterance_params(
@@ -145,7 +149,15 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
             feats = _bucket_pipeline(wavs_d, lengths_d, nv_stacked, sr,
                                      cfg.n_fft, cfg.hop_length, cfg.n_mels,
                                      cfg.log_floor)
-            out[np.asarray(idxs)] = np.asarray(feats)[:len(idxs)]
+            computed.append((idxs, feats[:len(idxs)]))
+    if computed:
+        with profiling.annotate("wav2vlad/readback"):
+            merged = np.asarray(jnp.concatenate([f for _, f in computed],
+                                                axis=0))
+        pos = 0
+        for idxs, f in computed:
+            out[np.asarray(idxs)] = merged[pos:pos + len(idxs)]
+            pos += len(idxs)
     return out
 
 
