@@ -76,7 +76,7 @@ def embed_sentences(params, sentences: Sequence[List[str]],
     encode = (elmo.encode_lstmp_jit
               if isinstance(cfg, elmo.ElmoLstmpConfig) else elmo.encode_jit)
     n = len(sentences)
-    out = np.zeros((n, cfg.output_dim), np.float32)
+    pooled_chunks = []
     for start in range(0, n, batch_size):
         chunk = sentences[start:start + batch_size]
         # pad token count to a multiple of 16 so corpora with slightly
@@ -91,8 +91,19 @@ def embed_sentences(params, sentences: Sequence[List[str]],
             lengths[i] = max(1, len(toks))
         _, pooled = encode(params, jnp.asarray(ids), jnp.asarray(lengths),
                            cfg)
-        out[start:start + len(chunk)] = np.asarray(pooled)
-    return out
+        pooled_chunks.append(pooled)
+    # single device->host readback: dispatch is async, and the relay's
+    # per-round-trip latency dwarfs the payload (see frontend/audio.py)
+    return _gather_chunks(pooled_chunks, n)
+
+
+def _gather_chunks(pooled_chunks, n: int) -> np.ndarray:
+    if not pooled_chunks:
+        return np.zeros((0, 0), np.float32)
+    if len(pooled_chunks) == 1:
+        return np.asarray(pooled_chunks[0], np.float32)[:n]
+    return np.asarray(jnp.concatenate(pooled_chunks, axis=0),
+                      np.float32)[:n]
 
 
 def make_embedder(params=None, cfg=None, seed: int = 0,

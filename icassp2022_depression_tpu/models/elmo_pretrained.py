@@ -163,8 +163,10 @@ class PretrainedElmo:
         """sents2elmo(output_layer=-1) + per-sentence token mean ->
         [N, 1024]; batches padded to multiples of 16 tokens so the whole
         corpus reuses a handful of compiled programs."""
+        from icassp2022_depression_tpu.frontend.text import _gather_chunks
+
         n = len(sentences)
-        out = np.zeros((n, self.output_dim), np.float32)
+        pooled_chunks = []
         for start in range(0, n, batch_size):
             chunk = sentences[start:start + batch_size]
             max_t = max(2, max(len(s) for s in chunk) + 2)
@@ -176,8 +178,9 @@ class PretrainedElmo:
                 self.cc_params, self.enc_params, jnp.asarray(char_ids),
                 None if word_ids is None else jnp.asarray(word_ids),
                 jnp.asarray(lengths), self.char_cfg, self.lstmp_cfg)
-            out[start:start + len(chunk)] = np.asarray(pooled)
-        return out
+            pooled_chunks.append(pooled)
+        # dispatch all chunks, read back once (relay-latency-bound)
+        return _gather_chunks(pooled_chunks, n)
 
 
 # ---------------------------------------------------------------------------
