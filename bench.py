@@ -251,8 +251,7 @@ def _torch_setup():
     return torch
 
 
-def _torch_epoch_time(model, opt, crit, xt, yt, xe, bs, n_epochs=6,
-                      loss_fn=None):
+def _torch_epoch_time(model, opt, crit, xt, yt, xe, bs, n_epochs=6):
     import torch
 
     t0 = time.time()
@@ -260,10 +259,7 @@ def _torch_epoch_time(model, opt, crit, xt, yt, xe, bs, n_epochs=6,
         model.train()
         for i in range(0, len(xt), bs):
             opt.zero_grad()
-            if loss_fn is None:
-                loss = crit(model(xt[i:i + bs]), yt[i:i + bs])
-            else:
-                loss = loss_fn(xt[i:i + bs], yt[i:i + bs])
+            loss = crit(model(xt[i:i + bs]), yt[i:i + bs])
             loss.backward()
             opt.step()
         model.eval()
@@ -458,12 +454,9 @@ def bench_audio_reg_torch(features, scores):
 def main():
     from icassp2022_depression_tpu import config as C
 
-    lines = []
-
     def emit(metric, value, unit, vs_baseline, **extra):
         line = {"metric": metric, "value": round(value, 2), "unit": unit,
                 "vs_baseline": round(vs_baseline, 2), **extra}
-        lines.append(line)
         print(json.dumps(line), flush=True)
 
     features, targets = make_data()
@@ -480,7 +473,13 @@ def main():
     # stderr and anchors the conservative end-to-end baseline below
     tpu_utts, tpu_ext_s = bench_extraction_tpu(wavs)
     np_utts, np_ext_s = bench_extraction_numpy(wavs)
-    ref_utts, ref_ext_s = bench_extraction_reference_tf(wavs)
+    try:
+        ref_utts, ref_ext_s = bench_extraction_reference_tf(wavs)
+    except ImportError:  # no tensorflow -> the NumPy oracle is the anchor
+        ref_utts, ref_ext_s = np_utts, np_ext_s
+        print("# tensorflow unavailable: extraction vs_baseline anchored "
+              "to the NumPy oracle instead of the reference's TF path",
+              file=sys.stderr)
     emit("extraction_throughput", tpu_utts, "utt/s", tpu_utts / ref_utts)
 
     # trainers

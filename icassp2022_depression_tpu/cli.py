@@ -154,7 +154,10 @@ def cmd_train(args):
         resume_kw = {"resume_dir": Path(args.resume_dir),
                      "chunk_epochs": args.chunk_epochs}
     if args.vmap_folds or args.fold_parallel:
-        assert not args.resume_dir, "--vmap-folds does not support resume"
+        if args.resume_dir:
+            raise SystemExit("--vmap-folds/--fold-parallel do not support "
+                             "--resume-dir (folds run as one program; "
+                             "resume is a per-fold mechanism)")
         resume_kw.update(vmap_folds=args.vmap_folds or args.fold_parallel,
                          fold_parallel=args.fold_parallel)
     _require_features(audio_dir if args.task.startswith("audio")

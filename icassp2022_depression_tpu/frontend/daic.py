@@ -143,13 +143,8 @@ def extract_split(daic_dir: Path, split_csv: Path, queries_path: Path,
     if out_prefix is not None:
         out_prefix = Path(out_prefix)
         out_prefix.mkdir(parents=True, exist_ok=True)
-        ragged = np.empty(len(features), dtype=object)
-        for i, f in enumerate(features):
-            ragged[i] = f
-        np.savez(out_prefix / f"{split_name}_samples_clf.npz",
-                 np.asarray(ragged, dtype=object))
-        np.savez(out_prefix / f"{split_name}_samples_reg.npz",
-                 np.asarray(ragged, dtype=object))
+        _save_ragged(out_prefix / f"{split_name}_samples_clf.npz", features)
+        _save_ragged(out_prefix / f"{split_name}_samples_reg.npz", features)
         np.savez(out_prefix / f"{split_name}_labels_clf.npz", np.asarray(clabels))
         np.savez(out_prefix / f"{split_name}_labels_reg.npz", np.asarray(rlabels))
     return features, clabels, rlabels

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from icassp2022_depression_tpu.data import eatd
+from icassp2022_depression_tpu.utils import hostio
 from icassp2022_depression_tpu.models import elmo
 
 try:
@@ -93,17 +94,8 @@ def embed_sentences(params, sentences: Sequence[List[str]],
                            cfg)
         pooled_chunks.append(pooled)
     # single device->host readback: dispatch is async, and the relay's
-    # per-round-trip latency dwarfs the payload (see frontend/audio.py)
-    return _gather_chunks(pooled_chunks, n)
-
-
-def _gather_chunks(pooled_chunks, n: int) -> np.ndarray:
-    if not pooled_chunks:
-        return np.zeros((0, 0), np.float32)
-    if len(pooled_chunks) == 1:
-        return np.asarray(pooled_chunks[0], np.float32)[:n]
-    return np.asarray(jnp.concatenate(pooled_chunks, axis=0),
-                      np.float32)[:n]
+    # per-round-trip latency dwarfs the payload (utils/hostio.py)
+    return hostio.gather_chunks(pooled_chunks, n)
 
 
 def make_embedder(params=None, cfg=None, seed: int = 0,

@@ -163,7 +163,7 @@ class PretrainedElmo:
         """sents2elmo(output_layer=-1) + per-sentence token mean ->
         [N, 1024]; batches padded to multiples of 16 tokens so the whole
         corpus reuses a handful of compiled programs."""
-        from icassp2022_depression_tpu.frontend.text import _gather_chunks
+        from icassp2022_depression_tpu.utils import hostio
 
         n = len(sentences)
         pooled_chunks = []
@@ -180,7 +180,7 @@ class PretrainedElmo:
                 jnp.asarray(lengths), self.char_cfg, self.lstmp_cfg)
             pooled_chunks.append(pooled)
         # dispatch all chunks, read back once (relay-latency-bound)
-        return _gather_chunks(pooled_chunks, n)
+        return hostio.gather_chunks(pooled_chunks, n)
 
 
 # ---------------------------------------------------------------------------

@@ -161,6 +161,20 @@ def _run_direction(p, x, cell: str, reverse: bool, backend: str = "xla"):
     return ys, h_last, c_last
 
 
+def _lstmp_pallas_fits(b: int, c_dim: int, p_dim: int) -> bool:
+    """Backward-pass VMEM-fit estimate for the streaming LSTMP kernel
+    (same auto-guard policy as :func:`_pallas_fits`): the batch-scaled
+    scratches (c-state + dc carry [B, C], h/acc/dhp [B, P] x4) plus the
+    minimum (slab=128) double-buffered weight/activation blocks must fit
+    the budget, else fall back to the scan path."""
+    slab = min(c_dim, 128)
+    need = (b * (2 * c_dim + 4 * p_dim)              # persistent scratches
+            + 2 * (p_dim * 4 * slab + slab * p_dim)  # weight blocks x2 buf
+            + 2 * b * (2 * 4 * slab + 3 * slab + 2 * p_dim)  # act blocks
+            ) * 4
+    return need <= PALLAS_VMEM_BUDGET_BYTES
+
+
 def lstmp_layer(p: dict, x: jnp.ndarray, reverse: bool = False,
                 cell_clip: float = 3.0, proj_clip: float = 3.0,
                 backend: str = "auto"):
@@ -187,7 +201,8 @@ def lstmp_layer(p: dict, x: jnp.ndarray, reverse: bool = False,
     c_dim = four_c // 4
     p_dim = p["w_p"].shape[0]
     if (resolve_backend(backend) == "pallas" and c_dim % 128 == 0
-            and p_dim % 128 == 0):
+            and p_dim % 128 == 0
+            and _lstmp_pallas_fits(x.shape[0], c_dim, p_dim)):
         from icassp2022_depression_tpu.ops import rnn_pallas
 
         return rnn_pallas.lstmp_layer_streamed(

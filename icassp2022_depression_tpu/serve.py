@@ -104,7 +104,14 @@ class Predictor:
     def __init__(self, params, task: str,
                  frontend_cfg: C.FrontendConfig = C.FrontendConfig(),
                  elmo_cfg=elmo.ElmoConfig(), elmo_params=None, seed: int = 0,
-                 feature_cache_entries: int = 256):
+                 feature_cache_entries: int = 256,
+                 elmo_weights: Optional[str] = "auto"):
+        """``elmo_weights`` controls the text embedder like extract-text:
+        a bundle path, ``"auto"`` (pick up ``ICASSP_ELMO_WEIGHTS``/the
+        cache — announced on stderr, since the checkpoint being served
+        must have been trained on features from the SAME embedder), or
+        None to force the PRNG stand-in.  Explicit ``elmo_params`` win.
+        """
         assert task in TASKS, f"task must be one of {TASKS}"
         self.task = task
         self.params = params
@@ -114,9 +121,21 @@ class Predictor:
         if elmo_params is None and not task.startswith("audio"):
             from icassp2022_depression_tpu.models import elmo_pretrained
 
-            bundle = elmo_pretrained.default_weights_path()
+            bundle = None
+            if elmo_weights == "auto":
+                bundle = elmo_pretrained.default_weights_path()
+            elif elmo_weights:
+                bundle = Path(elmo_weights)
             if bundle is not None:
+                import sys
+
                 self._pretrained_elmo = elmo_pretrained.load_npz(bundle)
+                if elmo_weights == "auto":
+                    print(f"Predictor: auto-loaded ELMo bundle {bundle} — "
+                          "the served checkpoint must have been trained on "
+                          "features from this embedder (pass "
+                          "elmo_weights=None to force the PRNG encoder)",
+                          file=sys.stderr)
             elif isinstance(elmo_cfg, elmo.ElmoLstmpConfig):
                 elmo_params = elmo.init_lstmp_encoder(
                     jax.random.PRNGKey(seed), elmo_cfg)

@@ -218,7 +218,8 @@ def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
     with ``resume_dir``); ``fold_parallel`` additionally shards the fold
     axis over one device per fold (implies ``vmap_folds``)."""
     if vmap_folds or fold_parallel:
-        assert resume_dir is None, "vmap_folds does not support resume"
+        if resume_dir is not None:
+            raise ValueError("vmap_folds does not support resume")
         if init_params_per_fold is not None:
             params_list = list(init_params_per_fold)
         else:
@@ -421,7 +422,8 @@ def _run_fusion_folds(fcfg, tcfg, fold_datas, branch_params, seed, track,
                 "k+1 starts from fold k's trained fc_final weights and "
                 "accumulated Adam moments (fuse_net_whole.py:413-416) — "
                 "so fold programs cannot run concurrently")
-        assert resume_dir is None, "vmap_folds does not support resume"
+        if resume_dir is not None:
+            raise ValueError("vmap_folds does not support resume")
         return _vmapped_fusion_results(fcfg, tcfg, fold_datas,
                                        branch_params, seed, track,
                                        fold_parallel=fold_parallel)

@@ -1,0 +1,22 @@
+"""Host<->device IO helpers.
+
+The relay between this host and the TPU has high per-round-trip latency
+relative to its bandwidth, so the frontends dispatch every batch first
+and fetch results in ONE device->host transfer (see
+``docs/PERFORMANCE.md``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def gather_chunks(chunks, n: int) -> np.ndarray:
+    """Device-array chunks (same trailing shape) -> one host array of the
+    first ``n`` rows, via an on-device concat and a single readback."""
+    if not chunks:
+        return np.zeros((0, 0), np.float32)
+    if len(chunks) == 1:
+        return np.asarray(chunks[0], np.float32)[:n]
+    return np.asarray(jnp.concatenate(chunks, axis=0), np.float32)[:n]

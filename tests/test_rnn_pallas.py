@@ -295,3 +295,10 @@ def test_streamed_lstmp_reverse_gradients_match_scan():
     for k in g1:
         np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
                                    atol=1e-4, err_msg=k)
+
+
+def test_lstmp_auto_guard_vmem_fit():
+    """The auto-dispatch falls back to scan when the batch-scaled VMEM
+    scratches would not fit (CLAUDE.md backend-auto invariant)."""
+    assert rnn._lstmp_pallas_fits(64, 4096, 512)       # zhs extraction
+    assert not rnn._lstmp_pallas_fits(2048, 4096, 512)  # scratches >32 MB
