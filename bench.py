@@ -63,8 +63,9 @@ def bench_extraction_tpu(wavs):
     from icassp2022_depression_tpu.frontend import audio
 
     cfg = audio.FrontendConfig()
-    # warm the compile cache on a small prefix
-    audio.extract_batch(wavs[:8], [SR] * 8, cfg)
+    # warm pass covers every bucket shape (compiles are one-time and
+    # persisted; steady-state throughput is the metric)
+    audio.extract_batch(wavs, [SR] * len(wavs), cfg)
     t0 = time.time()
     out = audio.extract_batch(wavs, [SR] * len(wavs), cfg)
     dt = time.time() - t0
