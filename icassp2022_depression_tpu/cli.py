@@ -159,7 +159,8 @@ def cmd_train(args):
                              "--resume-dir (folds run as one program; "
                              "resume is a per-fold mechanism)")
         resume_kw.update(vmap_folds=args.vmap_folds or args.fold_parallel,
-                         fold_parallel=args.fold_parallel)
+                         fold_parallel=args.fold_parallel,
+                         data_parallel=args.data_parallel)
     _require_features(audio_dir if args.task.startswith("audio")
                       else text_dir,
                       "audio" if args.task.startswith("audio") else "text")
@@ -468,6 +469,9 @@ def build_parser():
                     help="shard the vmapped fold axis over one device per "
                          "fold (implies --vmap-folds; 3 folds ~ 1 fold "
                          "wall-clock on a multi-chip mesh)")
+    sp.add_argument("--data-parallel", type=int, default=1,
+                    help="with --fold-parallel: devices per fold for "
+                         "in-fold batch parallelism (2D fold x data mesh)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("pipeline", help="full track incl. fusion")

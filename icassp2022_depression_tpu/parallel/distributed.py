@@ -60,7 +60,43 @@ def fold_mesh(n_folds: int, devices=None) -> Mesh:
 
 def shard_over_folds(mesh: Mesh, tree):
     """Place a stacked-fold pytree (leading fold axis on every leaf) with
-    the fold axis sharded across the mesh."""
+    the fold axis sharded across the mesh (remaining axes replicated — on
+    a 2D fold x data mesh this replicates each fold's leaf within its
+    data group, the right placement for params/opt state/keys)."""
     sharding = NamedSharding(mesh, P("fold"))
     return jax.tree_util.tree_map(
         lambda leaf: jax.device_put(leaf, sharding), tree)
+
+
+def fold_data_mesh(n_folds: int, data_parallel: int, devices=None) -> Mesh:
+    """2D ``(fold, data)`` mesh: one device group per fold, ``data_parallel``
+    devices per group for in-fold batch parallelism."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_folds * data_parallel
+    assert len(devices) >= need, \
+        f"need >= {need} devices for {n_folds} folds x {data_parallel} DP"
+    import numpy as np
+
+    grid = np.asarray(devices[:need]).reshape(n_folds, data_parallel)
+    return Mesh(grid, ("fold", "data"))
+
+
+def shard_stacked_fold_data(mesh: Mesh, data):
+    """Shardings for a STACKED :class:`~..train.loop.FoldData` on a
+    ``(fold, data)`` mesh: train arrays [F, NB, B, ...] shard F over
+    ``fold`` and the within-batch axis B over ``data``; test arrays
+    [F, N, ...] shard F and N."""
+    tr = NamedSharding(mesh, P("fold", None, "data"))
+    te = NamedSharding(mesh, P("fold", "data"))
+
+    def put(x, s):
+        return jax.device_put(x, s)
+
+    return type(data)(
+        train_x=tuple(put(a, tr) for a in data.train_x),
+        train_y=put(data.train_y, tr),
+        train_mask=put(data.train_mask, tr),
+        test_x=tuple(put(a, te) for a in data.test_x),
+        test_y=put(data.test_y, te),
+        test_mask=put(data.test_mask, te))

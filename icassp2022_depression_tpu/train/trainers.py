@@ -169,12 +169,15 @@ def _execute_fold(make_runner, runner_cache, params, optimizer, data,
 
 
 def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
-                          seed: int, fold_parallel: bool = False):
+                          seed: int, fold_parallel: bool = False,
+                          data_parallel: int = 1):
     """Cross-fold vmap path: all folds as one compiled program
     (:func:`..train.loop.make_multi_fold_runner`).  With ``fold_parallel``
     the stacked fold axis is additionally sharded over a
     :func:`..parallel.distributed.fold_mesh` (one device per fold), so
-    3 folds run in ~1 fold's wall-clock."""
+    3 folds run in ~1 fold's wall-clock; ``data_parallel > 1`` widens the
+    mesh to 2D ``(fold, data)`` with each fold's minibatch axis sharded
+    over its device group (fold x DP composition)."""
     train_loss, eval_fn = fns
     stacked_params = jax.tree_util.tree_map(
         lambda *ls: jnp.stack(ls), *params_list)
@@ -187,10 +190,16 @@ def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
     if fold_parallel:
         from icassp2022_depression_tpu.parallel import distributed
 
-        mesh = distributed.fold_mesh(len(fold_datas))
+        if data_parallel > 1:
+            mesh = distributed.fold_data_mesh(len(fold_datas),
+                                              data_parallel)
+            stacked_data = distributed.shard_stacked_fold_data(
+                mesh, stacked_data)
+        else:
+            mesh = distributed.fold_mesh(len(fold_datas))
+            stacked_data = distributed.shard_over_folds(mesh, stacked_data)
         stacked_params = distributed.shard_over_folds(mesh, stacked_params)
         stacked_opt = distributed.shard_over_folds(mesh, stacked_opt)
-        stacked_data = distributed.shard_over_folds(mesh, stacked_data)
         keys = distributed.shard_over_folds(mesh, keys)
     run = loop.make_multi_fold_runner(train_loss, eval_fn, optimizer,
                                       tcfg.track, tcfg.gate, tcfg.epochs)
@@ -208,7 +217,8 @@ def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
 def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
                seed: int, init_params_per_fold=None, resume_dir=None,
                chunk_epochs=None, task_name: str = "task",
-               vmap_folds: bool = False, fold_parallel: bool = False):
+               vmap_folds: bool = False, fold_parallel: bool = False,
+               data_parallel: int = 1):
     """Shared fold loop: init -> compiled fold program -> host summary.
 
     All folds are padded to identical shapes (``_clf_fold_datas`` /
@@ -233,7 +243,8 @@ def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
         fns = _branch_fns(model_module, tcfg.model, tcfg)
         return _vmapped_fold_results(fns, optimizer, tcfg, fold_datas,
                                      params_list, seed,
-                                     fold_parallel=fold_parallel)
+                                     fold_parallel=fold_parallel,
+                                     data_parallel=data_parallel)
     results = []
     make_runner = None
     runner_cache: dict = {}
@@ -296,6 +307,7 @@ def train_audio_clf(features: np.ndarray, targets: np.ndarray,
                     out_dir: Optional[Path] = None, seed: int = 0,
                     resume_dir=None, chunk_epochs=None,
                     vmap_folds: bool = False, fold_parallel: bool = False,
+                    data_parallel: int = 1,
                     fold_cfg: C.FoldConfig = C.FoldConfig()):
     """3-fold audio GRU classifier.  ``features``: [N, 3, 256]."""
     datas = _clf_fold_datas([features], targets, train_folds_idx,
@@ -303,7 +315,8 @@ def train_audio_clf(features: np.ndarray, targets: np.ndarray,
     results = _run_folds(audio_net, tcfg, datas, seed,
                          resume_dir=resume_dir, chunk_epochs=chunk_epochs,
                          task_name="audio_clf", vmap_folds=vmap_folds,
-                         fold_parallel=fold_parallel)
+                         fold_parallel=fold_parallel,
+                         data_parallel=data_parallel)
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.audio_clf_name(
@@ -321,6 +334,7 @@ def train_text_clf(features: np.ndarray, targets: np.ndarray,
                    out_dir: Optional[Path] = None, seed: int = 0,
                    resume_dir=None, chunk_epochs=None,
                    vmap_folds: bool = False, fold_parallel: bool = False,
+                   data_parallel: int = 1,
                    fold_cfg: C.FoldConfig = C.FoldConfig()):
     """3-fold text BiLSTM classifier.  ``features``: [N, 3, 1024]."""
     datas = _clf_fold_datas([features], targets, train_folds_idx,
@@ -328,7 +342,8 @@ def train_text_clf(features: np.ndarray, targets: np.ndarray,
     results = _run_folds(text_net, tcfg, datas, seed,
                          resume_dir=resume_dir, chunk_epochs=chunk_epochs,
                          task_name="text_clf", vmap_folds=vmap_folds,
-                         fold_parallel=fold_parallel)
+                         fold_parallel=fold_parallel,
+                         data_parallel=data_parallel)
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.text_clf_name(
@@ -535,14 +550,16 @@ def train_audio_reg(features: np.ndarray, targets: np.ndarray,
                     tcfg: C.TrainerConfig = C.AUDIO_REG,
                     out_dir: Optional[Path] = None, seed: int = 0,
                     resume_dir=None, chunk_epochs=None,
-                    vmap_folds: bool = False, fold_parallel: bool = False):
+                    vmap_folds: bool = False, fold_parallel: bool = False,
+                    data_parallel: int = 1):
     """3-fold audio GRU SDS-score regressor (L1 loss, MAE gating)."""
     datas = _reg_fold_datas([features], targets, dep_idxs, non_idxs,
                             tcfg.batch_size)
     results = _run_folds(audio_net, tcfg, datas, seed,
                          resume_dir=resume_dir, chunk_epochs=chunk_epochs,
                          task_name="audio_reg", vmap_folds=vmap_folds,
-                         fold_parallel=fold_parallel)
+                         fold_parallel=fold_parallel,
+                         data_parallel=data_parallel)
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.audio_reg_name(
@@ -560,13 +577,15 @@ def train_text_reg(features: np.ndarray, targets: np.ndarray,
                    tcfg: C.TrainerConfig = C.TEXT_REG,
                    out_dir: Optional[Path] = None, seed: int = 0,
                    resume_dir=None, chunk_epochs=None,
-                   vmap_folds: bool = False, fold_parallel: bool = False):
+                   vmap_folds: bool = False, fold_parallel: bool = False,
+                   data_parallel: int = 1):
     datas = _reg_fold_datas([features], targets, dep_idxs, non_idxs,
                             tcfg.batch_size)
     results = _run_folds(text_net, tcfg, datas, seed,
                          resume_dir=resume_dir, chunk_epochs=chunk_epochs,
                          task_name="text_reg", vmap_folds=vmap_folds,
-                         fold_parallel=fold_parallel)
+                         fold_parallel=fold_parallel,
+                         data_parallel=data_parallel)
     if out_dir is not None:
         for r in _gated(results):
             name = checkpoints.text_reg_name(tcfg.model.hidden_dims,

@@ -65,3 +65,34 @@ def test_fold_sharded_matches_serial():
 def test_initialize_single_process_noop(monkeypatch):
     monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
     distributed.initialize()  # must not raise or attempt coordination
+
+
+def test_fold_by_data_2d_mesh_matches_serial():
+    """3 folds x 2-way in-fold DP on a (fold, data) mesh through the
+    public trainer API must equal the serial results (6 of the 8 virtual
+    devices)."""
+    rng = np.random.default_rng(4)
+    n = 30
+    y = (rng.random(n) < 0.35).astype(np.int64)
+    x = (np.where(y[:, None, None] == 1, .8, -.8) +
+         rng.standard_normal((n, 3, 16))).astype(np.float32)
+    tf_idx = folds.generate_clf_folds(y, 3, seed=0)
+
+    serial = trainers.train_audio_clf(x, y, tf_idx, CFG, seed=7)
+    sharded = trainers.train_audio_clf(x, y, tf_idx, CFG, seed=7,
+                                       vmap_folds=True, fold_parallel=True,
+                                       data_parallel=2)
+    for s, v in zip(serial, sharded):
+        np.testing.assert_allclose(v["logs"]["f1"], s["logs"]["f1"],
+                                   atol=1e-5)
+        np.testing.assert_allclose(v["logs"]["loss"], s["logs"]["loss"],
+                                   rtol=1e-4, atol=1e-4)
+        assert float(v["best"]["f1"]) == pytest.approx(s["best"]["f1"],
+                                                       abs=1e-5)
+
+
+def test_fold_data_mesh_shape():
+    mesh = distributed.fold_data_mesh(3, 2)
+    assert dict(mesh.shape) == {"fold": 3, "data": 2}
+    with pytest.raises(AssertionError):
+        distributed.fold_data_mesh(3, 3)   # 9 > 8 virtual devices
