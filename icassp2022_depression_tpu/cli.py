@@ -343,7 +343,11 @@ def cmd_serve(args):
     from icassp2022_depression_tpu import serve
 
     predictor = serve.Predictor.from_checkpoint(args.ckpt, args.task)
-    serve.serve_http(predictor, args.host, args.port)
+    if args.warmup:
+        predictor.warmup()
+    serve.serve_http(predictor, args.host, args.port,
+                     batch_window_ms=args.batch_window_ms,
+                     max_batch=args.max_batch)
     return 0
 
 
@@ -521,6 +525,12 @@ def build_parser():
     sp.add_argument("--ckpt", required=True)
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8000)
+    sp.add_argument("--warmup", action="store_true",
+                    help="pre-compile standard serving shapes at startup")
+    sp.add_argument("--batch-window-ms", type=float, default=0.0,
+                    help=">0: threaded server that micro-batches "
+                         "concurrent requests into one device batch")
+    sp.add_argument("--max-batch", type=int, default=32)
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("baselines", help="sklearn baselines")

@@ -349,6 +349,26 @@ class Predictor:
             [texts] if texts is not None else None,
             [ordinal_base] if ordinal_base is not None else None)[0]
 
+    def warmup(self, batch_sizes: Sequence[int] = (1, 2, 4),
+               utt_seconds: float = 4.0, sr: int = 16000) -> None:
+        """Pre-compile the standard serving shapes (extraction buckets,
+        embedding chunks, model-forward batch buckets) with synthetic
+        traffic, so the first real request does not pay remote compiles.
+        Dummy features enter the LRU but are content-addressed, so they
+        never collide with real traffic and age out."""
+        rng = np.random.default_rng(0)
+        for n in batch_sizes:
+            kw = {}
+            if not self.task.startswith("text"):
+                kw["waveforms_per_speaker"] = [
+                    [np.round(rng.standard_normal(int(sr * utt_seconds))
+                              * 2000).astype(np.int16) for _ in range(3)]
+                    for _ in range(n)]
+                kw["sample_rates"] = [[sr] * 3] * n
+            if not self.task.startswith("audio"):
+                kw["texts_per_speaker"] = [["你 好", "还 可以", "有点 累"]] * n
+            self.predict_batch(**kw)
+
 
 # ---------------------------------------------------------------------------
 # Optional stdlib HTTP front
@@ -361,17 +381,108 @@ class Predictor:
 #   -> {"results": [{...}, ...]}   (one dict per speaker, as predict_batch)
 # GET  /healthz -> {"ok": true, "task": ..., "cache": {hits, misses}}
 #
-# Single-threaded by design: the TPU is single-tenant, so serialising
-# requests at the HTTP layer is the correct concurrency model here.
+# Default mode is single-threaded: the TPU is single-tenant, so
+# serialising requests at the HTTP layer is a correct concurrency model.
+# With ``batch_window_ms > 0`` the server instead runs threaded with a
+# micro-batcher: concurrent requests coalesce (up to the window / max
+# batch) into ONE device batch — the right way to serve many clients
+# from one chip.
+
+
+class _MicroBatcher:
+    """Coalesces concurrent prediction requests into single device
+    batches.  ``submit`` blocks the calling (handler) thread until its
+    slice of the batched result is ready."""
+
+    def __init__(self, predictor: Predictor, window_s: float,
+                 max_batch: int = 32):
+        import queue
+        import threading
+
+        self.predictor = predictor
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self.batches_run = 0
+        self.requests_served = 0
+        self._q: "queue.Queue" = queue.Queue()
+        self._queue_mod = queue
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def submit(self, req: dict) -> List[dict]:
+        """req: {waves, srs, texts, bases, n} (modality fields may be
+        None, matching the predictor's task)."""
+        import threading
+
+        done = threading.Event()
+        box: dict = {}
+        self._q.put((req, done, box))
+        done.wait()
+        if "error" in box:
+            raise box["error"]
+        return box["results"]
+
+    def _loop(self):
+        import time as _time
+
+        while True:
+            first = self._q.get()
+            batch = [first]
+            total = first[0]["n"]
+            deadline = _time.monotonic() + self.window_s
+            while total < self.max_batch:
+                timeout = deadline - _time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=timeout)
+                except self._queue_mod.Empty:
+                    break
+                batch.append(nxt)
+                total += nxt[0]["n"]
+            self._run(batch)
+
+    def _run(self, batch):
+        def cat(field):
+            if all(item[0][field] is None for item in batch):
+                return None
+            out = []
+            for req, _, _ in batch:
+                vals = req[field]
+                out.extend(vals if vals is not None
+                           else [0] * req["n"] if field == "bases"
+                           else [None] * req["n"])
+            return out
+
+        try:
+            results = self.predictor.predict_batch(
+                cat("waves"), cat("srs"), cat("texts"), cat("bases"))
+            self.batches_run += 1
+            pos = 0
+            for req, done, box in batch:
+                box["results"] = results[pos:pos + req["n"]]
+                pos += req["n"]
+                self.requests_served += 1
+                done.set()
+        except Exception as exc:
+            for _, done, box in batch:
+                box["error"] = exc
+                done.set()
 
 
 def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
-                     port: int = 8000):
-    """Build (not start) an ``http.server.HTTPServer`` around a Predictor.
-    Call ``.serve_forever()`` to run; tests drive ``.handle_request()``."""
+                     port: int = 8000, batch_window_ms: float = 0.0,
+                     max_batch: int = 32):
+    """Build (not start) an ``http.server`` around a Predictor.  With
+    ``batch_window_ms > 0`` the server is threaded and concurrent requests
+    micro-batch into single device calls.  Call ``.serve_forever()`` to
+    run; tests drive requests against an ephemeral port."""
     import base64
     import json
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from http.server import (BaseHTTPRequestHandler, HTTPServer,
+                             ThreadingHTTPServer)
+
+    batcher = (_MicroBatcher(predictor, batch_window_ms / 1000.0, max_batch)
+               if batch_window_ms > 0 else None)
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
@@ -387,10 +498,15 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {
+                payload = {
                     "ok": True, "task": predictor.task,
                     "cache": {"hits": predictor.feature_cache.hits,
-                              "misses": predictor.feature_cache.misses}})
+                              "misses": predictor.feature_cache.misses}}
+                if batcher is not None:
+                    payload["batcher"] = {
+                        "batches_run": batcher.batches_run,
+                        "requests_served": batcher.requests_served}
+                self._send(200, payload)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -412,19 +528,30 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
                 if any("ordinal_base" in sp for sp in speakers):
                     bases = [int(sp.get("ordinal_base", 0))
                              for sp in speakers]
-                results = predictor.predict_batch(waves, srs, texts, bases)
+                if batcher is not None:
+                    results = batcher.submit(
+                        {"waves": waves, "srs": srs, "texts": texts,
+                         "bases": bases, "n": len(speakers)})
+                else:
+                    results = predictor.predict_batch(waves, srs, texts,
+                                                      bases)
                 self._send(200, {"results": results})
             except Exception as exc:  # surface errors as JSON, keep serving
                 self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
 
-    return HTTPServer((host, port), Handler)
+    server_cls = ThreadingHTTPServer if batcher is not None else HTTPServer
+    return server_cls((host, port), Handler)
 
 
 def serve_http(predictor: Predictor, host: str = "127.0.0.1",
-               port: int = 8000) -> None:
-    server = make_http_server(predictor, host, port)
+               port: int = 8000, batch_window_ms: float = 0.0,
+               max_batch: int = 32) -> None:
+    server = make_http_server(predictor, host, port, batch_window_ms,
+                              max_batch)
+    mode = (f"micro-batching ({batch_window_ms} ms window, max {max_batch})"
+            if batch_window_ms > 0 else "single-threaded")
     print(f"serving {predictor.task} on http://{host}:{port} "
-          "(POST /predict, GET /healthz)")
+          f"(POST /predict, GET /healthz; {mode})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -242,3 +242,62 @@ def test_predictor_uses_pretrained_elmo_bundle(tmp_path, monkeypatch):
     assert p._pretrained_elmo is not None
     feats = p.text_features([["我 今天 很 好", "还 可以", "有点 累"]])
     assert feats.shape == (1, 3, 32)
+
+
+def test_micro_batching_http_front():
+    """Concurrent requests coalesce into fewer device batches; every
+    client gets its own correct slice."""
+    import base64
+    import http.client
+    import json
+    import threading
+
+    params = audio_net.init(jax.random.PRNGKey(8), C.AUDIO_CLF.model)
+    p = serve.Predictor(params, "audio_clf")
+    server = serve.make_http_server(p, port=0, batch_window_ms=200,
+                                    max_batch=16)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    rng = np.random.default_rng(8)
+
+    def one_request(out, i):
+        wavs, srs, _ = _speaker(rng if i == 0 else np.random.default_rng(i))
+        body = json.dumps({"speakers": [{
+            "wav_b64": [base64.b64encode(
+                np.asarray(w, np.int16).tobytes()).decode() for w in wavs],
+            "sr": srs}]})
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/predict", body,
+                     {"Content-Type": "application/json"})
+        out[i] = json.loads(conn.getresponse().read())
+        conn.close()
+
+    try:
+        one_request({}, 99)  # warm compiles outside the concurrent burst
+        out: dict = {}
+        threads = [threading.Thread(target=one_request, args=(out, i))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(len(out[i]["results"]) == 1 for i in range(4))
+        assert all(out[i]["results"][0]["label"] in (0, 1) for i in range(4))
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        b = health["batcher"]
+        assert b["requests_served"] >= 5
+        # the 4-request burst must have coalesced
+        assert b["batches_run"] < b["requests_served"]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_predictor_warmup_compiles_shapes():
+    params = audio_net.init(jax.random.PRNGKey(9), C.AUDIO_CLF.model)
+    p = serve.Predictor(params, "audio_clf")
+    p.warmup(batch_sizes=(1,), utt_seconds=0.3)
+    assert p.feature_cache.misses >= 1
