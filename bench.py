@@ -185,6 +185,20 @@ def bench_audio_clf_tpu(features, targets):
     return _steady_epoch_ms(lambda warm: run(warm), C.AUDIO_CLF.epochs - 1)
 
 
+def bench_audio_clf_vmapped_tpu(features, targets):
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu.data import folds
+    from icassp2022_depression_tpu.train import trainers
+
+    tf = folds.generate_clf_folds(targets, 3, seed=0)
+    trainers.train_audio_clf(features, targets, tf, C.AUDIO_CLF, seed=0,
+                             vmap_folds=True)  # warm
+    t0 = time.time()
+    trainers.train_audio_clf(features, targets, tf, C.AUDIO_CLF, seed=0,
+                             vmap_folds=True)
+    return (time.time() - t0) / (3 * (C.AUDIO_CLF.epochs - 1)) * 1000.0
+
+
 def bench_text_clf_tpu(text_features, targets):
     from icassp2022_depression_tpu import config as C
     from icassp2022_depression_tpu.data import folds
@@ -489,6 +503,12 @@ def main():
         _clf_fold_arrays(features, targets))
     emit("audio_clf_train_epoch_time", audio_ms, "ms/epoch",
          audio_torch_ms / audio_ms)
+
+    # same task with all folds as ONE vmapped program (identical results,
+    # bit-tested; better MXU utilisation from the 3x effective batch)
+    vmap_ms = bench_audio_clf_vmapped_tpu(features, targets)
+    emit("audio_clf_train_epoch_time_vmapped", vmap_ms, "ms/epoch",
+         audio_torch_ms / vmap_ms)
 
     text_ms = bench_text_clf_tpu(text_features, targets)
     text_torch_ms = bench_text_clf_torch(text_features, targets)
