@@ -84,15 +84,19 @@ def embed_sentences(params, sentences: Sequence[List[str]],
         # different longest sentences reuse the same compiled program
         max_t = max(1, max(len(s) for s in chunk))
         max_t = -(-max_t // 16) * 16
-        ids = np.zeros((len(chunk), max_t), np.int32)
-        lengths = np.zeros((len(chunk),), np.int32)
+        # batch rows pad to a multiple of 8 so corpora of slightly
+        # different sizes share compiled programs (padded rows have
+        # length 1 over zero ids; their pooled rows are sliced away)
+        rows = -(-len(chunk) // 8) * 8
+        ids = np.zeros((rows, max_t), np.int32)
+        lengths = np.ones((rows,), np.int32)
         for i, toks in enumerate(chunk):
             for j, tok in enumerate(toks):
                 ids[i, j] = elmo.token_id(tok, cfg.vocab_size)
             lengths[i] = max(1, len(toks))
         _, pooled = encode(params, jnp.asarray(ids), jnp.asarray(lengths),
                            cfg)
-        pooled_chunks.append(pooled)
+        pooled_chunks.append(pooled[:len(chunk)])
     # single device->host readback: dispatch is async, and the relay's
     # per-round-trip latency dwarfs the payload (utils/hostio.py)
     return hostio.gather_chunks(pooled_chunks, n)

@@ -168,7 +168,11 @@ class PretrainedElmo:
         n = len(sentences)
         pooled_chunks = []
         for start in range(0, n, batch_size):
-            chunk = sentences[start:start + batch_size]
+            chunk = list(sentences[start:start + batch_size])
+            real = len(chunk)
+            # pad batch rows to a multiple of 8 (empty sentences: BOS/EOS
+            # only) so corpora of different sizes share compiled programs
+            chunk += [[]] * ((-real) % 8)
             max_t = max(2, max(len(s) for s in chunk) + 2)
             pad_to = -(-max_t // 16) * 16
             char_ids, word_ids, lengths = build_batch(
@@ -178,7 +182,7 @@ class PretrainedElmo:
                 self.cc_params, self.enc_params, jnp.asarray(char_ids),
                 None if word_ids is None else jnp.asarray(word_ids),
                 jnp.asarray(lengths), self.char_cfg, self.lstmp_cfg)
-            pooled_chunks.append(pooled)
+            pooled_chunks.append(pooled[:real])
         # dispatch all chunks, read back once (relay-latency-bound)
         return hostio.gather_chunks(pooled_chunks, n)
 

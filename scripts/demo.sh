@@ -15,4 +15,23 @@ $PY -m icassp2022_depression_tpu.cli extract-text  --root "$ROOT"
 $PY -m icassp2022_depression_tpu.cli pipeline --track clf --root "$ROOT"
 $PY -m icassp2022_depression_tpu.cli pipeline --track reg --root "$ROOT" --lr 3e-4
 $PY -m icassp2022_depression_tpu.cli baselines --task audio_clf --root "$ROOT"
+
+# checking harness consumes the idx artifacts the clf training emitted
+AUDIO_DIR="$ROOT/Model/ClassificationWhole/Audio"
+IDX=(); CKPT=()
+for f in 1 2 3; do
+  i=$(ls "$AUDIO_DIR"/train_idxs_*_"$f".npy 2>/dev/null | head -1 || true)
+  c=$(ls "$AUDIO_DIR"/*_"$f".npz 2>/dev/null | head -1 || true)
+  [ -n "$i" ] && [ -n "$c" ] && IDX+=("$i") && CKPT+=("$c")
+done
+if [ "${#IDX[@]}" -eq 3 ]; then
+  $PY -m icassp2022_depression_tpu.cli check --task audio_clf --root "$ROOT" \
+      --ckpts "${CKPT[@]%.npz}" --idx-files "${IDX[@]}"
+fi
+
+# one served prediction from a trained checkpoint
+if [ "${#CKPT[@]}" -ge 1 ]; then
+  $PY -m icassp2022_depression_tpu.cli predict --task audio_clf --root "$ROOT" \
+      --ckpt "${CKPT[0]%.npz}" --speaker Data/1
+fi
 echo "demo complete; models in $ROOT/Model, metrics JSONL alongside"
