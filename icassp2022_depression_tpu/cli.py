@@ -127,6 +127,17 @@ def _require_features(path: Path, kind: str):
             "Features/AudioWhole and Features/TextWhole)")
 
 
+def _text_meta(text_dir: Path):
+    """Embedder provenance recorded by extract-text -> checkpoint sidecar
+    extras (a text/fusion model is only servable with the embedder whose
+    features it was trained on)."""
+    p = text_dir / "extraction_meta.json"
+    if p.exists():
+        meta = json.loads(p.read_text())
+        return {"text_embedder": meta.get("embedder")}
+    return None
+
+
 def _train_folds(root: Path, targets, seed: int, idx_files=None):
     from icassp2022_depression_tpu.data import folds
 
@@ -172,6 +183,8 @@ def cmd_train(args):
             x, y = tfe.load_features(text_dir, "clf")
             fn, sub = trainers.train_text_clf, "ClassificationWhole/Text"
         tf_idx = _train_folds(root, y, args.seed, args.idx_files)
+        if args.task == "text_clf":
+            resume_kw["meta_extras"] = _text_meta(text_dir)
         results = fn(x, y, tf_idx, out_dir=model_dir / sub, seed=args.seed,
                      **resume_kw)
     elif args.task in ("audio_reg", "text_reg"):
@@ -182,6 +195,8 @@ def cmd_train(args):
             x, y = tfe.load_features(text_dir, "reg")
             fn, sub = trainers.train_text_reg, "Regression"
         dep, non = folds.generate_reg_shuffles(y, seed=args.seed)
+        if args.task == "text_reg":
+            resume_kw["meta_extras"] = _text_meta(text_dir)
         results = fn(x, y, dep, non, out_dir=model_dir / sub, seed=args.seed,
                      **resume_kw)
     else:
@@ -246,14 +261,17 @@ def cmd_pipeline(args):
                                       seed=args.seed, **fold_kw)
         rt = trainers.train_text_clf(xt, yt, tf_idx, _lr(C.TEXT_CLF),
                                      out_dir=model_dir / "ClassificationWhole/Text",
-                                     seed=args.seed, **fold_kw)
+                                     seed=args.seed,
+                                     meta_extras=_text_meta(text_dir),
+                                     **fold_kw)
         _warn_ungated({"audio_clf": ra, "text_clf": rt})
         branch = [(rt[i]["best"]["params"], ra[i]["best"]["params"])
                   for i in range(len(ra))]
         rf = trainers.train_fuse_clf(xa, xt, ya, tf_idx, branch,
                                      tcfg=_lr(C.FUSE_CLF_TRAINER),
                                      out_dir=model_dir / "ClassificationWhole/Fuse",
-                                     seed=args.seed)
+                                     seed=args.seed,
+                                     meta_extras=_text_meta(text_dir))
         for name, results in (("audio_clf", ra), ("text_clf", rt),
                               ("fuse_clf", rf)):
             for r in results:
@@ -272,14 +290,18 @@ def cmd_pipeline(args):
                                       seed=args.seed, **fold_kw)
         rt = trainers.train_text_reg(xt, yt, dep, non, _lr(C.TEXT_REG),
                                      out_dir=model_dir / "Regression",
-                                     seed=args.seed, **fold_kw)
+                                     seed=args.seed,
+                                     meta_extras=_text_meta(text_dir),
+                                     **fold_kw)
         _warn_ungated({"audio_reg": ra, "text_reg": rt})
         branch = [(rt[i]["best"]["params"], ra[i]["best"]["params"])
                   for i in range(len(ra))]
         rf = trainers.train_fuse_reg(xa, xt, ya, dep, non, branch,
                                      tcfg=_lr(C.FUSE_REG_TRAINER),
                                      out_dir=model_dir / "Regression",
-                                     seed=args.seed, **fold_kw)
+                                     seed=args.seed,
+                                     meta_extras=_text_meta(text_dir),
+                                     **fold_kw)
         for name, results in (("audio_reg", ra), ("text_reg", rt),
                               ("fuse_reg", rf)):
             for r in results:

@@ -103,8 +103,11 @@ def embed_sentences(params, sentences: Sequence[List[str]],
 
 
 def make_embedder(params=None, cfg=None, seed: int = 0,
-                  elmo_weights: Optional[str] = "auto"):
-    """Resolve the sentence embedder once -> ``(embed_fn, output_dim)``.
+                  elmo_weights: Optional[str] = "auto",
+                  with_id: bool = False):
+    """Resolve the sentence embedder once -> ``(embed_fn, output_dim)``
+    (plus a provenance id string with ``with_id``, recorded in extraction
+    sidecars so downstream consumers can detect embedder mismatches).
 
     Resolution order: explicit ``params`` (+ ``cfg``) win; else a converted
     ELMoForManyLangs bundle (``elmo_weights`` path, or ``"auto"`` via
@@ -114,26 +117,31 @@ def make_embedder(params=None, cfg=None, seed: int = 0,
     """
     from icassp2022_depression_tpu.models import elmo_pretrained
 
+    def ret(fn, dim, ident):
+        return (fn, dim, ident) if with_id else (fn, dim)
+
     if cfg is None:
         cfg = elmo.ElmoConfig()
     if params is not None:
-        return (lambda sentences: embed_sentences(params, sentences, cfg),
-                cfg.output_dim)
-    pretrained = None
+        return ret(lambda s: embed_sentences(params, s, cfg),
+                   cfg.output_dim, "explicit-params")
+    found = None
     if elmo_weights == "auto":
         found = elmo_pretrained.default_weights_path()
-        if found is not None:
-            pretrained = elmo_pretrained.load_npz(found)
     elif elmo_weights:
-        pretrained = elmo_pretrained.load_npz(Path(elmo_weights))
-    if pretrained is not None:
-        return pretrained.embed_sentences, pretrained.output_dim
+        found = Path(elmo_weights)
+    if found is not None:
+        pretrained = elmo_pretrained.load_npz(found)
+        ident = f"elmo_bundle:{Path(found).name}:{Path(found).stat().st_size}"
+        return ret(pretrained.embed_sentences, pretrained.output_dim, ident)
     if isinstance(cfg, elmo.ElmoLstmpConfig):
         params = elmo.init_lstmp_encoder(jax.random.PRNGKey(seed), cfg)
+        kind = "prng-lstmp"
     else:
         params = elmo.init(jax.random.PRNGKey(seed), cfg)
-    return (lambda sentences: embed_sentences(params, sentences, cfg),
-            cfg.output_dim)
+        kind = "prng"
+    return ret(lambda s: embed_sentences(params, s, cfg), cfg.output_dim,
+               f"{kind}:seed={seed}")
 
 
 def extract_eatd(root: Path, params=None,
@@ -152,7 +160,8 @@ def extract_eatd(root: Path, params=None,
     ``Classification/text_features_whole.py:16,40``).  Passing ``params``
     explicitly always wins.
     """
-    embed, _ = make_embedder(params, cfg, seed, elmo_weights)
+    embed, dim, embedder_id = make_embedder(params, cfg, seed,
+                                            elmo_weights, with_id=True)
     sentences: List[List[str]] = []
     sds: List[float] = []
     for sp in eatd.iter_speakers(root, max_id=max_id, read_text=True):
@@ -166,12 +175,19 @@ def extract_eatd(root: Path, params=None,
     sds_targets = np.asarray(sds, np.float32)
     clf_targets = (sds_targets >= sds_threshold).astype(np.int64)
     if out_dir is not None:
+        import json
+
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         np.savez(out_dir / "whole_samples_reg_avg.npz", features)
         np.savez(out_dir / "whole_labels_reg_avg.npz", sds_targets)
         np.savez(out_dir / "whole_samples_clf_avg.npz", features)
         np.savez(out_dir / "whole_labels_clf_avg.npz", clf_targets)
+        # provenance sidecar: which embedder produced these features
+        # (models trained on them are only servable with the same one)
+        (out_dir / "extraction_meta.json").write_text(json.dumps(
+            {"embedder": embedder_id, "output_dim": int(flat.shape[1]),
+             "seed": seed, "n_speakers": n}))
     return features, sds_targets, clf_targets
 
 

@@ -308,7 +308,8 @@ def train_audio_clf(features: np.ndarray, targets: np.ndarray,
                     resume_dir=None, chunk_epochs=None,
                     vmap_folds: bool = False, fold_parallel: bool = False,
                     data_parallel: int = 1,
-                    fold_cfg: C.FoldConfig = C.FoldConfig()):
+                    fold_cfg: C.FoldConfig = C.FoldConfig(),
+                    meta_extras: dict | None = None):
     """3-fold audio GRU classifier.  ``features``: [N, 3, 256]."""
     datas = _clf_fold_datas([features], targets, train_folds_idx,
                             tcfg.batch_size, fold_cfg)
@@ -324,7 +325,7 @@ def train_audio_clf(features: np.ndarray, targets: np.ndarray,
                 r["best"]["f1"], r["fold"])
             _save_gated(out_dir, name, r, "audio_clf", seed,
                         train_idx=train_folds_idx[r["fold"] - 1],
-                        dump_idx=True)
+                        dump_idx=True, extras=meta_extras)
     return results
 
 
@@ -335,7 +336,8 @@ def train_text_clf(features: np.ndarray, targets: np.ndarray,
                    resume_dir=None, chunk_epochs=None,
                    vmap_folds: bool = False, fold_parallel: bool = False,
                    data_parallel: int = 1,
-                   fold_cfg: C.FoldConfig = C.FoldConfig()):
+                   fold_cfg: C.FoldConfig = C.FoldConfig(),
+                   meta_extras: dict | None = None):
     """3-fold text BiLSTM classifier.  ``features``: [N, 3, 1024]."""
     datas = _clf_fold_datas([features], targets, train_folds_idx,
                             tcfg.batch_size, fold_cfg)
@@ -350,7 +352,7 @@ def train_text_clf(features: np.ndarray, targets: np.ndarray,
                 tcfg.model.hidden_dims, r["best"]["f1"], r["fold"])
             _save_gated(out_dir, name, r, "text_clf", seed,
                         train_idx=train_folds_idx[r["fold"] - 1],
-                        dump_idx=True)
+                        dump_idx=True, extras=meta_extras)
     return results
 
 
@@ -500,7 +502,8 @@ def train_fuse_clf(audio_features: np.ndarray, text_features: np.ndarray,
                    out_dir: Optional[Path] = None, seed: int = 0,
                    resume_dir=None, chunk_epochs=None,
                    vmap_folds: bool = False, fold_parallel: bool = False,
-                   fold_cfg: C.FoldConfig = C.FoldConfig()):
+                   fold_cfg: C.FoldConfig = C.FoldConfig(),
+                   meta_extras: dict | None = None):
     """3-fold multimodal fusion classifier.  ``branch_params[fold]`` is the
     (text_params, audio_params) pair from the pretrained branch trainers
     (replacing the reference's state-dict surgery).  ``vmap_folds``/
@@ -518,7 +521,7 @@ def train_fuse_clf(audio_features: np.ndarray, text_features: np.ndarray,
             name = checkpoints.fuse_clf_name(r["best"]["f1"], r["fold"])
             _save_gated(out_dir, name, r, "fuse_clf", seed,
                         train_idx=train_folds_idx[r["fold"] - 1],
-                        dump_idx=True)
+                        dump_idx=True, extras=meta_extras)
     return results
 
 
@@ -551,7 +554,7 @@ def train_audio_reg(features: np.ndarray, targets: np.ndarray,
                     out_dir: Optional[Path] = None, seed: int = 0,
                     resume_dir=None, chunk_epochs=None,
                     vmap_folds: bool = False, fold_parallel: bool = False,
-                    data_parallel: int = 1):
+                    data_parallel: int = 1, meta_extras: dict | None = None):
     """3-fold audio GRU SDS-score regressor (L1 loss, MAE gating)."""
     datas = _reg_fold_datas([features], targets, dep_idxs, non_idxs,
                             tcfg.batch_size)
@@ -568,7 +571,8 @@ def train_audio_reg(features: np.ndarray, targets: np.ndarray,
             _save_gated(Path(out_dir) / f"Audio{r['fold']}", name, r,
                         "audio_reg", seed,
                         extras={"dep_idxs": _intlist(dep_idxs),
-                                "non_idxs": _intlist(non_idxs)})
+                                "non_idxs": _intlist(non_idxs),
+                                **(meta_extras or {})})
     return results
 
 
@@ -578,7 +582,7 @@ def train_text_reg(features: np.ndarray, targets: np.ndarray,
                    out_dir: Optional[Path] = None, seed: int = 0,
                    resume_dir=None, chunk_epochs=None,
                    vmap_folds: bool = False, fold_parallel: bool = False,
-                   data_parallel: int = 1):
+                   data_parallel: int = 1, meta_extras: dict | None = None):
     datas = _reg_fold_datas([features], targets, dep_idxs, non_idxs,
                             tcfg.batch_size)
     results = _run_folds(text_net, tcfg, datas, seed,
@@ -593,7 +597,8 @@ def train_text_reg(features: np.ndarray, targets: np.ndarray,
             _save_gated(Path(out_dir) / f"Text{r['fold']}", name, r,
                         "text_reg", seed,
                         extras={"dep_idxs": _intlist(dep_idxs),
-                                "non_idxs": _intlist(non_idxs)})
+                                "non_idxs": _intlist(non_idxs),
+                                **(meta_extras or {})})
     return results
 
 
@@ -605,7 +610,8 @@ def train_fuse_reg(audio_features: np.ndarray, text_features: np.ndarray,
                    out_dir: Optional[Path] = None, seed: int = 0,
                    resume_dir=None, chunk_epochs=None,
                    vmap_folds: bool = False, fold_parallel: bool = False,
-                   fold_cfg: C.FoldConfig = C.FoldConfig()):
+                   fold_cfg: C.FoldConfig = C.FoldConfig(),
+                   meta_extras: dict | None = None):
     datas = _reg_fold_datas([audio_features, text_features], targets,
                             dep_idxs, non_idxs, tcfg.batch_size, fold_cfg)
     results = _run_fusion_folds(fcfg, tcfg, datas, branch_params, seed,
@@ -619,5 +625,6 @@ def train_fuse_reg(audio_features: np.ndarray, text_features: np.ndarray,
             _save_gated(Path(out_dir) / f"Fuse{r['fold']}", name, r,
                         "fuse_reg", seed,
                         extras={"dep_idxs": _intlist(dep_idxs),
-                                "non_idxs": _intlist(non_idxs)})
+                                "non_idxs": _intlist(non_idxs),
+                                **(meta_extras or {})})
     return results

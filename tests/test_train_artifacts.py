@@ -83,3 +83,37 @@ def test_emitted_idx_files_round_trip_into_checking(tmp_path):
     # the recomputed best-epoch F1 matches what training recorded
     for r_chk, r_tr in zip(res, sorted(gated, key=lambda r: r["fold"])):
         assert abs(r_chk["f1"] - r_tr["best"]["f1"]) < 1e-6
+
+
+def test_text_embedder_provenance_flows_to_checkpoint(tmp_path):
+    """extract-text records which embedder produced the features; the
+    trained checkpoint sidecar carries it (a text model is only servable
+    with the same embedder)."""
+    import json
+
+    from icassp2022_depression_tpu.data import eatd
+    from icassp2022_depression_tpu.frontend import text as text_fe
+
+    corpus = tmp_path / "corpus"
+    eatd.make_synthetic_corpus(corpus, n_data=2, n_validation=0,
+                               seconds=0.2)
+    out = tmp_path / "TextWhole"
+    text_fe.extract_eatd(corpus, out_dir=out, elmo_weights=None)
+    meta = json.loads((out / "extraction_meta.json").read_text())
+    assert meta["embedder"].startswith("prng:")
+    assert meta["output_dim"] == 1024
+
+    x, y = _separable(d=16)
+    tf = folds.generate_clf_folds(y, 3, seed=0)
+    tcfg = C.replace(
+        C.TEXT_CLF, epochs=10,
+        model=C.replace(C.TEXT_CLF.model, embedding_size=16, hidden_dims=8),
+        optimizer=C.replace(C.TEXT_CLF.optimizer, learning_rate=5e-2))
+    results = trainers.train_text_clf(
+        x, y, tf, tcfg, out_dir=tmp_path / "m", seed=0,
+        meta_extras={"text_embedder": meta["embedder"]})
+    gated = [r for r in results if r["best"]["epoch"] >= 0]
+    if gated:  # gate may or may not fire; when it does, provenance lands
+        ckpt = next((tmp_path / "m").glob("*.npz"))
+        side = checkpoints.load_meta(str(ckpt))
+        assert side["text_embedder"].startswith("prng:")
