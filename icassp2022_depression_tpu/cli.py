@@ -360,6 +360,53 @@ def cmd_check(args):
     return 0
 
 
+#: reference real-corpus metric bands (BASELINE.md; checkpoint-name
+#: evidence — two ckpt sets per branch task where the repo records both)
+PARITY_BANDS = {
+    "audio_f1": (0.60, 0.67), "text_f1": (0.62, 0.67),
+    "fuse_f1": (0.62, 0.69),
+    "audio_mae": (7.60, 8.38), "text_mae": (7.75, 8.46),
+}
+
+
+def cmd_parity(args):
+    """Real-corpus parity report: run both tracks with the reference
+    configurations unchanged and print per-fold + mean metrics against
+    BASELINE.md's bands.  Everything else (idx files, pretrained ELMo
+    bundle) is picked up automatically when present."""
+    rc = 0
+    report = {}
+    for track in ("clf", "reg"):
+        ns = argparse.Namespace(track=track, root=args.root,
+                                model_dir=args.model_dir,
+                                idx_files=args.idx_files, seed=args.seed,
+                                lr=None, vmap_folds=args.vmap_folds,
+                                fold_parallel=False, data_parallel=1)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            cmd_pipeline(ns)
+        summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+        report.update(summary)
+    print(json.dumps(report))
+    print(f"{'metric':<10} {'folds':<28} {'mean':>7}  reference band")
+    for key, band in PARITY_BANDS.items():
+        vals = report.get(key)
+        if not vals:
+            continue
+        mean = sum(vals) / len(vals)
+        lo, hi = band
+        in_band = lo - 0.05 <= mean <= hi + 0.05 if "f1" in key else             mean <= hi + 0.5
+        flag = "" if in_band else "  <-- outside band"
+        print(f"{key:<10} {str([round(v, 3) for v in vals]):<28} "
+              f"{mean:7.3f}  [{lo}, {hi}]{flag}")
+        if not in_band:
+            rc = 1
+    return rc
+
+
 def cmd_serve(args):
     """Run the stdlib HTTP serving front around one checkpoint."""
     from icassp2022_depression_tpu import serve
@@ -539,6 +586,16 @@ def build_parser():
     sp.add_argument("--speaker", required=True,
                     help="e.g. Data/5 or ValidationData/12")
     sp.set_defaults(fn=cmd_predict)
+
+    sp = sub.add_parser("parity", help="real-corpus parity report vs "
+                        "BASELINE.md (runs both tracks)")
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--model-dir")
+    sp.add_argument("--idx-files", nargs="*",
+                    help="the reference's persisted train_idxs_*.npy")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--vmap-folds", action="store_true")
+    sp.set_defaults(fn=cmd_parity)
 
     sp = sub.add_parser("serve", help="HTTP serving front (stdlib)")
     sp.add_argument("--task", required=True, choices=[

@@ -51,3 +51,12 @@ def test_baselines_command(tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "f1" in summary
+
+
+def test_parity_command_parses():
+    p = cli.build_parser()
+    a = p.parse_args(["parity", "--root", "/tmp/x", "--idx-files",
+                      "a.npy", "b.npy", "c.npy"])
+    assert a.fn is cli.cmd_parity and len(a.idx_files) == 3
+    assert set(cli.PARITY_BANDS) == {"audio_f1", "text_f1", "fuse_f1",
+                                     "audio_mae", "text_mae"}
