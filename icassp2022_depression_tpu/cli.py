@@ -164,6 +164,10 @@ def cmd_train(args):
     if args.resume_dir:
         resume_kw = {"resume_dir": Path(args.resume_dir),
                      "chunk_epochs": args.chunk_epochs}
+    if args.data_parallel > 1 and not args.fold_parallel:
+        raise SystemExit("--data-parallel requires --fold-parallel "
+                         "(it shards each fold's batch over that fold's "
+                         "device group)")
     if args.vmap_folds or args.fold_parallel:
         if args.resume_dir:
             raise SystemExit("--vmap-folds/--fold-parallel do not support "
@@ -227,6 +231,13 @@ def _warn_ungated(named_results):
 
 def cmd_pipeline(args):
     """Full track: branch trainers -> fusion with branch init."""
+    _pipeline_summary(args)
+    return 0
+
+
+def _pipeline_summary(args) -> dict:
+    """Pipeline body; returns the per-task fold-metric summary (also
+    printed as the final JSON line)."""
     from icassp2022_depression_tpu import config as C
     from icassp2022_depression_tpu.data import folds
     from icassp2022_depression_tpu.frontend import audio as afe
@@ -313,7 +324,7 @@ def cmd_pipeline(args):
         }
     print(json.dumps({k: [round(float(v), 4) for v in vs]
                       for k, vs in summary.items()}))
-    return 0
+    return summary
 
 
 def cmd_check(args):
@@ -382,14 +393,7 @@ def cmd_parity(args):
                                 idx_files=args.idx_files, seed=args.seed,
                                 lr=None, vmap_folds=args.vmap_folds,
                                 fold_parallel=False, data_parallel=1)
-        import contextlib
-        import io
-
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            cmd_pipeline(ns)
-        summary = json.loads(buf.getvalue().strip().splitlines()[-1])
-        report.update(summary)
+        report.update(_pipeline_summary(ns))
     print(json.dumps(report))
     print(f"{'metric':<10} {'folds':<28} {'mean':>7}  reference band")
     for key, band in PARITY_BANDS.items():

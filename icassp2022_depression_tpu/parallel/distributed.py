@@ -87,6 +87,13 @@ def shard_stacked_fold_data(mesh: Mesh, data):
     ``(fold, data)`` mesh: train arrays [F, NB, B, ...] shard F over
     ``fold`` and the within-batch axis B over ``data``; test arrays
     [F, N, ...] shard F and N."""
+    dp = mesh.shape["data"]
+    b = data.train_y.shape[2]
+    n = data.test_y.shape[1]
+    assert b % dp == 0, \
+        f"in-fold batch size {b} not divisible by data_parallel={dp}"
+    assert n % dp == 0, \
+        f"padded test size {n} not divisible by data_parallel={dp}"
     tr = NamedSharding(mesh, P("fold", None, "data"))
     te = NamedSharding(mesh, P("fold", "data"))
 

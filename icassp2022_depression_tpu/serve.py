@@ -118,29 +118,40 @@ class Predictor:
         self.frontend_cfg = frontend_cfg
         self.elmo_cfg = elmo_cfg
         self._pretrained_elmo = None
-        if elmo_params is None and not task.startswith("audio"):
-            from icassp2022_depression_tpu.models import elmo_pretrained
-
-            bundle = None
-            if elmo_weights == "auto":
-                bundle = elmo_pretrained.default_weights_path()
-            elif elmo_weights:
-                bundle = Path(elmo_weights)
-            if bundle is not None:
-                import sys
-
-                self._pretrained_elmo = elmo_pretrained.load_npz(bundle)
-                if elmo_weights == "auto":
-                    print(f"Predictor: auto-loaded ELMo bundle {bundle} — "
-                          "the served checkpoint must have been trained on "
-                          "features from this embedder (pass "
-                          "elmo_weights=None to force the PRNG encoder)",
-                          file=sys.stderr)
-            elif isinstance(elmo_cfg, elmo.ElmoLstmpConfig):
-                elmo_params = elmo.init_lstmp_encoder(
-                    jax.random.PRNGKey(seed), elmo_cfg)
+        #: provenance id of the resolved text embedder (same id scheme as
+        #: ``frontend.text.make_embedder`` records in extraction sidecars)
+        self.embedder_id: Optional[str] = None
+        if not task.startswith("audio"):
+            if elmo_params is not None:
+                self.embedder_id = "explicit-params"
             else:
-                elmo_params = elmo.init(jax.random.PRNGKey(seed), elmo_cfg)
+                from icassp2022_depression_tpu.models import elmo_pretrained
+
+                bundle = None
+                if elmo_weights == "auto":
+                    bundle = elmo_pretrained.default_weights_path()
+                elif elmo_weights:
+                    bundle = Path(elmo_weights)
+                if bundle is not None:
+                    import sys
+
+                    self._pretrained_elmo = elmo_pretrained.load_npz(bundle)
+                    self.embedder_id = (f"elmo_bundle:{Path(bundle).name}:"
+                                        f"{Path(bundle).stat().st_size}")
+                    if elmo_weights == "auto":
+                        print(f"Predictor: auto-loaded ELMo bundle {bundle}"
+                              " — the served checkpoint must have been "
+                              "trained on features from this embedder "
+                              "(pass elmo_weights=None to force the PRNG "
+                              "encoder)", file=sys.stderr)
+                elif isinstance(elmo_cfg, elmo.ElmoLstmpConfig):
+                    elmo_params = elmo.init_lstmp_encoder(
+                        jax.random.PRNGKey(seed), elmo_cfg)
+                    self.embedder_id = f"prng-lstmp:seed={seed}"
+                else:
+                    elmo_params = elmo.init(jax.random.PRNGKey(seed),
+                                            elmo_cfg)
+                    self.embedder_id = f"prng:seed={seed}"
         self.elmo_params = elmo_params
         self.feature_cache = _FeatureCache(feature_cache_entries)
 
@@ -156,14 +167,33 @@ class Predictor:
 
     @classmethod
     def from_checkpoint(cls, path, task: str, **kw):
-        """Load a gated-best checkpoint written by the trainers."""
+        """Load a gated-best checkpoint written by the trainers.
+
+        When the checkpoint's sidecar records which text embedder produced
+        its training features (``text_embedder``, written by the CLI
+        trainers from the extraction sidecar), the resolved serving
+        embedder is checked against it and a mismatch warns loudly."""
         module, mcfg = _model_for(task)
         if module is fusion:
             template = fusion.init(jax.random.PRNGKey(0), mcfg)
         else:
             template = module.init(jax.random.PRNGKey(0), mcfg)
         params = checkpoints.load(path, like=template)
-        return cls(params, task, **kw)
+        predictor = cls(params, task, **kw)
+        try:
+            expected = checkpoints.load_meta(path).get("text_embedder")
+        except (FileNotFoundError, ValueError):
+            expected = None
+        if (expected and predictor.embedder_id
+                and expected != predictor.embedder_id):
+            import sys
+
+            print(f"WARNING: checkpoint {path} was trained on features "
+                  f"from embedder '{expected}' but serving resolved "
+                  f"'{predictor.embedder_id}' — predictions will be "
+                  "meaningless; pass matching elmo_weights",
+                  file=sys.stderr)
+        return predictor
 
     @classmethod
     def from_torch_state_dict(cls, sd, task: str, **kw):
@@ -216,7 +246,9 @@ class Predictor:
         n = len(waveforms_per_speaker)
         keys = [
             _FeatureCache.key(
-                ["audio", str(None if ordinal_bases is None
+                # default ordinals ARE base 0 — key them identically so a
+                # speaker hits the cache regardless of batch composition
+                ["audio", str(0 if ordinal_bases is None
                               else ordinal_bases[i]),
                  str(list(sample_rates[i]))] + list(waveforms_per_speaker[i]))
             for i in range(n)]
@@ -366,7 +398,12 @@ class Predictor:
                     for _ in range(n)]
                 kw["sample_rates"] = [[sr] * 3] * n
             if not self.task.startswith("audio"):
-                kw["texts_per_speaker"] = [["你 好", "还 可以", "有点 累"]] * n
+                # distinct transcripts per speaker/batch size, else the
+                # feature cache would satisfy repeats and skip compiling
+                # the larger embedding-chunk shapes
+                kw["texts_per_speaker"] = [
+                    [f"warm {n} {i} 你 好", f"warm {n} {i} 还 可以",
+                     f"warm {n} {i} 有点 累"] for i in range(n)]
             self.predict_batch(**kw)
 
 
@@ -406,6 +443,7 @@ class _MicroBatcher:
         self.requests_served = 0
         self._q: "queue.Queue" = queue.Queue()
         self._queue_mod = queue
+        self._held = None   # overflow request carried to the next round
         threading.Thread(target=self._loop, daemon=True).start()
 
     def submit(self, req: dict) -> List[dict]:
@@ -425,7 +463,8 @@ class _MicroBatcher:
         import time as _time
 
         while True:
-            first = self._q.get()
+            first = self._held if self._held is not None else self._q.get()
+            self._held = None
             batch = [first]
             total = first[0]["n"]
             deadline = _time.monotonic() + self.window_s
@@ -436,6 +475,9 @@ class _MicroBatcher:
                 try:
                     nxt = self._q.get(timeout=timeout)
                 except self._queue_mod.Empty:
+                    break
+                if total + nxt[0]["n"] > self.max_batch:
+                    self._held = nxt   # would overflow: next round
                     break
                 batch.append(nxt)
                 total += nxt[0]["n"]
@@ -463,9 +505,18 @@ class _MicroBatcher:
                 pos += req["n"]
                 self.requests_served += 1
                 done.set()
-        except Exception as exc:
-            for _, done, box in batch:
-                box["error"] = exc
+        except Exception:
+            # one malformed request must not fail unrelated clients:
+            # retry each request individually so only the bad one errors
+            for req, done, box in batch:
+                try:
+                    box["results"] = self.predictor.predict_batch(
+                        req["waves"], req["srs"], req["texts"],
+                        req["bases"])
+                    self.batches_run += 1
+                    self.requests_served += 1
+                except Exception as exc:
+                    box["error"] = exc
                 done.set()
 
 

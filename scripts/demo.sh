@@ -8,6 +8,9 @@ set -euo pipefail
 ROOT="${1:-/tmp/icassp2022_tpu_demo}"
 PY="${PYTHON:-python}"
 
+# fresh model dir: stale artifacts from a previous run would otherwise
+# mismatch the idx/checkpoint pairing below
+rm -rf "$ROOT/Model"
 $PY -m icassp2022_depression_tpu.cli synth-corpus --root "$ROOT" \
     --n-data 114 --n-validation 48 --seconds 4.0 --seed 42
 $PY -m icassp2022_depression_tpu.cli extract-audio --root "$ROOT"
@@ -20,9 +23,12 @@ $PY -m icassp2022_depression_tpu.cli baselines --task audio_clf --root "$ROOT"
 AUDIO_DIR="$ROOT/Model/ClassificationWhole/Audio"
 IDX=(); CKPT=()
 for f in 1 2 3; do
-  i=$(ls "$AUDIO_DIR"/train_idxs_*_"$f".npy 2>/dev/null | head -1 || true)
-  c=$(ls "$AUDIO_DIR"/*_"$f".npz 2>/dev/null | head -1 || true)
-  [ -n "$i" ] && [ -n "$c" ] && IDX+=("$i") && CKPT+=("$c")
+  c=$(ls "$AUDIO_DIR"/*_"$f".npz 2>/dev/null | grep -v train_idxs | head -1 || true)
+  [ -n "$c" ] || continue
+  # the emitted idx artifact shares the checkpoint's {f1:.2f}_{fold} tail
+  f1=$(basename "$c" .npz | awk -F_ '{print $(NF-1)}')
+  i="$AUDIO_DIR/train_idxs_${f1}_${f}.npy"
+  [ -f "$i" ] && IDX+=("$i") && CKPT+=("$c")
 done
 if [ "${#IDX[@]}" -eq 3 ]; then
   $PY -m icassp2022_depression_tpu.cli check --task audio_clf --root "$ROOT" \

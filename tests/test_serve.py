@@ -301,3 +301,50 @@ def test_predictor_warmup_compiles_shapes():
     p = serve.Predictor(params, "audio_clf")
     p.warmup(batch_sizes=(1,), utt_seconds=0.3)
     assert p.feature_cache.misses >= 1
+
+
+def test_from_checkpoint_warns_on_embedder_mismatch(tmp_path, capsys):
+    params = text_net.init(jax.random.PRNGKey(10), C.TEXT_CLF.model)
+    path = tmp_path / "BiLSTM_128_0.70_1"
+    checkpoints.save(path, params, {"text_embedder": "prng:seed=99"})
+    p = serve.Predictor.from_checkpoint(path, "text_clf",
+                                        elmo_weights=None, seed=0)
+    assert p.embedder_id == "prng:seed=0"
+    assert "trained on features from embedder" in capsys.readouterr().err
+    # matching id: no warning
+    checkpoints.save(path, params, {"text_embedder": "prng:seed=0"})
+    serve.Predictor.from_checkpoint(path, "text_clf", elmo_weights=None,
+                                    seed=0)
+    assert "trained on features" not in capsys.readouterr().err
+
+
+def test_micro_batcher_isolates_bad_request():
+    """A malformed request in a coalesced batch must not fail the valid
+    co-batched one."""
+    import threading
+
+    params = audio_net.init(jax.random.PRNGKey(11), C.AUDIO_CLF.model)
+    p = serve.Predictor(params, "audio_clf")
+    b = serve._MicroBatcher(p, window_s=0.3, max_batch=8)
+    rng = np.random.default_rng(11)
+    wavs, srs, _ = _speaker(rng)
+    good = {"waves": [wavs], "srs": [srs], "texts": None, "bases": None,
+            "n": 1}
+    bad = {"waves": [wavs[:2]], "srs": [srs[:2]], "texts": None,
+           "bases": None, "n": 1}   # 2 answers instead of 3
+    out = {}
+
+    def run(name, req):
+        try:
+            out[name] = b.submit(req)
+        except Exception as exc:
+            out[name] = exc
+
+    ts = [threading.Thread(target=run, args=(n_, r))
+          for n_, r in (("good", good), ("bad", bad))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert isinstance(out["bad"], Exception)
+    assert isinstance(out["good"], list) and out["good"][0]["label"] in (0, 1)
