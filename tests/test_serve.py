@@ -254,7 +254,7 @@ def test_micro_batching_http_front():
 
     params = audio_net.init(jax.random.PRNGKey(8), C.AUDIO_CLF.model)
     p = serve.Predictor(params, "audio_clf")
-    server = serve.make_http_server(p, port=0, batch_window_ms=200,
+    server = serve.make_http_server(p, port=0, batch_window_ms=500,
                                     max_batch=16)
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
