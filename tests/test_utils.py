@@ -1,0 +1,81 @@
+"""Utility subsystems: sanitizers, metrics logging, host IO, profiling."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from icassp2022_depression_tpu.utils import debug, hostio, logging as ulog
+from icassp2022_depression_tpu.utils import profiling
+
+
+def test_nan_debug_raises_on_nan():
+    with pytest.raises(FloatingPointError):
+        with debug.nan_debug():
+            jax.jit(lambda x: jnp.log(x))(jnp.asarray(-1.0)).block_until_ready()
+    # config restored afterwards
+    assert not jax.config.jax_debug_nans
+    jax.jit(lambda x: jnp.log(x))(jnp.asarray(-1.0))  # no raise outside
+
+
+def test_assert_tree_finite_names_the_leaf():
+    tree = {"a": jnp.ones(3), "b": {"w": jnp.asarray([1.0, np.inf])}}
+    with pytest.raises(ValueError, match="tree/b/w"):
+        debug.assert_tree_finite(tree)
+    debug.assert_tree_finite({"a": jnp.ones(3)})  # clean tree passes
+
+
+def test_assert_batch_shapes():
+    x = jnp.zeros((4, 3, 8))
+    y = jnp.zeros((4,))
+    debug.assert_batch_shapes(x, y, jnp.ones((4,)))
+    with pytest.raises(AssertionError):
+        debug.assert_batch_shapes(x, jnp.zeros((5,)))
+
+
+def test_tree_norms():
+    norms = debug.tree_norms({"w": jnp.asarray([3.0, 4.0])})
+    assert norms["w"] == pytest.approx(5.0)
+
+
+def test_metrics_logger_jsonl_and_fold(tmp_path):
+    path = tmp_path / "m.jsonl"
+    logger = ulog.MetricsLogger(path)
+    logger.log("epoch", loss=np.float32(0.5), step=np.int64(3))
+    logger.log_fold("audio_clf", 1,
+                    {"loss": np.asarray([0.5, 0.4]),
+                     "f1": np.asarray([0.6, 0.7])},
+                    {"f1": 0.7, "epoch": 1, "params": {"w": jnp.ones(2)}})
+    lines = [json.loads(line) for line in path.read_text().splitlines()]
+    assert lines[0]["event"] == "epoch"
+    assert lines[0]["loss"] == pytest.approx(0.5)  # numpy scalars JSON-safe
+    fold_line = next(ln for ln in lines if ln.get("fold") == 1)
+    assert fold_line["trainer"] == "audio_clf"
+    assert "params" not in json.dumps(fold_line)   # params never logged
+
+
+def test_logging_formats_match_reference_conventions():
+    s = ulog.format_confusion_matrix(np.asarray([[3, 1], [2, 4]]))
+    assert "3" in s and "4" in s
+    assert "epoch" in ulog.format_epoch_clf(2, 1e-5, 0.3, 5, 8).lower()
+    assert "mae" in ulog.format_eval_reg(7.5, 9.0).lower()
+
+
+def test_gather_chunks_edges():
+    assert hostio.gather_chunks([], 0).shape == (0, 0)
+    one = hostio.gather_chunks([jnp.ones((4, 2))], 3)
+    assert one.shape == (3, 2)
+    two = hostio.gather_chunks([jnp.zeros((2, 2)), jnp.ones((2, 2))], 3)
+    np.testing.assert_array_equal(two, [[0, 0], [0, 0], [1, 1]])
+
+
+def test_stopwatch_and_annotate():
+    sw = profiling.Stopwatch()
+    with sw.section("a"):
+        pass
+    with profiling.annotate("outer"):
+        with sw.section("a"):
+            pass
+    assert "a" in sw.report()
