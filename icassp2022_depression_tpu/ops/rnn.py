@@ -272,8 +272,10 @@ def rnn(params: Sequence[dict], x: jnp.ndarray, cell: str,
       key: PRNG key (required when train and dropout > 0).
       backend: "xla" (lax.scan), "pallas" (fused GRU/LSTM sequence kernels,
         :mod:`.rnn_pallas`, subject to the VMEM-fit guard), or "auto"
-        (pallas on TPU, scan elsewhere).  Note the fused LSTM backward does
-        not propagate cell-state cotangents (no model here consumes c_n).
+        (pallas on TPU, scan elsewhere).  The fused LSTM backward propagates
+        per-step cell-state cotangents (``dcs_ref`` in
+        :func:`rnn_pallas._lstm_bwd_kernel`), so differentiating through
+        c_n / per-step cell states is exact on either backend.
 
     Returns:
       (output [B, T, H*num_dirs],
