@@ -7,7 +7,7 @@ stage is an explicit subcommand:
   python -m icassp2022_depression_tpu.cli synth-corpus --root ./corpus
   python -m icassp2022_depression_tpu.cli extract-audio --root ./corpus
   python -m icassp2022_depression_tpu.cli extract-text  --root ./corpus
-  python -m icassp2022_depression_tpu.cli extract-daic  --daic-dir ... --split-csv ... --queries ...
+  python -m icassp2022_depression_tpu.cli extract-daic  --daic-dir ... --split-csv ...
   python -m icassp2022_depression_tpu.cli train --task audio_clf --root ./corpus
   python -m icassp2022_depression_tpu.cli pipeline --track clf --root ./corpus
   python -m icassp2022_depression_tpu.cli baselines --task audio_clf --root ./corpus
@@ -59,16 +59,17 @@ def cmd_extract_text(args):
 def cmd_extract_daic(args):
     from icassp2022_depression_tpu.frontend import daic
 
+    queries = Path(args.queries) if args.queries else None
     if args.multimodal:
         features, text_features, clabels, rlabels = \
             daic.extract_split_multimodal(
                 Path(args.daic_dir), Path(args.split_csv),
-                Path(args.queries), out_prefix=Path(args.out),
+                queries, out_prefix=Path(args.out),
                 split_name=args.split_name, seed=args.seed,
                 elmo_weights=args.elmo_weights)
     else:
         features, clabels, rlabels = daic.extract_split(
-            Path(args.daic_dir), Path(args.split_csv), Path(args.queries),
+            Path(args.daic_dir), Path(args.split_csv), queries,
             out_prefix=Path(args.out), split_name=args.split_name)
     counts = [f.shape[0] for f in features]
     print(f"{len(features)} participants, responses per participant: "
@@ -509,7 +510,9 @@ def build_parser():
     sp = sub.add_parser("extract-daic", help="DAIC-WOZ features")
     sp.add_argument("--daic-dir", required=True)
     sp.add_argument("--split-csv", required=True)
-    sp.add_argument("--queries", required=True)
+    sp.add_argument("--queries", default=None,
+                    help="question-bank file (default: the bundled DAIC "
+                         "table, data/daic_queries.txt)")
     sp.add_argument("--out", required=True)
     sp.add_argument("--split-name", default="train")
     sp.add_argument("--multimodal", action="store_true",

@@ -17,9 +17,13 @@ arrays are object arrays of per-participant ``[n_i, 1, 256]`` blocks, the
 reference's ragged layout — with an optional padded dense export
 (``pad_responses``) for jit-friendly downstream batching.
 
-``queries.txt`` is DAIC corpus metadata (Ellie's utterance inventory) and
-ships with the dataset; pass its path in.  The matcher reproduces the
-exact-string comparison (``:23-29``).
+``queries.txt`` is DAIC corpus metadata (Ellie's canonical utterance
+inventory, 324 lines) — a constant data table, bundled at
+``data/daic_queries.txt`` so ``extract-daic`` runs out of the box
+(reference ships it as ``DAICFeatureExtarction/queries.txt``).
+:func:`load_queries` defaults to the bundled copy; pass a path to
+override.  The matcher reproduces the exact-string comparison
+(``feature_extraction.py:23-29``).
 """
 
 from __future__ import annotations
@@ -35,9 +39,16 @@ from icassp2022_depression_tpu.data.eatd import read_wav
 from icassp2022_depression_tpu.frontend import audio as audio_frontend
 
 
-def load_queries(path: Path) -> List[str]:
+#: Bundled DAIC question bank (Ellie's utterance inventory; corpus
+#: metadata shipped by the reference as ``DAICFeatureExtarction/queries.txt``).
+BUNDLED_QUERIES = Path(__file__).resolve().parent.parent / "data" / \
+    "daic_queries.txt"
+
+
+def load_queries(path: Optional[Path] = None) -> List[str]:
+    """Question bank lines; defaults to the bundled 324-question table."""
     return [line.rstrip("\n") for line in
-            Path(path).read_text().splitlines()]
+            Path(path or BUNDLED_QUERIES).read_text().splitlines()]
 
 
 def is_topic_question(sentence: str, queries: Sequence[str]) -> bool:
@@ -126,7 +137,8 @@ def read_split_csv(path: Path) -> Tuple[List[int], List[int], List[float]]:
     return ids, clabels, rlabels
 
 
-def extract_split(daic_dir: Path, split_csv: Path, queries_path: Path,
+def extract_split(daic_dir: Path, split_csv: Path,
+                  queries_path: Optional[Path] = None,
                   cfg: FrontendConfig = FrontendConfig(),
                   out_prefix: Optional[Path] = None, split_name: str = "train"):
     """Full split pass: ragged per-participant features + both label sets,
@@ -158,7 +170,7 @@ def _save_ragged(path: Path, features) -> None:
 
 
 def extract_split_multimodal(daic_dir: Path, split_csv: Path,
-                             queries_path: Path,
+                             queries_path: Optional[Path] = None,
                              cfg: FrontendConfig = FrontendConfig(),
                              elmo_params=None, elmo_cfg=None, seed: int = 0,
                              elmo_weights: str | None = "auto",

@@ -164,6 +164,40 @@ def test_daic_segmentation_and_extraction(tmp_path):
     assert dense.shape == (1, 4, 256) and mask.sum() == 2
 
 
+def test_daic_bundled_query_bank(tmp_path):
+    """No hand-carried queries file: load_queries() defaults to the bundled
+    323-line DAIC table and extract_split(queries_path=None) segments a
+    real-format fixture whose Ellie lines come from that bank."""
+    bank = daic_fe.load_queries()
+    assert len(bank) == 324
+    assert "how are you doing today" in bank
+    assert "where are you from originally" in bank
+
+    pid = 301
+    d = tmp_path / f"{pid}_P"
+    d.mkdir(parents=True)
+    sr = 16000
+    rng = np.random.default_rng(3)
+    eatd.write_wav(d / f"{pid}_AUDIO.wav",
+                   rng.standard_normal(sr * 5) * 3000, sr)
+    rows = [
+        "start_time\tstop_time\tspeaker\tvalue",
+        "0.0\t0.5\tEllie\thow are you doing today",
+        "0.6\t1.4\tParticipant\tfine thanks",
+        "1.5\t2.0\tEllie\twhere are you from originally",
+        "2.1\t3.0\tParticipant\tup north",
+        "3.2\t3.5\tEllie\tokay i think i have asked everything i need to",
+    ]
+    (d / f"{pid}_TRANSCRIPT.csv").write_text("\n".join(rows) + "\n")
+    split = tmp_path / "train_split.csv"
+    split.write_text("Participant_ID,PHQ8_Binary,PHQ8_Score\n"
+                     f"{pid},0,4\n")
+    features, clabels, rlabels = daic_fe.extract_split(
+        tmp_path, split, None, CFG)
+    assert len(features) == 1 and features[0].shape == (2, 1, 256)
+    assert clabels == [0] and rlabels == [4.0]
+
+
 def test_vggish_pipeline():
     rng = np.random.default_rng(1)
     wav = rng.standard_normal(16000 * 2).astype(np.float32) * 8000
