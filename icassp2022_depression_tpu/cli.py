@@ -381,34 +381,59 @@ PARITY_BANDS = {
 }
 
 
-def cmd_parity(args):
-    """Real-corpus parity report: run both tracks with the reference
-    configurations unchanged and print per-fold + mean metrics against
-    BASELINE.md's bands.  Everything else (idx files, pretrained ELMo
-    bundle) is picked up automatically when present."""
+def check_parity_bands(report: dict):
+    """Pure band check: fold-metric report -> (rc, rows).
+
+    Each row is ``(key, vals, mean, (lo, hi), in_band)``.  F1 means must
+    land within +/-0.05 of the reference band; MAE means at most 0.5 above
+    the band's high end (lower is strictly better).  rc is the exit code
+    the driver consumes: 0 = every reported metric in band, 1 otherwise.
+    """
     rc = 0
-    report = {}
-    for track in ("clf", "reg"):
-        ns = argparse.Namespace(track=track, root=args.root,
-                                model_dir=args.model_dir,
-                                idx_files=args.idx_files, seed=args.seed,
-                                lr=None, vmap_folds=args.vmap_folds,
-                                fold_parallel=False, data_parallel=1)
-        report.update(_pipeline_summary(ns))
-    print(json.dumps(report))
-    print(f"{'metric':<10} {'folds':<28} {'mean':>7}  reference band")
+    rows = []
     for key, band in PARITY_BANDS.items():
         vals = report.get(key)
         if not vals:
             continue
         mean = sum(vals) / len(vals)
         lo, hi = band
-        in_band = lo - 0.05 <= mean <= hi + 0.05 if "f1" in key else             mean <= hi + 0.5
+        in_band = lo - 0.05 <= mean <= hi + 0.05 if "f1" in key else \
+            mean <= hi + 0.5
+        rows.append((key, vals, mean, band, in_band))
+        if not in_band:
+            rc = 1
+    return rc, rows
+
+
+def cmd_parity(args):
+    """Real-corpus parity report: run both tracks with the reference
+    configurations unchanged and print per-fold + mean metrics against
+    BASELINE.md's bands.  Everything else (idx files, pretrained ELMo
+    bundle) is picked up automatically when present.  ``--from-report``
+    skips training and re-checks the bands on a saved report JSON (the
+    first line this command prints)."""
+    if args.from_report:
+        report = json.loads(Path(args.from_report).read_text())
+    elif not args.root:
+        raise SystemExit("parity: --root (train + check) or --from-report "
+                         "(re-check a saved report) is required")
+    else:
+        report = {}
+        for track in ("clf", "reg"):
+            ns = argparse.Namespace(track=track, root=args.root,
+                                    model_dir=args.model_dir,
+                                    idx_files=args.idx_files, seed=args.seed,
+                                    lr=None, vmap_folds=args.vmap_folds,
+                                    fold_parallel=False, data_parallel=1)
+            report.update(_pipeline_summary(ns))
+    print(json.dumps(report))
+    rc, rows = check_parity_bands(report)
+    print(f"{'metric':<10} {'folds':<28} {'mean':>7}  reference band")
+    for key, vals, mean, (lo, hi), in_band in rows:
         flag = "" if in_band else "  <-- outside band"
         print(f"{key:<10} {str([round(v, 3) for v in vals]):<28} "
               f"{mean:7.3f}  [{lo}, {hi}]{flag}")
-        if not in_band:
-            rc = 1
+    print("PARITY: " + ("PASS" if rc == 0 else "FAIL"))
     return rc
 
 
@@ -596,12 +621,15 @@ def build_parser():
 
     sp = sub.add_parser("parity", help="real-corpus parity report vs "
                         "BASELINE.md (runs both tracks)")
-    sp.add_argument("--root", required=True)
+    sp.add_argument("--root")
     sp.add_argument("--model-dir")
     sp.add_argument("--idx-files", nargs="*",
                     help="the reference's persisted train_idxs_*.npy")
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--vmap-folds", action="store_true")
+    sp.add_argument("--from-report",
+                    help="re-check bands on a saved report JSON instead of "
+                         "retraining")
     sp.set_defaults(fn=cmd_parity)
 
     sp = sub.add_parser("serve", help="HTTP serving front (stdlib)")

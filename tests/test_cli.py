@@ -60,3 +60,61 @@ def test_parity_command_parses():
     assert a.fn is cli.cmd_parity and len(a.idx_files) == 3
     assert set(cli.PARITY_BANDS) == {"audio_f1", "text_f1", "fuse_f1",
                                      "audio_mae", "text_mae"}
+
+
+def _in_band_report():
+    """A report whose every metric mean lands inside PARITY_BANDS."""
+    return {
+        "audio_f1": [0.60, 0.65, 0.66],   # mean .637 in [0.60, 0.67]
+        "text_f1": [0.62, 0.64, 0.66],    # mean .64  in [0.62, 0.67]
+        "fuse_f1": [0.64, 0.66, 0.68],    # mean .66  in [0.62, 0.69]
+        "audio_mae": [7.9, 8.1, 8.0],     # mean 8.0  <= 8.38 + .5
+        "text_mae": [8.0, 8.2, 8.1],      # mean 8.1  <= 8.46 + .5
+    }
+
+
+def test_check_parity_bands_pass_and_fail():
+    rc, rows = cli.check_parity_bands(_in_band_report())
+    assert rc == 0
+    assert len(rows) == 5 and all(r[-1] for r in rows)
+    # F1 out of band low, MAE out of band high -> rc 1, rows flagged
+    bad = dict(_in_band_report(), audio_f1=[0.30, 0.35, 0.32],
+               text_mae=[12.0, 11.0, 13.0])
+    rc, rows = cli.check_parity_bands(bad)
+    assert rc == 1
+    flags = {k: ok for k, _, _, _, ok in rows}
+    assert not flags["audio_f1"] and not flags["text_mae"]
+    assert flags["text_f1"] and flags["fuse_f1"] and flags["audio_mae"]
+    # tolerance edges: F1 +/-0.05, MAE +0.5 beyond the band still passes
+    edge = dict(_in_band_report(), fuse_f1=[0.735, 0.74, 0.745],
+                audio_mae=[8.88, 8.88, 8.88])
+    rc, rows = cli.check_parity_bands(edge)
+    assert rc == 0
+    # missing metrics are skipped, not failed (partial reports stay usable)
+    rc, rows = cli.check_parity_bands({"audio_f1": [0.63, 0.64, 0.65]})
+    assert rc == 0 and len(rows) == 1
+
+
+def test_parity_from_report_cli_both_exit_codes(tmp_path, capsys):
+    """The full CLI surface of the acceptance gate: in-band report ->
+    PASS + exit 0; out-of-band -> flagged rows + exit 1 (the code the
+    driver consumes)."""
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps(_in_band_report()))
+    rc = cli.main(["parity", "--from-report", str(good)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PARITY: PASS" in out and "outside band" not in out
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps(dict(_in_band_report(),
+                                   fuse_f1=[0.2, 0.25, 0.3])))
+    rc = cli.main(["parity", "--from-report", str(bad)])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "PARITY: FAIL" in out and out.count("outside band") == 1
+
+
+def test_parity_requires_root_or_report():
+    with pytest.raises(SystemExit):
+        cli.main(["parity"])
