@@ -52,7 +52,8 @@ def cmd_extract_text(args):
     root = Path(args.root)
     out = Path(args.out) if args.out else root / "Features" / "TextWhole"
     feats, sds, clf = text.extract_eatd(root, out_dir=out, seed=args.seed,
-                                        elmo_weights=args.elmo_weights)
+                                        elmo_weights=args.elmo_weights,
+                                        elmo_stateful=args.elmo_stateful)
     print(f"text features {feats.shape} -> {out}")
 
 
@@ -530,6 +531,12 @@ def build_parser():
                     help="converted ELMoForManyLangs bundle "
                     "(scripts/convert_elmo_zhs.py); 'auto' checks "
                     "ICASSP_ELMO_WEIGHTS and the cache, '' disables")
+    sp.add_argument("--elmo-stateful", action="store_true",
+                    help="emulate upstream ElmobiLm's cross-batch "
+                    "statefulness (one sents2elmo call per speaker, biLM "
+                    "state carried across calls) instead of the default "
+                    "deterministic zero-state mode; slower — one device "
+                    "round-trip per speaker")
     sp.set_defaults(fn=cmd_extract_text)
 
     sp = sub.add_parser("extract-daic", help="DAIC-WOZ features")

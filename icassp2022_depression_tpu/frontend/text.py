@@ -104,7 +104,7 @@ def embed_sentences(params, sentences: Sequence[List[str]],
 
 def make_embedder(params=None, cfg=None, seed: int = 0,
                   elmo_weights: Optional[str] = "auto",
-                  with_id: bool = False):
+                  with_id: bool = False, elmo_stateful: bool = False):
     """Resolve the sentence embedder once -> ``(embed_fn, output_dim)``
     (plus a provenance id string with ``with_id``, recorded in extraction
     sidecars so downstream consumers can detect embedder mismatches).
@@ -114,6 +114,11 @@ def make_embedder(params=None, cfg=None, seed: int = 0,
     ``ICASSP_ELMO_WEIGHTS``/the cache — see ``scripts/convert_elmo_zhs.py``);
     else a deterministic PRNG-initialised encoder (documented stand-in).
     Shared by the EATD and DAIC text frontends and the serving Predictor.
+
+    ``elmo_stateful`` (pretrained bundle only): emulate upstream
+    ``ElmobiLm``'s cross-batch statefulness instead of the default
+    deterministic zero-state mode — see
+    :class:`..models.elmo_pretrained.PretrainedElmo`.
     """
     from icassp2022_depression_tpu.models import elmo_pretrained
 
@@ -132,7 +137,10 @@ def make_embedder(params=None, cfg=None, seed: int = 0,
         found = Path(elmo_weights)
     if found is not None:
         pretrained = elmo_pretrained.load_npz(found)
+        pretrained.stateful = elmo_stateful
         ident = f"elmo_bundle:{Path(found).name}:{Path(found).stat().st_size}"
+        if elmo_stateful:
+            ident += ":stateful"
         return ret(pretrained.embed_sentences, pretrained.output_dim, ident)
     if isinstance(cfg, elmo.ElmoLstmpConfig):
         params = elmo.init_lstmp_encoder(jax.random.PRNGKey(seed), cfg)
@@ -149,7 +157,8 @@ def extract_eatd(root: Path, params=None,
                  out_dir: Optional[Path] = None, seed: int = 0,
                  max_id: int = eatd.MAX_SPEAKER_ID,
                  sds_threshold: float = 53.0,
-                 elmo_weights: Optional[str] = "auto"):
+                 elmo_weights: Optional[str] = "auto",
+                 elmo_stateful: bool = False):
     """Full EATD text pass -> ([N, 3, 1024] features, sds, clf labels).
 
     ``elmo_weights``: path to a converted ELMoForManyLangs bundle
@@ -161,7 +170,8 @@ def extract_eatd(root: Path, params=None,
     explicitly always wins.
     """
     embed, dim, embedder_id = make_embedder(params, cfg, seed,
-                                            elmo_weights, with_id=True)
+                                            elmo_weights, with_id=True,
+                                            elmo_stateful=elmo_stateful)
     sentences: List[List[str]] = []
     sds: List[float] = []
     for sp in eatd.iter_speakers(root, max_id=max_id, read_text=True):
@@ -169,7 +179,15 @@ def extract_eatd(root: Path, params=None,
         for text in sp.texts:
             sentences.append(tokenize(text))
         sds.append(sp.sds)
-    flat = embed(sentences)
+    if elmo_stateful:
+        # reference granularity: ONE sents2elmo call per speaker (the 3
+        # answers), biLM state carried across calls by the persistent
+        # Embedder (``text_features_whole.py:16,40``) — batch composition
+        # changes the carried states, so it must match call-for-call.
+        flat = np.concatenate([embed(sentences[i:i + 3])
+                               for i in range(0, len(sentences), 3)])
+    else:
+        flat = embed(sentences)
     n = len(sds)
     features = flat.reshape(n, 3, flat.shape[1])
     sds_targets = np.asarray(sds, np.float32)

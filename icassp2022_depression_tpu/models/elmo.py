@@ -161,6 +161,64 @@ def encode_lstmp_from_reps(params, token_reps: jnp.ndarray,
     return rep, pooled
 
 
+def encode_lstmp_from_reps_stateful(params, token_reps: jnp.ndarray,
+                                    lengths: jnp.ndarray,
+                                    h0: jnp.ndarray, c0: jnp.ndarray,
+                                    cfg: ElmoLstmpConfig = ElmoLstmpConfig()):
+    """Stateful variant of :func:`encode_lstmp_from_reps` reproducing
+    upstream ``ElmobiLm``'s allennlp ``_EncoderBase(stateful=True)`` state
+    layout: ``h0`` [L, B, 2P] / ``c0`` [L, B, 2C] carry the per-layer
+    initial states with the forward direction in the first half of the
+    last axis and the backward direction in the second (allennlp
+    ``ElmoLstm`` concatenates directions that way before stacking layers).
+
+    Returns ``(rep, pooled, h_n, c_n)`` where ``h_n``/``c_n`` are each
+    row's states at its last valid step (allennlp final-state semantics) in
+    the same layout, ready to be carried into the next batch by
+    :class:`..models.elmo_pretrained.PretrainedElmo`.
+    """
+    pdim, cdim = cfg.proj_size, cfg.cell_size
+    valid = (jnp.arange(token_reps.shape[1])[None, :] < lengths[:, None])
+    e = token_reps
+    f_in, b_in = e, e
+    layer_reps = [jnp.concatenate([e, e], axis=-1)]
+    h_ns, c_ns = [], []
+    for idx, layer in enumerate(params["layers"]):
+        f_out, fh, fc = rnn_ops.lstmp_layer_stateful(
+            layer["fwd"], f_in, valid, h0[idx, :, :pdim], c0[idx, :, :cdim],
+            cfg.cell_clip, cfg.proj_clip)
+        b_rev_in = reverse_padded(b_in, lengths)
+        # reversed rows put each row's valid tokens at positions
+        # [0, len), so the same validity mask applies; the scan's init
+        # state is consumed at the row's original index len-1, exactly
+        # where upstream's backward LstmCellWithProjection starts.
+        b_out_rev, bh, bc = rnn_ops.lstmp_layer_stateful(
+            layer["bwd"], b_rev_in, valid, h0[idx, :, pdim:],
+            c0[idx, :, cdim:], cfg.cell_clip, cfg.proj_clip)
+        b_out = reverse_padded(b_out_rev, lengths)
+        if idx > 0:
+            f_out = f_out + f_in
+            b_out = b_out + b_in
+        layer_reps.append(jnp.concatenate([f_out, b_out], axis=-1))
+        h_ns.append(jnp.concatenate([fh, bh], axis=-1))
+        c_ns.append(jnp.concatenate([fc, bc], axis=-1))
+        f_in, b_in = f_out, b_out
+    rep = sum(layer_reps) / len(layer_reps)
+    mask = (jnp.arange(token_reps.shape[1])[None, :] <
+            lengths[:, None]).astype(rep.dtype)
+    pooled = jnp.sum(rep * mask[:, :, None], axis=1) / \
+        jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+    return rep, pooled, jnp.stack(h_ns), jnp.stack(c_ns)
+
+
+def zero_lstmp_states(batch: int, cfg: ElmoLstmpConfig = ElmoLstmpConfig(),
+                      dtype=jnp.float32):
+    """Fresh (h, c) carry for :func:`encode_lstmp_from_reps_stateful` —
+    upstream's very-first-batch ``initial_states=None`` case."""
+    return (jnp.zeros((cfg.layers, batch, 2 * cfg.proj_size), dtype),
+            jnp.zeros((cfg.layers, batch, 2 * cfg.cell_size), dtype))
+
+
 def encode_lstmp(params, token_ids: jnp.ndarray, lengths: jnp.ndarray,
                  cfg: ElmoLstmpConfig = ElmoLstmpConfig()):
     """ELMo-style encoding: forward/backward 512-d streams through stacked

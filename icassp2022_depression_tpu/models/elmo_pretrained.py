@@ -39,8 +39,19 @@ Faithfulness notes (each mirrors upstream ``elmoformanylangs/elmo.py``):
   ``_EncoderBase(stateful=True)``), so its embeddings depend on corpus
   processing order.  Like the NetVLAD per-call random init that the
   framework replaces with deterministic keys, this encoder is
-  deterministically zero-state per sentence — the documented
-  reproducibility fix, equal to upstream's very first batch behaviour.
+  deterministically zero-state per sentence **by default** — the
+  documented reproducibility fix, equal to upstream's very first batch
+  behaviour.  Construct with ``stateful=True`` (or flip the attribute)
+  to emulate upstream batch-for-batch: sentences are length-sorted
+  descending (upstream ``create_batches(sort=True)``), batched without
+  row padding, and the biLM states are carried across batches *and
+  across* :meth:`PretrainedElmo.embed_sentences` *calls* (the reference
+  keeps one ``Embedder`` alive for the whole corpus,
+  ``text_features_whole.py:16``), with allennlp's slice/expand-on-batch-
+  size-change and used-rows-mask update rules
+  (``_get_initial_states``/``_update_states``).  ``reset_states()``
+  restores the fresh-process state.  Verified batch-for-batch against an
+  independent torch oracle in ``tests/test_elmo_pretrained.py``.
 """
 
 from __future__ import annotations
@@ -145,6 +156,27 @@ _encode_pooled_jit = jax.jit(encode_pooled,
                              static_argnames=("char_cfg", "lstmp_cfg"))
 
 
+def encode_pooled_stateful(cc_params, enc_params, char_ids, word_ids,
+                           lengths, h0, c0,
+                           char_cfg: char_cnn.CharCnnConfig,
+                           lstmp_cfg: elmo.ElmoLstmpConfig):
+    """Stateful twin of :func:`encode_pooled`: carries/returns the biLM
+    states ([L, B, 2P] / [L, B, 2C], allennlp layout) so consecutive
+    batches reproduce upstream ``ElmobiLm``'s cross-batch statefulness."""
+    reps = char_cnn.embed_tokens(cc_params, char_ids, char_cfg, word_ids)
+    rep, _, h_n, c_n = elmo.encode_lstmp_from_reps_stateful(
+        enc_params, reps, lengths, h0, c0, lstmp_cfg)
+    pos = jnp.arange(rep.shape[1])[None, :]
+    interior = ((pos >= 1) & (pos < (lengths[:, None] - 1))).astype(rep.dtype)
+    pooled = jnp.sum(rep * interior[:, :, None], axis=1) / \
+        jnp.maximum(jnp.sum(interior, axis=1, keepdims=True), 1.0)
+    return pooled, h_n, c_n
+
+
+_encode_pooled_stateful_jit = jax.jit(
+    encode_pooled_stateful, static_argnames=("char_cfg", "lstmp_cfg"))
+
+
 @dataclasses.dataclass
 class PretrainedElmo:
     char_cfg: char_cnn.CharCnnConfig
@@ -153,10 +185,19 @@ class PretrainedElmo:
     enc_params: dict
     char_lexicon: Dict[str, int]
     word_lexicon: Optional[Dict[str, int]]
+    #: emulate upstream ElmobiLm's cross-batch statefulness (see module
+    #: docstring); default False = the documented zero-state fix.
+    stateful: bool = False
+    _states: Optional[tuple] = dataclasses.field(
+        default=None, init=False, repr=False, compare=False)
 
     @property
     def output_dim(self) -> int:
         return self.lstmp_cfg.output_dim
+
+    def reset_states(self) -> None:
+        """Forget carried biLM states (fresh-process behaviour)."""
+        self._states = None
 
     def embed_sentences(self, sentences: Sequence[Sequence[str]],
                         batch_size: int = 64) -> np.ndarray:
@@ -165,6 +206,8 @@ class PretrainedElmo:
         corpus reuses a handful of compiled programs."""
         from icassp2022_depression_tpu.utils import hostio
 
+        if self.stateful:
+            return self._embed_sentences_stateful(sentences, batch_size)
         n = len(sentences)
         pooled_chunks = []
         for start in range(0, n, batch_size):
@@ -185,6 +228,87 @@ class PretrainedElmo:
             pooled_chunks.append(pooled[:real])
         # dispatch all chunks, read back once (relay-latency-bound)
         return hostio.gather_chunks(pooled_chunks, n)
+
+    # ---------------- upstream-faithful stateful pipeline ----------------
+
+    def _prepare_states(self, batch: int):
+        """allennlp ``_EncoderBase._get_initial_states``: zeros on first
+        ever batch; expand the *stored* states with zero rows when the
+        batch grew (upstream mutates ``self._states``), slice a view when
+        it shrank.  Sorting indices are identity here because the corpus
+        is pre-sorted descending (upstream re-sorts an already-sorted
+        batch)."""
+        if self._states is None:
+            return elmo.zero_lstmp_states(batch, self.lstmp_cfg)
+        h, c = self._states
+        stored = h.shape[1]
+        if batch > stored:
+            grow = batch - stored
+            h = jnp.concatenate(
+                [h, jnp.zeros((h.shape[0], grow, h.shape[2]), h.dtype)], 1)
+            c = jnp.concatenate(
+                [c, jnp.zeros((c.shape[0], grow, c.shape[2]), c.dtype)], 1)
+            self._states = (h, c)
+        return h[:, :batch], c[:, :batch]
+
+    def _update_states(self, h_n, c_n):
+        """allennlp ``_EncoderBase._update_states``: rows whose returned
+        first-layer state is exactly zero are treated as unused and keep
+        their old state; when the stored batch is larger than the new one
+        the tail rows persist untouched (the stored batch never shrinks)."""
+        if self._states is None:
+            self._states = (h_n, c_n)
+            return
+        old_h, old_c = self._states
+        stored, batch = old_h.shape[1], h_n.shape[1]
+        used_h = (jnp.sum(h_n[0], -1) != 0.0)[None, :, None]
+        used_c = (jnp.sum(c_n[0], -1) != 0.0)[None, :, None]
+        if stored > batch:
+            self._states = (
+                old_h.at[:, :batch].set(
+                    jnp.where(used_h, h_n, old_h[:, :batch])),
+                old_c.at[:, :batch].set(
+                    jnp.where(used_c, c_n, old_c[:, :batch])))
+        else:  # equal: _prepare_states already grew the store if needed
+            self._states = (jnp.where(used_h, h_n, old_h),
+                            jnp.where(used_c, c_n, old_c))
+
+    def _embed_sentences_stateful(self, sentences: Sequence[Sequence[str]],
+                                  batch_size: int = 64) -> np.ndarray:
+        """Upstream ``sents2elmo`` batch-for-batch: stable length-sorted
+        descending order (``create_batches(..., sort=True)`` — ties keep
+        corpus order), no batch-row padding (phantom rows would perturb
+        the carried states), states carried across batches and calls,
+        outputs restored to input order.  Each batch is one jitted XLA
+        program; time is padded to multiples of 16 (masked state updates
+        make trailing padding a no-op) so compile counts stay low."""
+        from icassp2022_depression_tpu.utils import hostio
+
+        n = len(sentences)
+        if n == 0:
+            return np.zeros((0, self.output_dim), np.float32)
+        order = sorted(range(n), key=lambda i: -len(sentences[i]))
+        pooled_chunks = []
+        for start in range(0, n, batch_size):
+            idxs = order[start:start + batch_size]
+            chunk = [sentences[i] for i in idxs]
+            max_t = max(2, max(len(s) for s in chunk) + 2)
+            pad_to = -(-max_t // 16) * 16
+            char_ids, word_ids, lengths = build_batch(
+                chunk, self.char_lexicon, self.word_lexicon,
+                self.char_cfg.max_chars, pad_to=pad_to)
+            h0, c0 = self._prepare_states(len(chunk))
+            pooled, h_n, c_n = _encode_pooled_stateful_jit(
+                self.cc_params, self.enc_params, jnp.asarray(char_ids),
+                None if word_ids is None else jnp.asarray(word_ids),
+                jnp.asarray(lengths), h0, c0, self.char_cfg,
+                self.lstmp_cfg)
+            self._update_states(h_n, c_n)
+            pooled_chunks.append(pooled)
+        flat = hostio.gather_chunks(pooled_chunks, n)
+        out = np.empty_like(flat)
+        out[np.asarray(order)] = flat
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -243,6 +243,54 @@ def lstmp_layer(p: dict, x: jnp.ndarray, reverse: bool = False,
     return ys, h_last, c_last
 
 
+def lstmp_layer_stateful(p: dict, x: jnp.ndarray, valid: jnp.ndarray,
+                         h0: jnp.ndarray, c0: jnp.ndarray,
+                         cell_clip: float = 3.0, proj_clip: float = 3.0):
+    """:func:`lstmp_layer` with initial states and per-row validity masking
+    — the allennlp ``LstmCellWithProjection`` contract when fed non-None
+    ``initial_state``: each row's state advances only on its valid steps
+    (upstream's sorted-prefix slicing, expressed as a masked update), so the
+    returned ``h_last``/``c_last`` are the states *at that row's last valid
+    step*, and rows with no valid step return ``h0``/``c0`` unchanged.
+
+    Used by the stateful pretrained-ELMo mode (upstream ``ElmobiLm`` is
+    ``_EncoderBase(stateful=True)``); always the XLA scan — the streaming
+    Pallas kernel is zero-state by contract.
+
+    x: [B, T, In]; valid: [B, T] bool; h0: [B, P]; c0: [B, C].
+    Outputs at invalid positions are the would-be step outputs (callers
+    mask them); upstream writes zeros there, equally unconsumed.
+    """
+    four_c = p["w_x"].shape[0]
+    c_dim = four_c // 4
+    xp = jnp.einsum("bti,gi->btg", x, p["w_x"], preferred_element_type=None)
+    w_h_t = p["w_h"].T
+    w_p_t = p["w_p"].T
+
+    def step(carry, inp):
+        h, c = carry
+        xp_t, valid_t = inp
+        gp = xp_t + jnp.dot(h, w_h_t, preferred_element_type=None) + p["b"]
+        i = jax.nn.sigmoid(gp[:, :c_dim])
+        f = jax.nn.sigmoid(gp[:, c_dim:2 * c_dim])
+        g = jnp.tanh(gp[:, 2 * c_dim:3 * c_dim])
+        o = jax.nn.sigmoid(gp[:, 3 * c_dim:])
+        c_new = f * c + i * g
+        if cell_clip:
+            c_new = jnp.clip(c_new, -cell_clip, cell_clip)
+        h_new = jnp.dot(o * jnp.tanh(c_new), w_p_t,
+                        preferred_element_type=None)
+        if proj_clip:
+            h_new = jnp.clip(h_new, -proj_clip, proj_clip)
+        keep = valid_t[:, None]
+        return (jnp.where(keep, h_new, h), jnp.where(keep, c_new, c)), h_new
+
+    (h_last, c_last), ys = jax.lax.scan(
+        step, (h0, c0),
+        (jnp.swapaxes(xp, 0, 1), jnp.swapaxes(valid, 0, 1)))
+    return jnp.swapaxes(ys, 0, 1), h_last, c_last
+
+
 def init_lstmp(key, input_size: int, cell: int, proj: int,
                dtype=jnp.float32):
     k1, k2, k3 = jax.random.split(key, 3)

@@ -130,13 +130,17 @@ def _oracle_token_embedder(te, char_ids, word_ids):
     return emb @ te["projection.weight"].t() + te["projection.bias"]
 
 
-def _oracle_lstmp_dir(enc, prefix, x, cell, proj, clip=3.0):
+def _oracle_lstmp_dir(enc, prefix, x, cell, proj, clip=3.0,
+                      h0=None, c0=None):
+    """One direction over one row's valid tokens; optional initial state
+    (allennlp ``LstmCellWithProjection`` with non-None initial_state).
+    Returns (outputs [T, proj], h_last, c_last)."""
     w_x = enc[f"{prefix}.input_linearity.weight"]
     w_h = enc[f"{prefix}.state_linearity.weight"]
     b = enc[f"{prefix}.state_linearity.bias"]
     w_p = enc[f"{prefix}.state_projection.weight"]
-    h = torch.zeros(proj)
-    c = torch.zeros(cell)
+    h = torch.zeros(proj) if h0 is None else h0.clone()
+    c = torch.zeros(cell) if c0 is None else c0.clone()
     outs = []
     for t in range(x.shape[0]):
         z = w_x @ x[t] + w_h @ h + b
@@ -148,10 +152,12 @@ def _oracle_lstmp_dir(enc, prefix, x, cell, proj, clip=3.0):
         c = torch.clamp(c, -clip, clip)
         h = torch.clamp(w_p @ (o * torch.tanh(c)), -clip, clip)
         outs.append(h)
-    return torch.stack(outs)
+    return torch.stack(outs), h, c
 
 
-def _oracle_embed(te, enc, sent, char_lex, word_lex):
+def _oracle_ids(sent, char_lex, word_lex):
+    """Wrapped/truncated sentence -> (char_ids [T, MAX_CHARS],
+    word_ids [T]) with upstream's swapped bow/eow markers."""
     toks = ["<bos>"]
     for tok in sent:
         if len(tok) + 2 > MAX_CHARS:
@@ -174,17 +180,22 @@ def _oracle_embed(te, enc, sent, char_lex, word_lex):
                 char_ids[j, k + 1] = char_lex.get(ch, char_lex["<oov>"])
             char_ids[j, len(tok) + 1] = eow
         word_ids[j] = word_lex.get(tok, word_lex["<oov>"])
+    return char_ids, word_ids
 
+
+def _oracle_embed(te, enc, sent, char_lex, word_lex):
+    char_ids, word_ids = _oracle_ids(sent, char_lex, word_lex)
     with torch.no_grad():
         emb = _oracle_token_embedder(te, char_ids, word_ids)   # [T, P]
         layer_reps = [torch.cat([emb, emb], dim=-1)]
         f_in = b_in = emb
         for k in range(LAYERS):
-            f_out = _oracle_lstmp_dir(enc, f"forward_layer_{k}", f_in,
-                                      CELL, PROJ)
-            b_out = torch.flip(
-                _oracle_lstmp_dir(enc, f"backward_layer_{k}",
-                                  torch.flip(b_in, [0]), CELL, PROJ), [0])
+            f_out, _, _ = _oracle_lstmp_dir(enc, f"forward_layer_{k}", f_in,
+                                            CELL, PROJ)
+            b_out_rev, _, _ = _oracle_lstmp_dir(enc, f"backward_layer_{k}",
+                                                torch.flip(b_in, [0]),
+                                                CELL, PROJ)
+            b_out = torch.flip(b_out_rev, [0])
             if k > 0:
                 f_out = f_out + f_in
                 b_out = b_out + b_in
@@ -192,6 +203,98 @@ def _oracle_embed(te, enc, sent, char_lex, word_lex):
             f_in, b_in = f_out, b_out
         avg = torch.stack(layer_reps).mean(dim=0)              # [T, 2P]
         return avg[1:-1].mean(dim=0).numpy()                   # strip + mean
+
+
+class _OracleStatefulElmo:
+    """Independent torch oracle of the UPSTREAM stateful pipeline:
+    ``Embedder.sents2elmo`` over an ``ElmobiLm`` that is allennlp
+    ``_EncoderBase(stateful=True)`` — corpus length-sorted descending
+    (``create_batches(sort=True)``, stable on ties), per-row
+    ``LstmCellWithProjection`` recurrences seeded from the carried states,
+    ``_get_initial_states`` slice/expand on batch-size change,
+    ``_update_states`` used-rows masking, state persisting across
+    ``embed`` calls like the reference's single long-lived ``Embedder``
+    (``Classification/text_features_whole.py:16,40``)."""
+
+    def __init__(self, te, enc, char_lex, word_lex):
+        self.te, self.enc = te, enc
+        self.char_lex, self.word_lex = char_lex, word_lex
+        self.states = None  # (h [L, B, 2P], c [L, B, 2C])
+
+    def _prepare(self, batch):
+        if self.states is None:
+            return (torch.zeros(LAYERS, batch, 2 * PROJ),
+                    torch.zeros(LAYERS, batch, 2 * CELL))
+        h, c = self.states
+        stored = h.shape[1]
+        if batch > stored:
+            h = torch.cat([h, torch.zeros(LAYERS, batch - stored,
+                                          2 * PROJ)], 1)
+            c = torch.cat([c, torch.zeros(LAYERS, batch - stored,
+                                          2 * CELL)], 1)
+            self.states = (h, c)  # upstream mutates the store on expand
+        return h[:, :batch].clone(), c[:, :batch].clone()
+
+    def _update(self, h_n, c_n):
+        if self.states is None:
+            self.states = (h_n, c_n)
+            return
+        old_h, old_c = self.states
+        stored, batch = old_h.shape[1], h_n.shape[1]
+        used_h = (h_n[0].sum(-1) != 0.0).float()[None, :, None]
+        used_c = (c_n[0].sum(-1) != 0.0).float()[None, :, None]
+        if stored > batch:
+            old_h[:, :batch] = h_n * used_h + old_h[:, :batch] * (1 - used_h)
+            old_c[:, :batch] = c_n * used_c + old_c[:, :batch] * (1 - used_c)
+            self.states = (old_h, old_c)
+        else:
+            self.states = (h_n * used_h + old_h * (1 - used_h),
+                           c_n * used_c + old_c * (1 - used_c))
+
+    def _forward_batch(self, sents):
+        batch = len(sents)
+        h0, c0 = self._prepare(batch)
+        h_n = torch.zeros(LAYERS, batch, 2 * PROJ)
+        c_n = torch.zeros(LAYERS, batch, 2 * CELL)
+        pooled = []
+        with torch.no_grad():
+            for b, sent in enumerate(sents):
+                char_ids, word_ids = _oracle_ids(sent, self.char_lex,
+                                                 self.word_lex)
+                emb = _oracle_token_embedder(self.te, char_ids, word_ids)
+                layer_reps = [torch.cat([emb, emb], dim=-1)]
+                f_in = b_in = emb
+                for k in range(LAYERS):
+                    f_out, fh, fc = _oracle_lstmp_dir(
+                        self.enc, f"forward_layer_{k}", f_in, CELL, PROJ,
+                        h0=h0[k, b, :PROJ], c0=c0[k, b, :CELL])
+                    b_out_rev, bh, bc = _oracle_lstmp_dir(
+                        self.enc, f"backward_layer_{k}",
+                        torch.flip(b_in, [0]), CELL, PROJ,
+                        h0=h0[k, b, PROJ:], c0=c0[k, b, CELL:])
+                    b_out = torch.flip(b_out_rev, [0])
+                    if k > 0:
+                        f_out = f_out + f_in
+                        b_out = b_out + b_in
+                    layer_reps.append(torch.cat([f_out, b_out], dim=-1))
+                    h_n[k, b] = torch.cat([fh, bh])
+                    c_n[k, b] = torch.cat([fc, bc])
+                    f_in, b_in = f_out, b_out
+                avg = torch.stack(layer_reps).mean(dim=0)
+                pooled.append(avg[1:-1].mean(dim=0))
+        self._update(h_n, c_n)
+        return torch.stack(pooled)
+
+    def embed(self, sents, batch_size):
+        n = len(sents)
+        order = sorted(range(n), key=lambda i: -len(sents[i]))
+        out = torch.zeros(n, 2 * PROJ)
+        for start in range(0, n, batch_size):
+            idxs = order[start:start + batch_size]
+            pooled = self._forward_batch([sents[i] for i in idxs])
+            for j, i in enumerate(idxs):
+                out[i] = pooled[j]
+        return out.numpy()
 
 
 # ------------------------------- tests ------------------------------------
@@ -243,6 +346,72 @@ def test_extract_eatd_autoloads_bundle(model_dir, tmp_path, monkeypatch):
     monkeypatch.delenv("ICASSP_ELMO_WEIGHTS")
     feats_stub, *_ = text_fe.extract_eatd(corpus, elmo_weights=None)
     assert feats_stub.shape[2] == 1024
+
+
+CORPUS_A = [
+    ["我", "有点", "累", "不", "太", "想", "说话", "了"],      # len 8
+    ["今天", "天气", "很", "好"],                               # len 4
+    ["我", "很", "高兴"],                                       # len 3
+    ["今天", "天气", "很", "好", "我", "很", "高兴"],            # len 7
+    ["好"],                                                     # len 1
+    ["我", "不", "想", "说话"],                                  # len 4 (tie)
+    ["谢谢谢谢谢谢", "好"],                                      # truncation
+    ["累", "了"],                                               # len 2 (tie)
+    ["今天", "很", "好", "想", "说话"],                          # len 5
+    ["我", "有点", "累"],                                       # len 3 (tie)
+]
+CORPUS_B = [
+    ["说话", "了"],
+    ["我", "很", "累", "了"],
+    ["今天", "不", "好"],
+    ["好", "好", "好", "好", "好"],
+    ["想", "说话"],
+]
+CORPUS_C = [["我", "很", "高兴"], ["不", "想", "说话", "了"]]
+
+
+def test_stateful_matches_oracle_across_batches(model_dir):
+    """Stateful mode vs the upstream-semantics torch oracle, batch for
+    batch: call 1 spans 3 consecutive uneven batches (4/4/2, shrink
+    bookkeeping), call 2 expands the state store (5 > 4), call 3 slices
+    it (2 < 5) — state carried across calls throughout, like the
+    reference's single long-lived Embedder."""
+    root, char_lex, word_lex, te, enc = model_dir
+    pe = elmo_pretrained.convert_model_dir(root)
+    pe.stateful = True
+    oracle = _OracleStatefulElmo(te, enc, char_lex, word_lex)
+    for sents, bs in ((CORPUS_A, 4), (CORPUS_B, 8), (CORPUS_C, 8)):
+        got = pe.embed_sentences(sents, batch_size=bs)
+        want = oracle.embed(sents, bs)
+        assert got.shape == (len(sents), 2 * PROJ)
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_stateful_first_call_matches_stateless(model_dir):
+    """A fresh stateful embedder's very first batch starts from zeros —
+    upstream's initial_states=None case — so it must equal the default
+    zero-state mode."""
+    root, *_ = model_dir
+    pe = elmo_pretrained.convert_model_dir(root)
+    stateless = pe.embed_sentences(SENTS, batch_size=8)
+    pe.stateful = True
+    stateful = pe.embed_sentences(SENTS, batch_size=8)
+    np.testing.assert_allclose(stateful, stateless, atol=1e-5)
+
+
+def test_stateful_carryover_and_reset(model_dir):
+    """Carried states change a repeated sentence's embedding (the
+    corpus-order dependence the default mode removes); reset_states
+    restores fresh-process behaviour exactly."""
+    root, *_ = model_dir
+    pe = elmo_pretrained.convert_model_dir(root)
+    pe.stateful = True
+    first = pe.embed_sentences(CORPUS_C)
+    second = pe.embed_sentences(CORPUS_C)
+    assert np.abs(first - second).max() > 1e-6
+    pe.reset_states()
+    again = pe.embed_sentences(CORPUS_C)
+    np.testing.assert_allclose(again, first, atol=1e-6)
 
 
 def test_batch_padding_invariance(model_dir):
