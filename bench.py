@@ -20,9 +20,20 @@ Stages and their baselines (all baselines measured on this machine):
   measurement, including per-epoch full-batch eval + gating) vs the
   reference's training-epoch structure in PyTorch (module definitions,
   Python minibatch loop, CPU; 6 epochs measured, per-epoch cost is flat).
+* elmo_text_throughput — the full pretrained-text pipeline (char-CNN +
+  2-layer biLSTMP at the real zhs 4096x512 geometry, 99M params) steady
+  sent/s vs the torch-CPU biLM; machine-checked against a floor.
+* lstmp_hbm_utilization — the streaming Pallas LSTMP kernel's achieved
+  HBM bandwidth vs the ~800 GB/s v5e peak (the biLM is bandwidth-bound
+  on its per-step weight stream); machine-checked against a floor.
 * end_to_end_pipeline — extraction + 3 folds x 169 epochs of audio-clf
   training, wall-clock; the CPU side extrapolates the measured torch
   epoch time to the reference's full 169-epoch, 3-fold schedule.
+
+The reference-TF extraction baseline runs as ``python bench.py
+--tf-baseline N`` in a fresh subprocess (>=12 samples, mean +- spread
+recorded in the extraction line) so TF thread pools never share the
+process with the JAX TPU client.
 """
 
 import json
@@ -113,11 +124,15 @@ def bench_extraction_numpy(wavs, max_utts=48):
     return max_utts / dt, dt / max_utts * len(wavs)
 
 
-def bench_extraction_reference_tf(wavs, max_utts=3):
+def bench_extraction_reference_tf(wavs, max_utts=12):
     """The reference's ACTUAL per-utterance path: a fresh TF1 graph with a
     randomly-initialised NetVLAD layer and a throwaway session per
     utterance (``Classification/audio_features_whole.py:65-71``); mel via
-    NumPy (librosa absent — charges the reference nothing for mel)."""
+    NumPy (librosa absent — charges the reference nothing for mel).
+
+    Returns per-utterance wall times.  Normally run in a SUBPROCESS
+    (``--tf-baseline``) so TF's thread pools never share the process with
+    the JAX TPU client (that contention biased earlier 3-sample runs)."""
     from icassp2022_depression_tpu.ops import mel as mel_ops
 
     import tensorflow.compat.v1 as tf1
@@ -127,8 +142,9 @@ def bench_extraction_reference_tf(wavs, max_utts=3):
     win = mel_ops.hann_window(2048)
     k, d_out = 16, 256
 
-    t0 = time.time()
+    per_utt = []
     for w in wavs[:max_utts]:
+        t0 = time.time()
         m = _numpy_logmel(w, fb, win).astype(np.float32)
         graph = tf1.Graph()
         with graph.as_default():
@@ -155,8 +171,30 @@ def bench_extraction_reference_tf(wavs, max_utts=3):
             with tf1.Session(graph=graph) as sess:
                 sess.run(init)
                 sess.run(out, feed_dict={x: m})
-    dt = time.time() - t0
-    return max_utts / dt, dt / max_utts * len(wavs)
+        per_utt.append(time.time() - t0)
+    return per_utt
+
+
+def run_reference_tf_subprocess(n_utts=12, timeout_s=600):
+    """Measure the reference-TF extraction baseline in a fresh process
+    (``python bench.py --tf-baseline N``): the child regenerates the same
+    deterministic wavs (seed 0) and prints per-utterance times as JSON.
+    Returns (utt_per_s, full_corpus_s, per_utt_times, mean_s, std_s);
+    raises on any child failure (caller falls back to the NumPy oracle)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, __file__, "--tf-baseline", str(n_utts)],
+        capture_output=True, text=True, timeout=timeout_s)
+    if proc.returncode != 0:
+        raise RuntimeError(f"tf baseline subprocess failed: "
+                           f"{proc.stderr.strip()[-400:]}")
+    per_utt = json.loads(proc.stdout.strip().splitlines()[-1])["per_utt_s"]
+    per_utt = np.asarray(per_utt, np.float64)
+    mean_s = float(per_utt.mean())
+    n_total = 3 * N_SPEAKERS
+    return (1.0 / mean_s, mean_s * n_total, per_utt.tolist(), mean_s,
+            float(per_utt.std()))
 
 
 # ---------------------------------------------------------------------------
@@ -252,6 +290,127 @@ def bench_audio_reg_tpu(features, scores):
                              seed=0)
     dt = time.time() - t0
     return dt / (3 * (C.AUDIO_REG.epochs - 1)) * 1000.0
+
+
+# ---------------------------------------------------------------------------
+# Pretrained-text pipeline (ELMoForManyLangs zhs geometry) + LSTMP kernel
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_corpus_sentences(n_sents=3 * N_SPEAKERS, seed=3):
+    """EATD-scale token lists drawn from a small CJK char pool (lengths
+    3..30, like jieba-segmented answers)."""
+    rng = np.random.default_rng(seed)
+    chars = [chr(c) for c in range(0x4E00, 0x4E00 + 200)]
+    sents = []
+    for _ in range(n_sents):
+        n_tok = int(rng.integers(3, 31))
+        sents.append(["".join(rng.choice(chars,
+                                         int(rng.integers(1, 4))))
+                      for _ in range(n_tok)])
+    return sents
+
+
+def bench_pretrained_text_tpu(n_sents=3 * N_SPEAKERS):
+    """Steady-state throughput of the FULL pretrained-text pipeline at the
+    real zhs geometry (char-CNN 2048 filters + 2-layer biLSTMP 4096x512,
+    99M params, streaming Pallas LSTMP kernel underneath) — the
+    reference's slowest modality (``text_features_whole.py:40``).
+    Synthetic PRNG weights: identical FLOPs/bytes to converted ones."""
+    import jax
+
+    from icassp2022_depression_tpu.models import (char_cnn, elmo,
+                                                  elmo_pretrained)
+
+    ccfg = char_cnn.CharCnnConfig()          # zhs geometry defaults
+    lcfg = elmo.ElmoLstmpConfig()            # 4096x512, 2 layers
+    cc = char_cnn.init(jax.random.PRNGKey(0), ccfg)
+    enc = {"layers": elmo.init_lstmp_encoder(jax.random.PRNGKey(1),
+                                             lcfg)["layers"]}
+    specials = ["<pad>", "<oov>", "<bos>", "<eos>", "<bow>", "<eow>"]
+    char_lex = {t: i for i, t in enumerate(specials)}
+    for c in range(0x4E00, 0x4E00 + 200):
+        char_lex[chr(c)] = len(char_lex)
+    pe = elmo_pretrained.PretrainedElmo(ccfg, lcfg, cc, enc, char_lex,
+                                        None)
+    sents = _synthetic_corpus_sentences(n_sents)
+    pe.embed_sentences(sents)                # warm: compiles + param upload
+    t0 = time.time()
+    out = pe.embed_sentences(sents)
+    dt = time.time() - t0
+    assert out.shape == (n_sents, lcfg.output_dim)
+    return n_sents / dt, dt
+
+
+def bench_pretrained_text_torch(n_batches=2, batch=64, t_len=18):
+    """torch-CPU baseline: the biLM alone (``nn.LSTM(512, 4096,
+    proj_size=512, num_layers=2, bidirectional=True)``) at the same
+    geometry/batching — charitable to torch (no char-CNN charged)."""
+    torch = _torch_setup()
+
+    rnn = torch.nn.LSTM(512, 4096, proj_size=512, num_layers=2,
+                        bidirectional=True)
+    x = torch.randn(t_len, batch, 512)
+    with torch.no_grad():
+        rnn(x)                               # warm
+        t0 = time.time()
+        for _ in range(n_batches):
+            rnn(x)
+        dt = time.time() - t0
+    return n_batches * batch / dt
+
+
+def bench_lstmp_hbm_utilization(b=64, t_short=64, t_long=512, reps=4,
+                                peak_bytes_s=8.0e11):
+    """HBM-bandwidth utilisation of the streaming Pallas LSTMP kernel at
+    the zhs geometry, as the product runs it (f32 weight stream).
+
+    Per-step HBM traffic accounted: the recurrent weight stream
+    (w_h [P,4,C] + w_p [C,P], re-read every step — the reason the kernel
+    is bandwidth-bound), the precomputed gate input xp (written by the
+    hoisted w_x matmul, read by the kernel) and the ys/cs outputs.
+    Step time = (t(t_long) - t(t_short)) / (t_long - t_short), each the
+    min over ``reps`` with all runs per measurement dispatched before ONE
+    blocking readback (the relay's ~0.45 s round-trip cancels in the
+    difference; min rejects latency spikes).  Peak ~800 GB/s (v5e HBM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icassp2022_depression_tpu.ops import rnn as rnn_ops
+    from icassp2022_depression_tpu.ops import rnn_pallas
+
+    cell, proj, din = 4096, 512, 512
+    p = rnn_ops.init_lstmp(jax.random.PRNGKey(0), din, cell, proj)
+
+    def make_run(t_steps):
+        x = jax.random.normal(jax.random.PRNGKey(1), (b, t_steps, din))
+
+        @jax.jit
+        def run(xx):
+            ys, h_last, _ = rnn_pallas.lstmp_layer_streamed(p, xx)
+            return h_last.sum()
+
+        run(x)                               # warm/compile
+        float(run(x))
+
+        def timed():
+            t0 = time.time()
+            acc = run(x)
+            for _ in range(2):
+                acc = acc + run(x)
+            float(acc)                       # ONE blocking readback
+            return (time.time() - t0) / 3.0
+
+        return min(timed() for _ in range(reps))
+
+    dt_long = make_run(t_long)
+    dt_short = make_run(t_short)
+    step_s = max((dt_long - dt_short) / (t_long - t_short), 1e-9)
+    bytes_step = (4 * (proj * 4 * cell + cell * proj)      # weight stream
+                  + 4 * (b * 4 * cell) * 2                 # xp write + read
+                  + 4 * (b * proj + b * cell))             # ys + cs_pre
+    bw = bytes_step / step_s
+    return bw / peak_bytes_s, bw / 1e9, step_s * 1e6
 
 
 # ---------------------------------------------------------------------------
@@ -484,18 +643,28 @@ def main():
     wavs = make_wavs()
 
     # extraction: vs_baseline is against the reference's actual
-    # per-utterance TF1 path; the (far stronger) NumPy oracle goes to
-    # stderr and anchors the conservative end-to-end baseline below
+    # per-utterance TF1 path (>=12 samples, measured in a fresh process so
+    # TF never contends with the JAX TPU client; mean +- spread recorded);
+    # the (far stronger) NumPy oracle goes to stderr and anchors the
+    # conservative end-to-end baseline below
     tpu_utts, tpu_ext_s = bench_extraction_tpu(wavs)
     np_utts, np_ext_s = bench_extraction_numpy(wavs)
+    ref_extra = {}
     try:
-        ref_utts, ref_ext_s = bench_extraction_reference_tf(wavs)
-    except ImportError:  # no tensorflow -> the NumPy oracle is the anchor
+        (ref_utts, ref_ext_s, ref_per_utt, ref_mean,
+         ref_std) = run_reference_tf_subprocess(n_utts=12)
+        ref_extra = {"ref_tf_samples": len(ref_per_utt),
+                     "ref_tf_mean_s": round(ref_mean, 3),
+                     "ref_tf_std_s": round(ref_std, 3),
+                     "ref_tf_per_utt_s": [round(t, 3)
+                                          for t in ref_per_utt]}
+    except Exception as exc:  # no TF / child failed -> NumPy-oracle anchor
         ref_utts, ref_ext_s = np_utts, np_ext_s
-        print("# tensorflow unavailable: extraction vs_baseline anchored "
-              "to the NumPy oracle instead of the reference's TF path",
+        print(f"# reference-TF baseline unavailable ({exc}): extraction "
+              "vs_baseline anchored to the NumPy oracle instead",
               file=sys.stderr)
-    emit("extraction_throughput", tpu_utts, "utt/s", tpu_utts / ref_utts)
+    emit("extraction_throughput", tpu_utts, "utt/s", tpu_utts / ref_utts,
+         **ref_extra)
 
     # trainers
     audio_ms = bench_audio_clf_tpu(features, targets)
@@ -525,6 +694,21 @@ def main():
     emit("audio_reg_train_epoch_time", reg_ms, "ms/epoch",
          reg_torch_ms / reg_ms)
 
+    # pretrained-text pipeline at the real zhs geometry (the reference's
+    # slowest modality) — machine-checked against a conservative floor
+    elmo_sps, elmo_s = bench_pretrained_text_tpu()
+    elmo_torch_sps = bench_pretrained_text_torch()
+    emit("elmo_text_throughput", elmo_sps, "sent/s",
+         elmo_sps / elmo_torch_sps, floor=300.0,
+         meets_floor=bool(elmo_sps >= 300.0))
+
+    # streaming LSTMP kernel HBM-bandwidth utilisation (the biLM is
+    # bandwidth-bound on its ~42 MB/step f32 weight stream)
+    hbm_util, hbm_gbs, step_us = bench_lstmp_hbm_utilization()
+    emit("lstmp_hbm_utilization", hbm_util, "fraction_of_800GBps",
+         hbm_util, floor=0.25, meets_floor=bool(hbm_util >= 0.25),
+         achieved_gb_s=round(hbm_gbs, 1), step_us=round(step_us, 1))
+
     # headline: end-to-end pipeline (extraction + 3x169-epoch audio clf)
     n_epochs_total = 3 * (C.AUDIO_CLF.epochs - 1)
     tpu_e2e_s = tpu_ext_s + audio_ms / 1000.0 * n_epochs_total
@@ -541,9 +725,22 @@ def main():
           f"reg {reg_torch_ms:.0f}; extraction baselines "
           f"(full-corpus extrapolated): numpy-oracle {np_ext_s:.1f}s "
           f"({np_utts:.0f} utt/s), reference-TF {ref_ext_s:.0f}s "
-          f"({ref_utts:.2f} utt/s); conservative cpu e2e {cpu_e2e_s:.0f}s",
-          file=sys.stderr)
+          f"({ref_utts:.2f} utt/s); conservative cpu e2e {cpu_e2e_s:.0f}s; "
+          f"elmo steady {elmo_s:.2f}s/corpus vs torch-cpu biLSTMP "
+          f"{elmo_torch_sps:.1f} sent/s", file=sys.stderr)
+
+
+def tf_baseline_child(n_utts: int) -> None:
+    """Child mode (``--tf-baseline N``): run the reference-TF extraction
+    baseline in this fresh process and print per-utterance times as the
+    last stdout line."""
+    wavs = make_wavs()
+    per_utt = bench_extraction_reference_tf(wavs, max_utts=n_utts)
+    print(json.dumps({"per_utt_s": per_utt}), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--tf-baseline":
+        tf_baseline_child(int(sys.argv[2]))
+    else:
+        main()
