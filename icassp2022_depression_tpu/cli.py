@@ -171,10 +171,6 @@ def cmd_train(args):
                          "(it shards each fold's batch over that fold's "
                          "device group)")
     if args.vmap_folds or args.fold_parallel:
-        if args.resume_dir:
-            raise SystemExit("--vmap-folds/--fold-parallel do not support "
-                             "--resume-dir (folds run as one program; "
-                             "resume is a per-fold mechanism)")
         resume_kw.update(vmap_folds=args.vmap_folds or args.fold_parallel,
                          fold_parallel=args.fold_parallel,
                          data_parallel=args.data_parallel)

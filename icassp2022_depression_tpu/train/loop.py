@@ -221,16 +221,23 @@ def make_multi_fold_runner(train_loss_fn, eval_fn, optimizer, track, gate,
     state, PRNG streams, gated best) are preserved by construction.
 
     Returns ``run(stacked_params, stacked_opt_state, stacked_data,
-    stacked_keys) -> (params, opt_state, keys, best, logs)`` with a leading
-    fold axis on every output.
+    stacked_keys, best=None, epoch0=0) -> (params, opt_state, keys, best,
+    logs)`` with a leading fold axis on every output.  ``best``/``epoch0``
+    enable chunked execution + resume exactly like the single-fold runner
+    (``best`` carries the stacked gated-best tree; ``epoch0`` — shared by
+    all folds — offsets the epoch counter and is NOT vmapped).
     """
     single = make_fold_runner(train_loss_fn, eval_fn, optimizer, track,
                               gate, epochs, jit=False)
+    vm = jax.vmap(single, in_axes=(0, 0, 0, 0, 0, None))
 
-    def one(params, opt_state, data, key):
-        return single(params, opt_state, data, key)
+    @jax.jit
+    def run(params, opt_state, data, keys, best=None, epoch0=0):
+        if best is None:
+            best = jax.vmap(lambda p: init_best(track, p))(params)
+        return vm(params, opt_state, data, keys, best, epoch0)
 
-    return jax.jit(jax.vmap(one))
+    return run
 
 
 def init_best(track: str, params):

@@ -170,14 +170,23 @@ def _execute_fold(make_runner, runner_cache, params, optimizer, data,
 
 def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
                           seed: int, fold_parallel: bool = False,
-                          data_parallel: int = 1):
+                          data_parallel: int = 1, resume_dir=None,
+                          chunk_epochs=None, task_name: str = "task"):
     """Cross-fold vmap path: all folds as one compiled program
     (:func:`..train.loop.make_multi_fold_runner`).  With ``fold_parallel``
     the stacked fold axis is additionally sharded over a
     :func:`..parallel.distributed.fold_mesh` (one device per fold), so
     3 folds run in ~1 fold's wall-clock; ``data_parallel > 1`` widens the
     mesh to 2D ``(fold, data)`` with each fold's minibatch axis sharded
-    over its device group (fold x DP composition)."""
+    over its device group (fold x DP composition).
+
+    ``resume_dir``/``chunk_epochs`` give the scale-out path the same
+    recovery story as the serial path (:func:`_execute_fold`): the stacked
+    fold state (params, opt_state, keys, gated best, epochs done) is one
+    pytree, saved as ONE ``{task_name}_folds`` bundle after every chunk
+    and restored — then re-sharded over the fold mesh — on restart.
+    Chunked + resumed runs are bit-exact vs single-shot
+    (``tests/test_resume.py``)."""
     train_loss, eval_fn = fns
     stacked_params = jax.tree_util.tree_map(
         lambda *ls: jnp.stack(ls), *params_list)
@@ -187,6 +196,27 @@ def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
     stacked_data = loop.stack_fold_data(fold_datas)
     keys = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(seed + 1000), i)
                       for i in range(1, len(fold_datas) + 1)])
+    stacked_best = jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls),
+        *[loop.init_best(tcfg.track, p) for p in params_list])
+
+    total_epochs = tcfg.epochs - 1
+    epoch_done = 0
+    logs_parts: list = []
+    resume_path = (Path(resume_dir) / f"{task_name}_folds"
+                   if resume_dir is not None else None)
+    if resume_path is not None and Path(str(resume_path) + ".npz").exists():
+        template = {"params": stacked_params, "opt_state": stacked_opt,
+                    "keys": keys, "best": stacked_best,
+                    "epoch_done": np.zeros((), np.int64)}
+        state = checkpoints.load(resume_path, like=template)
+        stacked_params, stacked_opt = state["params"], state["opt_state"]
+        keys, stacked_best = state["keys"], state["best"]
+        epoch_done = int(state["epoch_done"])
+        logs_path = Path(str(resume_path) + "_logs.npz")
+        if logs_path.exists():
+            logs_parts.append(dict(np.load(logs_path)))
+
     if fold_parallel:
         from icassp2022_depression_tpu.parallel import distributed
 
@@ -201,10 +231,36 @@ def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
         stacked_params = distributed.shard_over_folds(mesh, stacked_params)
         stacked_opt = distributed.shard_over_folds(mesh, stacked_opt)
         keys = distributed.shard_over_folds(mesh, keys)
-    run = loop.make_multi_fold_runner(train_loss, eval_fn, optimizer,
-                                      tcfg.track, tcfg.gate, tcfg.epochs)
-    _, _, _, best, logs = run(stacked_params, stacked_opt, stacked_data, keys)
-    best, logs = jax.device_get((best, logs))
+        stacked_best = distributed.shard_over_folds(mesh, stacked_best)
+
+    chunk = chunk_epochs or total_epochs
+    runner_cache: dict = {}
+    while epoch_done < total_epochs:
+        n = min(chunk, total_epochs - epoch_done)
+        if n not in runner_cache:
+            runner_cache[n] = loop.make_multi_fold_runner(
+                train_loss, eval_fn, optimizer, tcfg.track, tcfg.gate,
+                n + 1)
+        run = runner_cache[n]
+        stacked_params, stacked_opt, keys, stacked_best, logs = run(
+            stacked_params, stacked_opt, stacked_data, keys, stacked_best,
+            jnp.asarray(epoch_done, jnp.int32))
+        logs_parts.append(jax.device_get(logs))   # [F, n, ...] per chunk
+        epoch_done += n
+        if resume_path is not None:
+            checkpoints.save(resume_path, {
+                "params": stacked_params, "opt_state": stacked_opt,
+                "keys": keys, "best": stacked_best,
+                "epoch_done": np.asarray(epoch_done, np.int64)})
+            merged = {k: np.concatenate([p[k] for p in logs_parts], axis=1)
+                      for k in logs_parts[0]}
+            np.savez(Path(str(resume_path) + "_logs.npz"), **merged)
+    if logs_parts:
+        logs = {k: np.concatenate([p[k] for p in logs_parts], axis=1)
+                for k in logs_parts[0]}
+    else:  # completed bundle with a missing logs sidecar, or epochs <= 1
+        logs = {}
+    best = jax.device_get(stacked_best)
     results = []
     for i in range(len(fold_datas)):
         fold_best = jax.tree_util.tree_map(lambda x: x[i], best)
@@ -224,12 +280,11 @@ def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
     All folds are padded to identical shapes (``_clf_fold_datas`` /
     ``_reg_fold_datas``) and share ONE compiled program — the optimizer and
     runner are built once from the first fold's param structure.  With
-    ``vmap_folds`` all folds run as a single vmapped program (incompatible
-    with ``resume_dir``); ``fold_parallel`` additionally shards the fold
-    axis over one device per fold (implies ``vmap_folds``)."""
+    ``vmap_folds`` all folds run as a single vmapped program;
+    ``fold_parallel`` additionally shards the fold axis over one device per
+    fold (implies ``vmap_folds``).  ``resume_dir`` works on both paths:
+    per-fold bundles serially, one stacked-fold bundle vectorised."""
     if vmap_folds or fold_parallel:
-        if resume_dir is not None:
-            raise ValueError("vmap_folds does not support resume")
         if init_params_per_fold is not None:
             params_list = list(init_params_per_fold)
         else:
@@ -244,7 +299,10 @@ def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
         return _vmapped_fold_results(fns, optimizer, tcfg, fold_datas,
                                      params_list, seed,
                                      fold_parallel=fold_parallel,
-                                     data_parallel=data_parallel)
+                                     data_parallel=data_parallel,
+                                     resume_dir=resume_dir,
+                                     chunk_epochs=chunk_epochs,
+                                     task_name=task_name)
     results = []
     make_runner = None
     runner_cache: dict = {}
@@ -384,7 +442,9 @@ def _fusion_fns(fcfg: C.FusionConfig, tcfg: C.TrainerConfig):
 
 
 def _vmapped_fusion_results(fcfg, tcfg, fold_datas, branch_params, seed,
-                            track, fold_parallel: bool = False):
+                            track, fold_parallel: bool = False,
+                            resume_dir=None, chunk_epochs=None,
+                            task_name: str = "fuse"):
     """Regression-track fusion folds as one vmapped (optionally
     fold-sharded) program — valid because every reg fold starts fresh
     (``Regression/fuse_net.py:549-552``); per-fold init and PRNG keys are
@@ -406,7 +466,10 @@ def _vmapped_fusion_results(fcfg, tcfg, fold_datas, branch_params, seed,
     optimizer = optim.build(tcfg.optimizer, params_list[0])
     fns = _fusion_fns(fcfg, tcfg)
     return _vmapped_fold_results(fns, optimizer, tcfg, datas, params_list,
-                                 seed, fold_parallel=fold_parallel)
+                                 seed, fold_parallel=fold_parallel,
+                                 resume_dir=resume_dir,
+                                 chunk_epochs=chunk_epochs,
+                                 task_name=task_name)
 
 
 def _run_fusion_folds(fcfg, tcfg, fold_datas, branch_params, seed, track,
@@ -439,11 +502,12 @@ def _run_fusion_folds(fcfg, tcfg, fold_datas, branch_params, seed, track,
                 "k+1 starts from fold k's trained fc_final weights and "
                 "accumulated Adam moments (fuse_net_whole.py:413-416) — "
                 "so fold programs cannot run concurrently")
-        if resume_dir is not None:
-            raise ValueError("vmap_folds does not support resume")
         return _vmapped_fusion_results(fcfg, tcfg, fold_datas,
                                        branch_params, seed, track,
-                                       fold_parallel=fold_parallel)
+                                       fold_parallel=fold_parallel,
+                                       resume_dir=resume_dir,
+                                       chunk_epochs=chunk_epochs,
+                                       task_name=task_name)
     results = []
     make_runner = None
     runner_cache: dict = {}

@@ -66,6 +66,72 @@ def test_resume_after_interruption(tmp_path):
     assert full["best"]["f1"] == resumed["best"]["f1"]
 
 
+def test_vmapped_chunked_equals_single_shot(tmp_path):
+    """Scale-out recovery: the vmapped (all-folds-as-one-program) path
+    chunks + resumes through one stacked-fold bundle, bit-exact vs the
+    single-shot vmapped run."""
+    x, y = _data(3)
+    tf_idx = folds.generate_clf_folds(y, 3, seed=3)
+    single = trainers.train_audio_clf(x, y, tf_idx, CFG, seed=5,
+                                      vmap_folds=True)
+    datas = trainers._clf_fold_datas([x], y, tf_idx, CFG.batch_size)
+    chunked = trainers._run_folds(audio_net, CFG, datas, seed=5,
+                                  chunk_epochs=5, resume_dir=tmp_path,
+                                  task_name="a", vmap_folds=True)
+    for s, c in zip(single, chunked):
+        np.testing.assert_array_equal(s["logs"]["f1"], c["logs"]["f1"])
+        np.testing.assert_array_equal(s["logs"]["loss"], c["logs"]["loss"])
+        assert s["best"]["f1"] == c["best"]["f1"]
+        assert s["best"]["epoch"] == c["best"]["epoch"]
+    assert (tmp_path / "a_folds.npz").exists()
+    assert (tmp_path / "a_folds_logs.npz").exists()
+
+
+def test_vmapped_resume_after_interruption(tmp_path):
+    """Kill-and-resume on the vmapped path: a truncated run leaves the
+    stacked bundle; the restarted full run completes from it and matches
+    the uninterrupted run bit-for-bit."""
+    x, y = _data(4)
+    tf_idx = folds.generate_clf_folds(y, 3, seed=4)
+    datas = trainers._clf_fold_datas([x], y, tf_idx, CFG.batch_size)
+
+    cfg_partial = C.replace(CFG, epochs=6)   # "killed" after 5 epochs
+    trainers._run_folds(audio_net, cfg_partial, datas, seed=11,
+                        chunk_epochs=5, resume_dir=tmp_path,
+                        task_name="t", vmap_folds=True)
+    resumed = trainers._run_folds(audio_net, CFG, datas, seed=11,
+                                  chunk_epochs=5, resume_dir=tmp_path,
+                                  task_name="t", vmap_folds=True)
+    full = trainers._run_folds(audio_net, CFG, datas, seed=11,
+                               vmap_folds=True)
+    for f, r in zip(full, resumed):
+        np.testing.assert_array_equal(f["logs"]["f1"], r["logs"]["f1"])
+        assert f["best"]["f1"] == r["best"]["f1"]
+        assert f["best"]["epoch"] == r["best"]["epoch"]
+
+
+def test_fold_parallel_resume_after_interruption(tmp_path):
+    """Same kill-and-resume, with the stacked fold axis sharded over the
+    (virtual) fold mesh: the bundle round-trips through host npz and is
+    re-sharded on restart."""
+    x, y = _data(5)
+    tf_idx = folds.generate_clf_folds(y, 3, seed=5)
+    datas = trainers._clf_fold_datas([x], y, tf_idx, CFG.batch_size)
+
+    cfg_partial = C.replace(CFG, epochs=6)
+    trainers._run_folds(audio_net, cfg_partial, datas, seed=13,
+                        chunk_epochs=5, resume_dir=tmp_path,
+                        task_name="p", fold_parallel=True)
+    resumed = trainers._run_folds(audio_net, CFG, datas, seed=13,
+                                  chunk_epochs=5, resume_dir=tmp_path,
+                                  task_name="p", fold_parallel=True)
+    full = trainers._run_folds(audio_net, CFG, datas, seed=13,
+                               fold_parallel=True)
+    for f, r in zip(full, resumed):
+        np.testing.assert_array_equal(f["logs"]["f1"], r["logs"]["f1"])
+        assert f["best"]["f1"] == r["best"]["f1"]
+
+
 def test_resume_noop_when_complete(tmp_path):
     x, y = _data(2)
     tf_idx = folds.generate_clf_folds(y, 3, seed=2)[:1]
