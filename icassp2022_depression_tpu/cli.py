@@ -443,7 +443,7 @@ def cmd_serve(args):
         predictor.warmup()
     serve.serve_http(predictor, args.host, args.port,
                      batch_window_ms=args.batch_window_ms,
-                     max_batch=args.max_batch)
+                     max_batch=args.max_batch, max_queue=args.max_queue)
     return 0
 
 
@@ -648,6 +648,10 @@ def build_parser():
                     help=">0: threaded server that micro-batches "
                          "concurrent requests into one device batch")
     sp.add_argument("--max-batch", type=int, default=32)
+    sp.add_argument("--max-queue", type=int, default=128,
+                    help="admission bound (pending speakers); overload "
+                         "sheds with 503 + Retry-After instead of "
+                         "queueing unboundedly")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("baselines", help="sklearn baselines")

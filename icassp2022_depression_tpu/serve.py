@@ -426,34 +426,72 @@ class Predictor:
 # from one chip.
 
 
+class ServerOverloaded(RuntimeError):
+    """Admission rejected: the pending-speaker queue is full.  The HTTP
+    front maps this to 503 + Retry-After (load shedding) so sustained
+    overload degrades into fast rejections instead of unbounded latency."""
+
+
 class _MicroBatcher:
     """Coalesces concurrent prediction requests into single device
     batches.  ``submit`` blocks the calling (handler) thread until its
-    slice of the batched result is ready."""
+    slice of the batched result is ready.
+
+    Backpressure: admission is bounded at ``max_queue`` pending SPEAKERS
+    (not requests) — beyond it ``submit``/``submit_async`` raise
+    :class:`ServerOverloaded` immediately.  Admitted work drains in FIFO
+    order (an overflow request held for the next round goes FIRST in that
+    round), so the worst-case queueing latency is bounded by
+    ``ceil(max_queue / max_batch)`` rounds of (window + one device
+    batch) — sustained overload sheds, it never starves an admitted
+    request."""
 
     def __init__(self, predictor: Predictor, window_s: float,
-                 max_batch: int = 32):
+                 max_batch: int = 32, max_queue: int = 128):
         import queue
         import threading
 
         self.predictor = predictor
         self.window_s = window_s
         self.max_batch = max_batch
+        self.max_queue = max_queue
         self.batches_run = 0
         self.requests_served = 0
+        self.requests_shed = 0
         self._q: "queue.Queue" = queue.Queue()
         self._queue_mod = queue
         self._held = None   # overflow request carried to the next round
+        self._pending = 0   # admitted speakers not yet answered
+        self._lock = threading.Lock()
         threading.Thread(target=self._loop, daemon=True).start()
+
+    def submit_async(self, req: dict):
+        """Admit (or shed) a request; returns ``(done_event, box)`` where
+        ``box`` carries ``results`` or ``error`` once ``done_event`` is
+        set.  Raises :class:`ServerOverloaded` when admission would exceed
+        ``max_queue`` pending speakers."""
+        import threading
+
+        with self._lock:
+            if self._pending + req["n"] > self.max_queue:
+                self.requests_shed += 1
+                raise ServerOverloaded(
+                    f"{self._pending} speakers pending (max_queue="
+                    f"{self.max_queue}); retry later")
+            self._pending += req["n"]
+        done = threading.Event()
+        box: dict = {}
+        self._q.put((req, done, box))
+        return done, box
+
+    def _release(self, n: int) -> None:
+        with self._lock:
+            self._pending -= n
 
     def submit(self, req: dict) -> List[dict]:
         """req: {waves, srs, texts, bases, n} (modality fields may be
         None, matching the predictor's task)."""
-        import threading
-
-        done = threading.Event()
-        box: dict = {}
-        self._q.put((req, done, box))
+        done, box = self.submit_async(req)
         done.wait()
         if "error" in box:
             raise box["error"]
@@ -504,6 +542,7 @@ class _MicroBatcher:
                 box["results"] = results[pos:pos + req["n"]]
                 pos += req["n"]
                 self.requests_served += 1
+                self._release(req["n"])
                 done.set()
         except Exception:
             # one malformed request must not fail unrelated clients:
@@ -517,30 +556,47 @@ class _MicroBatcher:
                     self.requests_served += 1
                 except Exception as exc:
                     box["error"] = exc
+                self._release(req["n"])
                 done.set()
 
 
 def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
                      port: int = 8000, batch_window_ms: float = 0.0,
-                     max_batch: int = 32):
+                     max_batch: int = 32, max_queue: int = 128):
     """Build (not start) an ``http.server`` around a Predictor.  With
     ``batch_window_ms > 0`` the server is threaded and concurrent requests
-    micro-batch into single device calls.  Call ``.serve_forever()`` to
-    run; tests drive requests against an ephemeral port."""
+    micro-batch into single device calls; admission is bounded at
+    ``max_queue`` pending speakers and overload sheds with 503 +
+    Retry-After (see :class:`_MicroBatcher` for the latency bound).
+    ``POST /predict_stream`` answers NDJSON over chunked transfer
+    encoding, one line per speaker as its result becomes available
+    (each speaker is submitted to the batcher independently, so large
+    requests stream results batch by batch).  Call ``.serve_forever()``
+    to run; tests drive requests against an ephemeral port."""
     import base64
     import json
     from http.server import (BaseHTTPRequestHandler, HTTPServer,
                              ThreadingHTTPServer)
 
-    batcher = (_MicroBatcher(predictor, batch_window_ms / 1000.0, max_batch)
+    batcher = (_MicroBatcher(predictor, batch_window_ms / 1000.0, max_batch,
+                             max_queue)
                if batch_window_ms > 0 else None)
 
     class Handler(BaseHTTPRequestHandler):
-        def _send(self, code: int, payload: dict):
+        # HTTP/1.1 (keep-alive + chunked streaming) only on the THREADED
+        # server: on the single-threaded HTTPServer a kept-alive client
+        # would pin serve_forever inside its connection and wedge
+        # shutdown(); there /predict_stream falls back to read-until-close.
+        protocol_version = ("HTTP/1.1" if batcher is not None
+                            else "HTTP/1.0")
+
+        def _send(self, code: int, payload: dict, headers=()):
             body = json.dumps(payload).encode("utf-8")
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in headers:
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -556,39 +612,115 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
                 if batcher is not None:
                     payload["batcher"] = {
                         "batches_run": batcher.batches_run,
-                        "requests_served": batcher.requests_served}
+                        "requests_served": batcher.requests_served,
+                        "requests_shed": batcher.requests_shed,
+                        "pending": batcher._pending,
+                        "max_queue": batcher.max_queue}
                 self._send(200, payload)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
+        def _parse(self):
+            length = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(length))
+            speakers = req["speakers"]
+            waves = srs = texts = bases = None
+            if not predictor.task.startswith("text"):
+                waves = [[np.frombuffer(base64.b64decode(b), np.int16)
+                          for b in sp["wav_b64"]] for sp in speakers]
+                srs = [sp["sr"] for sp in speakers]
+            if not predictor.task.startswith("audio"):
+                texts = [sp["texts"] for sp in speakers]
+            if any("ordinal_base" in sp for sp in speakers):
+                bases = [int(sp.get("ordinal_base", 0))
+                         for sp in speakers]
+            return len(speakers), waves, srs, texts, bases
+
+        def _chunk(self, data: bytes):
+            self.wfile.write(f"{len(data):X}\r\n".encode("ascii"))
+            self.wfile.write(data)
+            self.wfile.write(b"\r\n")
+
         def do_POST(self):
+            if self.path == "/predict_stream":
+                self._post_stream()
+                return
             if self.path != "/predict":
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(length))
-                speakers = req["speakers"]
-                waves = srs = texts = bases = None
-                if not predictor.task.startswith("text"):
-                    waves = [[np.frombuffer(base64.b64decode(b), np.int16)
-                              for b in sp["wav_b64"]] for sp in speakers]
-                    srs = [sp["sr"] for sp in speakers]
-                if not predictor.task.startswith("audio"):
-                    texts = [sp["texts"] for sp in speakers]
-                if any("ordinal_base" in sp for sp in speakers):
-                    bases = [int(sp.get("ordinal_base", 0))
-                             for sp in speakers]
+                n, waves, srs, texts, bases = self._parse()
                 if batcher is not None:
                     results = batcher.submit(
                         {"waves": waves, "srs": srs, "texts": texts,
-                         "bases": bases, "n": len(speakers)})
+                         "bases": bases, "n": n})
                 else:
                     results = predictor.predict_batch(waves, srs, texts,
                                                       bases)
                 self._send(200, {"results": results})
+            except ServerOverloaded as exc:  # shed load, invite a retry
+                self._send(503, {"error": f"overloaded: {exc}"},
+                           headers=(("Retry-After", "1"),))
             except Exception as exc:  # surface errors as JSON, keep serving
                 self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+
+        def _post_stream(self):
+            """NDJSON chunked streaming: one ``{"index", "result"}`` (or
+            ``{"index", "error"}``) line per speaker, written as soon as
+            that speaker's micro-batch completes."""
+            try:
+                n, waves, srs, texts, bases = self._parse()
+            except Exception as exc:
+                self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+                return
+            chunked = self.protocol_version >= "HTTP/1.1"
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            if chunked:
+                self.send_header("Transfer-Encoding", "chunked")
+            else:  # HTTP/1.0: stream raw lines, client reads until close
+                self.close_connection = True
+            self.end_headers()
+
+            def one(i):
+                return {"waves": None if waves is None else [waves[i]],
+                        "srs": None if srs is None else [srs[i]],
+                        "texts": None if texts is None else [texts[i]],
+                        "bases": None if bases is None else [bases[i]],
+                        "n": 1}
+
+            pending = []
+            for i in range(n):
+                if batcher is not None:
+                    try:
+                        pending.append((i,) + batcher.submit_async(one(i)))
+                    except ServerOverloaded as exc:
+                        pending.append((i, None,
+                                        {"error": RuntimeError(
+                                            f"overloaded: {exc}")}))
+                else:
+                    box = {}
+                    r = one(i)
+                    try:
+                        box["results"] = predictor.predict_batch(
+                            r["waves"], r["srs"], r["texts"], r["bases"])
+                    except Exception as exc:
+                        box["error"] = exc
+                    pending.append((i, None, box))
+            for i, done, box in pending:
+                if done is not None:
+                    done.wait()
+                if "error" in box:
+                    line = {"index": i, "error": str(box["error"])}
+                else:
+                    line = {"index": i, "result": box["results"][0]}
+                data = (json.dumps(line) + "\n").encode("utf-8")
+                if chunked:
+                    self._chunk(data)
+                else:
+                    self.wfile.write(data)
+            if chunked:
+                self._chunk(b"")  # terminating chunk
 
     server_cls = ThreadingHTTPServer if batcher is not None else HTTPServer
     return server_cls((host, port), Handler)
@@ -596,13 +728,14 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
 
 def serve_http(predictor: Predictor, host: str = "127.0.0.1",
                port: int = 8000, batch_window_ms: float = 0.0,
-               max_batch: int = 32) -> None:
+               max_batch: int = 32, max_queue: int = 128) -> None:
     server = make_http_server(predictor, host, port, batch_window_ms,
-                              max_batch)
-    mode = (f"micro-batching ({batch_window_ms} ms window, max {max_batch})"
+                              max_batch, max_queue)
+    mode = (f"micro-batching ({batch_window_ms} ms window, max {max_batch}, "
+            f"queue bound {max_queue})"
             if batch_window_ms > 0 else "single-threaded")
     print(f"serving {predictor.task} on http://{host}:{port} "
-          f"(POST /predict, GET /healthz; {mode})")
+          f"(POST /predict, POST /predict_stream, GET /healthz; {mode})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -348,6 +348,30 @@ def test_extract_eatd_autoloads_bundle(model_dir, tmp_path, monkeypatch):
     assert feats_stub.shape[2] == 1024
 
 
+def test_extract_eatd_stateful_mode(model_dir, tmp_path, monkeypatch):
+    """--elmo-stateful: one embed call per speaker with carried state —
+    later speakers' embeddings shift (corpus-order dependence), the first
+    speaker's do not (fresh zero state, like the default mode)."""
+    from icassp2022_depression_tpu.data import eatd
+    from icassp2022_depression_tpu.frontend import text as text_fe
+
+    root, *_ = model_dir
+    pe = elmo_pretrained.convert_model_dir(root)
+    bundle = tmp_path / "elmo_small.npz"
+    elmo_pretrained.save_npz(bundle, pe)
+    corpus = tmp_path / "corpus"
+    eatd.make_synthetic_corpus(corpus, n_data=3, n_validation=0, seconds=0.2)
+
+    monkeypatch.setenv("ICASSP_ELMO_WEIGHTS", str(bundle))
+    default, *_ = text_fe.extract_eatd(corpus)
+    stateful, *_ = text_fe.extract_eatd(corpus, elmo_stateful=True)
+    assert stateful.shape == default.shape == (3, 3, pe.output_dim)
+    # speaker 1: the very first sents2elmo call starts from zeros
+    np.testing.assert_allclose(stateful[0], default[0], atol=1e-5)
+    # a later speaker sees carried state -> embeddings differ
+    assert np.abs(stateful[2] - default[2]).max() > 1e-6
+
+
 CORPUS_A = [
     ["我", "有点", "累", "不", "太", "想", "说话", "了"],      # len 8
     ["今天", "天气", "很", "好"],                               # len 4

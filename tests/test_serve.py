@@ -318,6 +318,184 @@ def test_from_checkpoint_warns_on_embedder_mismatch(tmp_path, capsys):
     assert "trained on features" not in capsys.readouterr().err
 
 
+def test_micro_batcher_sustained_overload_sheds_and_drains():
+    """Requests arriving faster than max_batch per window: admission is
+    bounded (excess sheds with ServerOverloaded), every ADMITTED request
+    completes (no starvation), and the queue drains back to empty."""
+    import threading
+    import time
+
+    params = audio_net.init(jax.random.PRNGKey(12), C.AUDIO_CLF.model)
+    p = serve.Predictor(params, "audio_clf")
+    b = serve._MicroBatcher(p, window_s=0.05, max_batch=2, max_queue=4)
+    wavs, srs, _ = _speaker(np.random.default_rng(12))
+    b.submit({"waves": [wavs], "srs": [srs], "texts": None, "bases": None,
+              "n": 1})   # warm compiles before the burst
+    out: dict = {}
+
+    def client(i):
+        try:
+            out[i] = b.submit({"waves": [wavs], "srs": [srs], "texts": None,
+                               "bases": None, "n": 1})
+        except serve.ServerOverloaded as exc:
+            out[i] = exc
+
+    threads = []
+    for wave in range(4):           # 4 waves x 6 clients, faster than drain
+        for j in range(6):
+            t = threading.Thread(target=client, args=(wave * 6 + j,))
+            t.start()
+            threads.append(t)
+        time.sleep(0.02)
+    for t in threads:
+        t.join()
+    served = [i for i, r in out.items() if isinstance(r, list)]
+    shed = [i for i, r in out.items() if isinstance(r, serve.ServerOverloaded)]
+    assert len(served) + len(shed) == 24
+    assert len(shed) >= 1                    # overload actually shed
+    assert len(served) >= 4                  # admitted work was served
+    assert all(out[i][0]["label"] in (0, 1) for i in served)
+    assert b.requests_shed == len(shed)
+    assert b._pending == 0                   # drained: no stuck admissions
+    # post-overload requests are served normally (no wedged state)
+    r = b.submit({"waves": [wavs], "srs": [srs], "texts": None,
+                  "bases": None, "n": 1})
+    assert r[0]["label"] in (0, 1)
+
+
+def test_micro_batcher_held_overflow_completes():
+    """A request that would overflow the forming batch is held for the
+    NEXT round (FIFO) and completes — the held path drains under back-to-
+    back multi-speaker requests."""
+    import threading
+
+    params = audio_net.init(jax.random.PRNGKey(13), C.AUDIO_CLF.model)
+    p = serve.Predictor(params, "audio_clf")
+    b = serve._MicroBatcher(p, window_s=0.25, max_batch=3, max_queue=16)
+    rng = np.random.default_rng(13)
+
+    def spk():
+        w, s, _ = _speaker(rng)
+        return w, s
+
+    reqs = []
+    for n in (2, 2, 1):   # round 1: [2] (next 2 would overflow -> held);
+        waves, srs = [], []   # round 2: [held 2, 1]
+        for _ in range(n):
+            w, s = spk()
+            waves.append(w)
+            srs.append(s)
+        reqs.append({"waves": waves, "srs": srs, "texts": None,
+                     "bases": None, "n": n})
+    out: dict = {}
+
+    def run(i):
+        out[i] = b.submit(reqs[i])
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert [len(out[i]) for i in range(3)] == [2, 2, 1]
+    assert all(r["label"] in (0, 1) for i in range(3) for r in out[i])
+    assert b._pending == 0
+
+
+def test_http_overload_returns_503():
+    """Overload at the HTTP layer: 503 + Retry-After (shed), while at
+    least one concurrent request succeeds; healthz reports the sheds."""
+    import base64
+    import http.client
+    import json
+    import threading
+
+    params = audio_net.init(jax.random.PRNGKey(14), C.AUDIO_CLF.model)
+    p = serve.Predictor(params, "audio_clf")
+    server = serve.make_http_server(p, port=0, batch_window_ms=300,
+                                    max_batch=1, max_queue=1)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    rng = np.random.default_rng(14)
+    wavs, srs, _ = _speaker(rng)
+    body = json.dumps({"speakers": [{
+        "wav_b64": [base64.b64encode(
+            np.asarray(w, np.int16).tobytes()).decode() for w in wavs],
+        "sr": srs}]})
+
+    def one(out, i):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/predict", body,
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        out[i] = (resp.status, json.loads(resp.read()),
+                  resp.getheader("Retry-After"))
+        conn.close()
+
+    try:
+        one({}, 99)  # warm compiles
+        out: dict = {}
+        threads = [threading.Thread(target=one, args=(out, i))
+                   for i in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        statuses = [out[i][0] for i in range(5)]
+        assert 200 in statuses
+        assert 503 in statuses
+        shed = next(i for i in range(5) if out[i][0] == 503)
+        assert "overloaded" in out[shed][1]["error"]
+        assert out[shed][2] == "1"           # Retry-After header
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["batcher"]["requests_shed"] >= 1
+        assert health["batcher"]["max_queue"] == 1
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_http_streaming_endpoint():
+    """POST /predict_stream answers chunked NDJSON, one line per speaker,
+    through the micro-batcher."""
+    import base64
+    import http.client
+    import json
+    import threading
+
+    params = audio_net.init(jax.random.PRNGKey(15), C.AUDIO_CLF.model)
+    p = serve.Predictor(params, "audio_clf")
+    server = serve.make_http_server(p, port=0, batch_window_ms=50,
+                                    max_batch=8)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    rng = np.random.default_rng(15)
+    speakers = []
+    for _ in range(3):
+        wavs, srs, _ = _speaker(rng)
+        speakers.append({"wav_b64": [base64.b64encode(
+            np.asarray(w, np.int16).tobytes()).decode() for w in wavs],
+            "sr": srs})
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/predict_stream",
+                     json.dumps({"speakers": speakers}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "application/x-ndjson"
+        lines = [json.loads(ln) for ln in resp.read().splitlines() if ln]
+        conn.close()
+        assert [ln["index"] for ln in lines] == [0, 1, 2]
+        assert all(ln["result"]["label"] in (0, 1) for ln in lines)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_micro_batcher_isolates_bad_request():
     """A malformed request in a coalesced batch must not fail the valid
     co-batched one."""
