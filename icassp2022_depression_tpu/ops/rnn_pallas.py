@@ -856,10 +856,13 @@ def lstmp_layer_streamed(p: dict, x: jnp.ndarray, reverse: bool = False,
     w_p [P, C]}; x: [B, T, In] -> (ys [B, T, P], h_last, c_last).
 
     The kernel is HBM-bandwidth bound on the per-step weight stream
-    (~41 MB f32 at ELMo geometry); ``weight_dtype=jnp.bfloat16`` halves
-    that — and matches what XLA's default-precision f32 matmul would
-    round the operands to on the MXU anyway, so TPU numerics are
-    unchanged in practice.  Activations/state stay f32."""
+    (~42 MB f32 at ELMo geometry, measured ~678 GB/s = ~85% of v5e peak).
+    ``weight_dtype=jnp.bfloat16`` halves those bytes with BITWISE-identical
+    outputs (the MXU rounds f32 matmul operands to bf16 under default
+    precision anyway; verified on TPU) but currently measures SLOWER
+    (124 vs 74 us/step at the zhs geometry) — the bf16 blocks lower to
+    worse Mosaic code — so f32 remains the default; re-evaluate the
+    opt-in on new toolchains.  Activations/state stay f32."""
     if reverse:
         x = jnp.flip(x, axis=1)
     b, t_steps, _ = x.shape
