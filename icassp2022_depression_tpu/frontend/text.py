@@ -128,6 +128,10 @@ def make_embedder(params=None, cfg=None, seed: int = 0,
     if cfg is None:
         cfg = elmo.ElmoConfig()
     if params is not None:
+        if elmo_stateful:
+            raise ValueError("elmo_stateful requires a converted "
+                             "ELMoForManyLangs bundle (explicit params "
+                             "use the stateless encoder)")
         return ret(lambda s: embed_sentences(params, s, cfg),
                    cfg.output_dim, "explicit-params")
     found = None
@@ -135,6 +139,13 @@ def make_embedder(params=None, cfg=None, seed: int = 0,
         found = elmo_pretrained.default_weights_path()
     elif elmo_weights:
         found = Path(elmo_weights)
+    if elmo_stateful and found is None:
+        raise ValueError(
+            "elmo_stateful emulates the pretrained upstream ElmobiLm's "
+            "cross-batch state and needs a converted bundle "
+            "(scripts/convert_elmo_zhs.py; set ICASSP_ELMO_WEIGHTS or "
+            "pass --elmo-weights) — refusing to silently run the "
+            "stateless PRNG encoder instead")
     if found is not None:
         pretrained = elmo_pretrained.load_npz(found)
         pretrained.stateful = elmo_stateful

@@ -130,6 +130,46 @@ def init_lstmp_encoder(key, cfg: ElmoLstmpConfig = ElmoLstmpConfig()):
     return params
 
 
+def bilm_stack(layers, token_reps: jnp.ndarray, lengths: jnp.ndarray,
+               direction_fn):
+    """The ONE statement of the stacked-biLM composition (upstream
+    ``ElmobiLm``/allennlp ``ElmoLstm`` structure): per layer, run
+    ``direction_fn`` on the forward stream and on the length-reversed
+    backward stream (padding stays put, so per-row validity masks carry
+    over), undo the reversal, apply inter-layer residuals, average the
+    ELMo layers ([emb; emb] + every LSTMP layer), masked-mean-pool.
+
+    ``direction_fn(layer_params, name, x, layer_idx) -> (ys, aux)`` with
+    ``name in ("fwd", "bwd")``; serial, stateful, and tensor-parallel
+    encoders plug their per-direction recurrence in here so the
+    composition is defined exactly once.
+
+    Returns ``(rep [B, T, 2P], pooled [B, 2P], auxes)`` where ``auxes``
+    collects each layer's ``(aux_fwd, aux_bwd)``.
+    """
+    e = token_reps
+    f_in, b_in = e, e
+    layer_reps = [jnp.concatenate([e, e], axis=-1)]
+    auxes = []
+    for idx, layer in enumerate(layers):
+        f_out, aux_f = direction_fn(layer, "fwd", f_in, idx)
+        b_out_rev, aux_b = direction_fn(layer, "bwd",
+                                        reverse_padded(b_in, lengths), idx)
+        b_out = reverse_padded(b_out_rev, lengths)
+        if idx > 0:
+            f_out = f_out + f_in
+            b_out = b_out + b_in
+        layer_reps.append(jnp.concatenate([f_out, b_out], axis=-1))
+        auxes.append((aux_f, aux_b))
+        f_in, b_in = f_out, b_out
+    rep = sum(layer_reps) / len(layer_reps)
+    mask = (jnp.arange(token_reps.shape[1])[None, :] <
+            lengths[:, None]).astype(rep.dtype)
+    pooled = jnp.sum(rep * mask[:, :, None], axis=1) / \
+        jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+    return rep, pooled, auxes
+
+
 def encode_lstmp_from_reps(params, token_reps: jnp.ndarray,
                            lengths: jnp.ndarray,
                            cfg: ElmoLstmpConfig = ElmoLstmpConfig()):
@@ -138,26 +178,14 @@ def encode_lstmp_from_reps(params, token_reps: jnp.ndarray,
     :mod:`.char_cnn`) instead of hashed token ids — the full
     ELMoForManyLangs pipeline with converted weights is
     ``char_cnn.embed_tokens -> encode_lstmp_from_reps``."""
-    e = token_reps
-    f_in, b_in = e, e
-    layer_reps = [jnp.concatenate([e, e], axis=-1)]
-    for idx, layer in enumerate(params["layers"]):
-        f_out, _, _ = rnn_ops.lstmp_layer(layer["fwd"], f_in, False,
-                                          cfg.cell_clip, cfg.proj_clip)
-        b_rev_in = reverse_padded(b_in, lengths)
-        b_out_rev, _, _ = rnn_ops.lstmp_layer(layer["bwd"], b_rev_in, False,
-                                              cfg.cell_clip, cfg.proj_clip)
-        b_out = reverse_padded(b_out_rev, lengths)
-        if idx > 0:
-            f_out = f_out + f_in
-            b_out = b_out + b_in
-        layer_reps.append(jnp.concatenate([f_out, b_out], axis=-1))
-        f_in, b_in = f_out, b_out
-    rep = sum(layer_reps) / len(layer_reps)
-    mask = (jnp.arange(token_reps.shape[1])[None, :] <
-            lengths[:, None]).astype(rep.dtype)
-    pooled = jnp.sum(rep * mask[:, :, None], axis=1) / \
-        jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+
+    def direction(layer, name, x, idx):
+        ys, _, _ = rnn_ops.lstmp_layer(layer[name], x, False,
+                                       cfg.cell_clip, cfg.proj_clip)
+        return ys, None
+
+    rep, pooled, _ = bilm_stack(params["layers"], token_reps, lengths,
+                                direction)
     return rep, pooled
 
 
@@ -179,36 +207,26 @@ def encode_lstmp_from_reps_stateful(params, token_reps: jnp.ndarray,
     """
     pdim, cdim = cfg.proj_size, cfg.cell_size
     valid = (jnp.arange(token_reps.shape[1])[None, :] < lengths[:, None])
-    e = token_reps
-    f_in, b_in = e, e
-    layer_reps = [jnp.concatenate([e, e], axis=-1)]
-    h_ns, c_ns = [], []
-    for idx, layer in enumerate(params["layers"]):
-        f_out, fh, fc = rnn_ops.lstmp_layer_stateful(
-            layer["fwd"], f_in, valid, h0[idx, :, :pdim], c0[idx, :, :cdim],
-            cfg.cell_clip, cfg.proj_clip)
-        b_rev_in = reverse_padded(b_in, lengths)
-        # reversed rows put each row's valid tokens at positions
-        # [0, len), so the same validity mask applies; the scan's init
-        # state is consumed at the row's original index len-1, exactly
-        # where upstream's backward LstmCellWithProjection starts.
-        b_out_rev, bh, bc = rnn_ops.lstmp_layer_stateful(
-            layer["bwd"], b_rev_in, valid, h0[idx, :, pdim:],
-            c0[idx, :, cdim:], cfg.cell_clip, cfg.proj_clip)
-        b_out = reverse_padded(b_out_rev, lengths)
-        if idx > 0:
-            f_out = f_out + f_in
-            b_out = b_out + b_in
-        layer_reps.append(jnp.concatenate([f_out, b_out], axis=-1))
-        h_ns.append(jnp.concatenate([fh, bh], axis=-1))
-        c_ns.append(jnp.concatenate([fc, bc], axis=-1))
-        f_in, b_in = f_out, b_out
-    rep = sum(layer_reps) / len(layer_reps)
-    mask = (jnp.arange(token_reps.shape[1])[None, :] <
-            lengths[:, None]).astype(rep.dtype)
-    pooled = jnp.sum(rep * mask[:, :, None], axis=1) / \
-        jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
-    return rep, pooled, jnp.stack(h_ns), jnp.stack(c_ns)
+
+    def direction(layer, name, x, idx):
+        # reversed rows put each row's valid tokens at positions [0, len),
+        # so the same validity mask applies to both directions; the
+        # scan's init state is consumed at the row's original index
+        # len-1, exactly where upstream's backward cell starts.
+        off_h = 0 if name == "fwd" else pdim
+        off_c = 0 if name == "fwd" else cdim
+        ys, h, c = rnn_ops.lstmp_layer_stateful(
+            layer[name], x, valid, h0[idx, :, off_h:off_h + pdim],
+            c0[idx, :, off_c:off_c + cdim], cfg.cell_clip, cfg.proj_clip)
+        return ys, (h, c)
+
+    rep, pooled, auxes = bilm_stack(params["layers"], token_reps, lengths,
+                                    direction)
+    h_n = jnp.stack([jnp.concatenate([f[0], b[0]], axis=-1)
+                     for f, b in auxes])
+    c_n = jnp.stack([jnp.concatenate([f[1], b[1]], axis=-1)
+                     for f, b in auxes])
+    return rep, pooled, h_n, c_n
 
 
 def zero_lstmp_states(batch: int, cfg: ElmoLstmpConfig = ElmoLstmpConfig(),

@@ -137,6 +137,15 @@ def build_batch(sents: Sequence[Sequence[str]],
     return char_ids, word_ids, lengths
 
 
+def _interior_mean(rep: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Mean over each row's real tokens — BOS/EOS and padding excluded
+    (the ``data[1:lens-1]`` strip in upstream ``sents2elmo``)."""
+    pos = jnp.arange(rep.shape[1])[None, :]
+    interior = ((pos >= 1) & (pos < (lengths[:, None] - 1))).astype(rep.dtype)
+    return jnp.sum(rep * interior[:, :, None], axis=1) / \
+        jnp.maximum(jnp.sum(interior, axis=1, keepdims=True), 1.0)
+
+
 def encode_pooled(cc_params, enc_params, char_ids, word_ids, lengths,
                   char_cfg: char_cnn.CharCnnConfig,
                   lstmp_cfg: elmo.ElmoLstmpConfig):
@@ -145,11 +154,7 @@ def encode_pooled(cc_params, enc_params, char_ids, word_ids, lengths,
     reps = char_cnn.embed_tokens(cc_params, char_ids, char_cfg, word_ids)
     rep, _ = elmo.encode_lstmp_from_reps(enc_params, reps, lengths,
                                          lstmp_cfg)
-    pos = jnp.arange(rep.shape[1])[None, :]
-    interior = ((pos >= 1) & (pos < (lengths[:, None] - 1))).astype(rep.dtype)
-    pooled = jnp.sum(rep * interior[:, :, None], axis=1) / \
-        jnp.maximum(jnp.sum(interior, axis=1, keepdims=True), 1.0)
-    return rep, pooled
+    return rep, _interior_mean(rep, lengths)
 
 
 _encode_pooled_jit = jax.jit(encode_pooled,
@@ -166,11 +171,7 @@ def encode_pooled_stateful(cc_params, enc_params, char_ids, word_ids,
     reps = char_cnn.embed_tokens(cc_params, char_ids, char_cfg, word_ids)
     rep, _, h_n, c_n = elmo.encode_lstmp_from_reps_stateful(
         enc_params, reps, lengths, h0, c0, lstmp_cfg)
-    pos = jnp.arange(rep.shape[1])[None, :]
-    interior = ((pos >= 1) & (pos < (lengths[:, None] - 1))).astype(rep.dtype)
-    pooled = jnp.sum(rep * interior[:, :, None], axis=1) / \
-        jnp.maximum(jnp.sum(interior, axis=1, keepdims=True), 1.0)
-    return pooled, h_n, c_n
+    return _interior_mean(rep, lengths), h_n, c_n
 
 
 _encode_pooled_stateful_jit = jax.jit(

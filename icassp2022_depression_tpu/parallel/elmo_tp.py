@@ -55,17 +55,12 @@ def shard_lstmp_params(mesh: Mesh, p: dict, axis: str = "model") -> dict:
     }
 
 
-def lstmp_layer_tp(mesh: Mesh, p_tp: dict, x: jnp.ndarray,
-                   reverse: bool = False, cell_clip: float = 3.0,
-                   proj_clip: float = 3.0, axis: str = "model"):
-    """Tensor-parallel twin of ``ops/rnn.py::lstmp_layer``.
-
-    ``p_tp`` comes from :func:`shard_lstmp_params`; ``x`` [B, T, In] is
-    replicated.  Returns (ys [B, T, P] replicated, h_last [B, P]
-    replicated, c_last [B, C] assembled from the shards).
-    """
-    if reverse:
-        x = jnp.flip(x, axis=1)
+@functools.lru_cache(maxsize=32)
+def _tp_runner(mesh: Mesh, axis: str, cell_clip: float, proj_clip: float):
+    """Build (once per (mesh, axis, clips)) the jitted shard_map program —
+    cached so repeated layer calls hit jax's dispatch cache instead of
+    re-tracing a fresh closure every time; all layers and both directions
+    share this one callable (weights are arguments)."""
 
     def shard_fn(xx, w_x, w_h, b, w_p):
         # all-timestep gate input: one MXU matmul per device over its
@@ -100,12 +95,26 @@ def lstmp_layer_tp(mesh: Mesh, p_tp: dict, x: jnp.ndarray,
                                             jnp.swapaxes(xp, 0, 1))
         return jnp.swapaxes(ys, 0, 1), h_last, c_last
 
-    run = jax.shard_map(
+    return jax.jit(jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(None, axis, None), P(None, axis, None),
                   P(None, axis), P(None, axis)),
         out_specs=(P(), P(), P(None, axis)),
-        check_vma=False)
+        check_vma=False))
+
+
+def lstmp_layer_tp(mesh: Mesh, p_tp: dict, x: jnp.ndarray,
+                   reverse: bool = False, cell_clip: float = 3.0,
+                   proj_clip: float = 3.0, axis: str = "model"):
+    """Tensor-parallel twin of ``ops/rnn.py::lstmp_layer``.
+
+    ``p_tp`` comes from :func:`shard_lstmp_params`; ``x`` [B, T, In] is
+    replicated.  Returns (ys [B, T, P] replicated, h_last [B, P]
+    replicated, c_last [B, C] assembled from the shards).
+    """
+    if reverse:
+        x = jnp.flip(x, axis=1)
+    run = _tp_runner(mesh, axis, cell_clip, proj_clip)
     ys, h_last, c_last = run(x, p_tp["w_x"], p_tp["w_h"], p_tp["b"],
                              p_tp["w_p"])
     if reverse:
@@ -128,27 +137,14 @@ def encode_lstmp_from_reps_tp(mesh: Mesh, params_tp: dict,
                               lengths: jnp.ndarray, cfg,
                               axis: str = "model"):
     """Tensor-parallel twin of ``models/elmo.py::encode_lstmp_from_reps``
-    (stacked biLM with inter-layer residuals, 3-layer average, masked mean
-    pool), every LSTMP direction sharded over ``axis``."""
-    e = token_reps
-    f_in, b_in = e, e
-    layer_reps = [jnp.concatenate([e, e], axis=-1)]
-    for idx, layer in enumerate(params_tp["layers"]):
-        f_out, _, _ = lstmp_layer_tp(mesh, layer["fwd"], f_in, False,
-                                     cfg.cell_clip, cfg.proj_clip, axis)
-        b_rev_in = elmo_mod.reverse_padded(b_in, lengths)
-        b_out_rev, _, _ = lstmp_layer_tp(mesh, layer["bwd"], b_rev_in,
-                                         False, cfg.cell_clip,
-                                         cfg.proj_clip, axis)
-        b_out = elmo_mod.reverse_padded(b_out_rev, lengths)
-        if idx > 0:
-            f_out = f_out + f_in
-            b_out = b_out + b_in
-        layer_reps.append(jnp.concatenate([f_out, b_out], axis=-1))
-        f_in, b_in = f_out, b_out
-    rep = sum(layer_reps) / len(layer_reps)
-    mask = (jnp.arange(token_reps.shape[1])[None, :] <
-            lengths[:, None]).astype(rep.dtype)
-    pooled = jnp.sum(rep * mask[:, :, None], axis=1) / \
-        jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+    (the shared ``bilm_stack`` composition), every LSTMP direction sharded
+    over ``axis``."""
+
+    def direction(layer, name, x, idx):
+        ys, _, _ = lstmp_layer_tp(mesh, layer[name], x, False,
+                                  cfg.cell_clip, cfg.proj_clip, axis)
+        return ys, None
+
+    rep, pooled, _ = elmo_mod.bilm_stack(params_tp["layers"], token_reps,
+                                         lengths, direction)
     return rep, pooled

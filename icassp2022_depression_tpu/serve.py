@@ -469,11 +469,15 @@ class _MicroBatcher:
         """Admit (or shed) a request; returns ``(done_event, box)`` where
         ``box`` carries ``results`` or ``error`` once ``done_event`` is
         set.  Raises :class:`ServerOverloaded` when admission would exceed
-        ``max_queue`` pending speakers."""
+        ``max_queue`` pending speakers — EXCEPT on an idle queue, where a
+        request larger than ``max_queue`` is still admitted whole (a 503
+        whose retry could never succeed would be a permanent rejection;
+        the batcher handles oversized batches as one device batch)."""
         import threading
 
         with self._lock:
-            if self._pending + req["n"] > self.max_queue:
+            if (self._pending > 0
+                    and self._pending + req["n"] > self.max_queue):
                 self.requests_shed += 1
                 raise ServerOverloaded(
                     f"{self._pending} speakers pending (max_queue="
@@ -689,27 +693,7 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
                         "bases": None if bases is None else [bases[i]],
                         "n": 1}
 
-            pending = []
-            for i in range(n):
-                if batcher is not None:
-                    try:
-                        pending.append((i,) + batcher.submit_async(one(i)))
-                    except ServerOverloaded as exc:
-                        pending.append((i, None,
-                                        {"error": RuntimeError(
-                                            f"overloaded: {exc}")}))
-                else:
-                    box = {}
-                    r = one(i)
-                    try:
-                        box["results"] = predictor.predict_batch(
-                            r["waves"], r["srs"], r["texts"], r["bases"])
-                    except Exception as exc:
-                        box["error"] = exc
-                    pending.append((i, None, box))
-            for i, done, box in pending:
-                if done is not None:
-                    done.wait()
+            def write_line(i, box):
                 if "error" in box:
                     line = {"index": i, "error": str(box["error"])}
                 else:
@@ -719,6 +703,48 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
                     self._chunk(data)
                 else:
                     self.wfile.write(data)
+
+            # submit speakers as capacity allows; when admission sheds,
+            # drain (and stream out) our own oldest in-flight speaker to
+            # free a slot and retry — a stream request never 503s its own
+            # speakers; only a queue full of OTHER clients' work with
+            # nothing of ours in flight sheds a line
+            pending: list = []
+            next_out = 0
+            i = 0
+            while i < n or next_out < len(pending):
+                if i < n:
+                    if batcher is not None:
+                        try:
+                            pending.append((i,) +
+                                           batcher.submit_async(one(i)))
+                            i += 1
+                            continue
+                        except ServerOverloaded as exc:
+                            if next_out >= len(pending):  # nothing in flight
+                                pending.append((i, None, {
+                                    "error": RuntimeError(
+                                        f"overloaded: {exc}")}))
+                                i += 1
+                                continue
+                            # fall through: drain our oldest, then retry i
+                    else:
+                        box = {}
+                        r = one(i)
+                        try:
+                            box["results"] = predictor.predict_batch(
+                                r["waves"], r["srs"], r["texts"],
+                                r["bases"])
+                        except Exception as exc:
+                            box["error"] = exc
+                        pending.append((i, None, box))
+                        i += 1
+                        continue
+                idx, done, box = pending[next_out]
+                if done is not None:
+                    done.wait()
+                write_line(idx, box)
+                next_out += 1
             if chunked:
                 self._chunk(b"")  # terminating chunk
 

@@ -16,10 +16,24 @@ Checkpoint filenames mirror the reference's metric-encoded names, e.g.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 
 import jax
 import numpy as np
+
+
+def atomic_savez(path, **arrays) -> Path:
+    """``np.savez`` through a temp file + ``os.replace`` so a crash
+    mid-write can never leave a truncated (unloadable) archive — resume
+    bundles are the crash-recovery mechanism and must survive the crash
+    themselves."""
+    path = Path(path)
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+    return path
 
 
 def _flatten(tree, prefix=""):
@@ -43,7 +57,7 @@ def save(path, params, meta: dict | None = None) -> Path:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     flat = _flatten(params)
-    np.savez(str(path) + ".npz", **flat)
+    atomic_savez(str(path) + ".npz", **flat)
     if meta is not None:
         Path(str(path) + ".json").write_text(json.dumps(meta, indent=2))
     return Path(str(path) + ".npz")

@@ -139,7 +139,11 @@ def _execute_fold(make_runner, runner_cache, params, optimizer, data,
             key, best = state["key"], state["best"]
             epoch_done = int(state["epoch_done"])
             if logs_path.exists():
-                logs_parts.append(dict(np.load(logs_path)))
+                # truncate to epoch_done: the state bundle is the commit
+                # point, so a logs sidecar written after it (crash in
+                # between) may run ahead and must not duplicate epochs
+                logs_parts.append({k: v[:epoch_done] for k, v in
+                                   np.load(logs_path).items()})
 
     while epoch_done < total_epochs:
         n = min(chunk, total_epochs - epoch_done)
@@ -152,12 +156,16 @@ def _execute_fold(make_runner, runner_cache, params, optimizer, data,
         logs_parts.append(jax.device_get(logs))
         epoch_done += n
         if resume_path is not None:
+            # logs FIRST, then the state bundle whose epoch_done commits
+            # them; both atomic (checkpoints.atomic_savez), so a crash at
+            # any point leaves a loadable, consistent pair
+            merged = {k: np.concatenate([p[k] for p in logs_parts])
+                      for k in logs_parts[0]}
+            checkpoints.atomic_savez(Path(str(resume_path) + "_logs.npz"),
+                                     **merged)
             checkpoints.save(resume_path, {
                 "params": params, "opt_state": opt_state, "key": key,
                 "best": best, "epoch_done": np.asarray(epoch_done, np.int64)})
-            merged = {k: np.concatenate([p[k] for p in logs_parts])
-                      for k in logs_parts[0]}
-            np.savez(Path(str(resume_path) + "_logs.npz"), **merged)
     if logs_parts:
         logs = {k: np.concatenate([p[k] for p in logs_parts])
                 for k in logs_parts[0]}
@@ -215,7 +223,10 @@ def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
         epoch_done = int(state["epoch_done"])
         logs_path = Path(str(resume_path) + "_logs.npz")
         if logs_path.exists():
-            logs_parts.append(dict(np.load(logs_path)))
+            # truncate the [F, E, ...] epoch axis to epoch_done (the state
+            # bundle is the commit point — see _execute_fold)
+            logs_parts.append({k: v[:, :epoch_done] for k, v in
+                               np.load(logs_path).items()})
 
     if fold_parallel:
         from icassp2022_depression_tpu.parallel import distributed
@@ -248,13 +259,16 @@ def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
         logs_parts.append(jax.device_get(logs))   # [F, n, ...] per chunk
         epoch_done += n
         if resume_path is not None:
+            # logs first, atomically; the state bundle's epoch_done then
+            # commits them (crash-consistent in either order of failure)
+            merged = {k: np.concatenate([p[k] for p in logs_parts], axis=1)
+                      for k in logs_parts[0]}
+            checkpoints.atomic_savez(Path(str(resume_path) + "_logs.npz"),
+                                     **merged)
             checkpoints.save(resume_path, {
                 "params": stacked_params, "opt_state": stacked_opt,
                 "keys": keys, "best": stacked_best,
                 "epoch_done": np.asarray(epoch_done, np.int64)})
-            merged = {k: np.concatenate([p[k] for p in logs_parts], axis=1)
-                      for k in logs_parts[0]}
-            np.savez(Path(str(resume_path) + "_logs.npz"), **merged)
     if logs_parts:
         logs = {k: np.concatenate([p[k] for p in logs_parts], axis=1)
                 for k in logs_parts[0]}

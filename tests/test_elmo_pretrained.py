@@ -438,6 +438,15 @@ def test_stateful_carryover_and_reset(model_dir):
     np.testing.assert_allclose(again, first, atol=1e-6)
 
 
+def test_stateful_without_bundle_raises():
+    """--elmo-stateful must not silently run the stateless PRNG encoder
+    (and pay the per-speaker round-trip loop for nothing)."""
+    from icassp2022_depression_tpu.frontend import text as text_fe
+
+    with pytest.raises(ValueError, match="elmo_stateful"):
+        text_fe.make_embedder(elmo_weights=None, elmo_stateful=True)
+
+
 def test_batch_padding_invariance(model_dir):
     """Same sentence embedded alone and inside a longer-padded batch."""
     root, *_ = model_dir

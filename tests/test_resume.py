@@ -132,6 +132,33 @@ def test_fold_parallel_resume_after_interruption(tmp_path):
         assert f["best"]["f1"] == r["best"]["f1"]
 
 
+def test_resume_truncates_overrun_logs_sidecar(tmp_path):
+    """Crash consistency: the state bundle's epoch_done is the commit
+    point — if a crash left the logs sidecar AHEAD of it (logs are written
+    first), resume must truncate the overrun rows instead of duplicating
+    epochs in the merged logs."""
+    x, y = _data(6)
+    tf_idx = folds.generate_clf_folds(y, 3, seed=6)[:1]
+    datas = trainers._clf_fold_datas([x], y, tf_idx, CFG.batch_size)
+
+    cfg_partial = C.replace(CFG, epochs=6)   # 5 epochs done, bundle at 5
+    trainers._run_folds(audio_net, cfg_partial, datas, seed=17,
+                        chunk_epochs=5, resume_dir=tmp_path, task_name="t")
+    # simulate the crash window: logs sidecar ran ahead by 2 junk epochs
+    logs_path = tmp_path / "t_fold1_logs.npz"
+    overrun = {k: np.concatenate([v, np.full((2,) + v.shape[1:], 77.0,
+                                             v.dtype)])
+               for k, v in np.load(logs_path).items()}
+    np.savez(logs_path, **overrun)
+
+    resumed = trainers._run_folds(audio_net, CFG, datas, seed=17,
+                                  chunk_epochs=5, resume_dir=tmp_path,
+                                  task_name="t")[0]
+    full = trainers._run_folds(audio_net, CFG, datas, seed=17)[0]
+    assert len(resumed["logs"]["f1"]) == CFG.epochs - 1   # no duplicates
+    np.testing.assert_array_equal(full["logs"]["f1"], resumed["logs"]["f1"])
+
+
 def test_resume_noop_when_complete(tmp_path):
     x, y = _data(2)
     tf_idx = folds.generate_clf_folds(y, 3, seed=2)[:1]

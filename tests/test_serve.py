@@ -496,6 +496,62 @@ def test_http_streaming_endpoint():
         server.server_close()
 
 
+def test_oversized_request_admitted_when_idle():
+    """A request with more speakers than max_queue must still be served
+    when the queue is idle — a 503 whose retry can never succeed would be
+    a permanent rejection of large batches."""
+    params = audio_net.init(jax.random.PRNGKey(16), C.AUDIO_CLF.model)
+    p = serve.Predictor(params, "audio_clf")
+    b = serve._MicroBatcher(p, window_s=0.05, max_batch=4, max_queue=2)
+    rng = np.random.default_rng(16)
+    waves, srs = [], []
+    for _ in range(3):   # n=3 > max_queue=2
+        w, s, _ = _speaker(rng)
+        waves.append(w)
+        srs.append(s)
+    out = b.submit({"waves": waves, "srs": srs, "texts": None,
+                    "bases": None, "n": 3})
+    assert len(out) == 3 and all(r["label"] in (0, 1) for r in out)
+    assert b.requests_shed == 0 and b._pending == 0
+
+
+def test_stream_larger_than_queue_completes():
+    """/predict_stream with more speakers than max_queue drains its own
+    in-flight speakers to free capacity instead of shedding them: every
+    speaker gets a result line."""
+    import base64
+    import http.client
+    import json
+    import threading
+
+    params = audio_net.init(jax.random.PRNGKey(17), C.AUDIO_CLF.model)
+    p = serve.Predictor(params, "audio_clf")
+    server = serve.make_http_server(p, port=0, batch_window_ms=30,
+                                    max_batch=2, max_queue=2)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    rng = np.random.default_rng(17)
+    speakers = []
+    for _ in range(5):   # 5 > max_queue=2
+        wavs, srs, _ = _speaker(rng)
+        speakers.append({"wav_b64": [base64.b64encode(
+            np.asarray(w, np.int16).tobytes()).decode() for w in wavs],
+            "sr": srs})
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/predict_stream",
+                     json.dumps({"speakers": speakers}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        lines = [json.loads(ln) for ln in resp.read().splitlines() if ln]
+        conn.close()
+        assert [ln["index"] for ln in lines] == list(range(5))
+        assert all("result" in ln for ln in lines), lines
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_micro_batcher_isolates_bad_request():
     """A malformed request in a coalesced batch must not fail the valid
     co-batched one."""
