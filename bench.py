@@ -26,6 +26,9 @@ Stages and their baselines (all baselines measured on this machine):
 * lstmp_hbm_utilization — the streaming Pallas LSTMP kernel's achieved
   HBM bandwidth vs the ~800 GB/s v5e peak (the biLM is bandwidth-bound
   on its per-step weight stream); machine-checked against a floor.
+* serving_throughput — raw wav -> prediction through the public
+  Predictor (batch 32), vs the extraction-bound ceiling of serving built
+  on the reference's design; plus the cache-hit repeat-speaker latency.
 * end_to_end_pipeline — extraction + 3 folds x 169 epochs of audio-clf
   training, wall-clock; the CPU side extrapolates the measured torch
   epoch time to the reference's full 169-epoch, 3-fold schedule.
@@ -418,6 +421,48 @@ def bench_lstmp_hbm_utilization(b=64, t_short=64, t_long=512, reps=4,
     return bw / peak_bytes_s, bw / 1e9, step_s * 1e6
 
 
+def bench_serving(batch=32, seconds=4.0, repeats=8):
+    """End-to-end serving: raw wav -> features -> model forward through
+    the public Predictor, plus the content-addressed cache-hit path.
+
+    Baseline for ``vs_baseline``: the reference *design* has no serving,
+    but any serving built on it is bounded by its feature-extraction cost
+    — a fresh TF1 graph per utterance, 3 utterances/speaker (~0.2 s =>
+    ~5 speakers/s; the 12-sample subprocess measurement above).  Returns
+    (speakers_per_s, cold_s, repeat_ms)."""
+    import jax
+
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu import serve
+    from icassp2022_depression_tpu.models import audio_net
+
+    params = audio_net.init(jax.random.PRNGKey(0), C.AUDIO_CLF.model)
+    p = serve.Predictor(params, "audio_clf")
+    rng = np.random.default_rng(0)
+
+    def speaker(seed):
+        r = np.random.default_rng(seed)
+        return ([np.round(r.standard_normal(int(SR * seconds)) * 2000)
+                 .astype(np.int16) for _ in range(3)], [SR] * 3)
+
+    speakers = [speaker(i) for i in range(batch)]
+    waves = [s[0] for s in speakers]
+    srs = [s[1] for s in speakers]
+    p.predict_batch(waves, srs)          # warm: compiles + caches features
+    fresh = [speaker(1000 + i) for i in range(batch)]   # uncached content
+    t0 = time.time()
+    out = p.predict_batch([s[0] for s in fresh], [s[1] for s in fresh])
+    cold_s = time.time() - t0
+    assert len(out) == batch
+    # repeat-speaker latency: cache-hit path (features memoised)
+    p.predict_speaker(waveforms=waves[0], sample_rates=srs[0])
+    t0 = time.time()
+    for _ in range(repeats):
+        p.predict_speaker(waveforms=waves[0], sample_rates=srs[0])
+    repeat_ms = (time.time() - t0) / repeats * 1000.0
+    return batch / cold_s, cold_s, repeat_ms
+
+
 # ---------------------------------------------------------------------------
 # Torch-CPU baselines (the reference's training-epoch structure)
 # ---------------------------------------------------------------------------
@@ -655,9 +700,11 @@ def main():
     tpu_utts, tpu_ext_s = bench_extraction_tpu(wavs)
     np_utts, np_ext_s = bench_extraction_numpy(wavs)
     ref_extra = {}
+    ref_per_utt_mean = None
     try:
         (ref_utts, ref_ext_s, ref_per_utt, ref_mean,
          ref_std) = run_reference_tf_subprocess(n_utts=12)
+        ref_per_utt_mean = ref_mean
         ref_extra = {"ref_tf_samples": len(ref_per_utt),
                      "ref_tf_mean_s": round(ref_mean, 3),
                      "ref_tf_std_s": round(ref_std, 3),
@@ -713,6 +760,17 @@ def main():
     emit("lstmp_hbm_utilization", hbm_util, "fraction_of_800GBps",
          hbm_util, floor=0.25, meets_floor=bool(hbm_util >= 0.25),
          achieved_gb_s=round(hbm_gbs, 1), step_us=round(step_us, 1))
+
+    # serving: raw wav -> prediction through the public Predictor;
+    # baseline = the extraction-bound ceiling of any serving built on the
+    # reference's design (TF graph per utterance, ~5 speakers/s)
+    serve_sps, _, repeat_ms = bench_serving()
+    ref_serve_sps = (1.0 / (3.0 * ref_per_utt_mean)
+                     if ref_per_utt_mean else 5.0)
+    emit("serving_throughput", serve_sps, "speakers/s",
+         serve_sps / ref_serve_sps, floor=2.0,
+         meets_floor=bool(serve_sps >= 2.0),
+         repeat_speaker_ms=round(repeat_ms, 1))
 
     # headline: end-to-end pipeline (extraction + 3x169-epoch audio clf)
     n_epochs_total = 3 * (C.AUDIO_CLF.epochs - 1)
