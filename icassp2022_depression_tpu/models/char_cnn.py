@@ -117,7 +117,11 @@ def embed_tokens(params, char_ids: jnp.ndarray, cfg: CharCnnConfig,
     for hw in params["highways"]:
         proj = jnp.dot(h, hw["w"].T,
                        preferred_element_type=jnp.float32) + hw["b"]
-        nonlinear = act(proj[..., :f])
+        # the highway nonlinearity is ReLU UNCONDITIONALLY (allennlp
+        # Highway's default, as upstream constructs it) — only the conv
+        # outputs follow cfg.activation; moot for zhs (relu) but load-
+        # bearing for tanh-configured language models
+        nonlinear = jax.nn.relu(proj[..., :f])
         gate = jax.nn.sigmoid(proj[..., f:])
         h = gate * h + (1.0 - gate) * nonlinear
     if word_ids is not None and "word_emb" in params:

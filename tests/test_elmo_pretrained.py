@@ -438,6 +438,89 @@ def test_stateful_carryover_and_reset(model_dir):
     np.testing.assert_allclose(again, first, atol=1e-6)
 
 
+def test_convert_char_only_tanh_variant(tmp_path):
+    """Converter robustness beyond the zhs configuration: a released dir
+    with NO word.dic (char-only token embedder) and tanh activation —
+    the shape of several other ELMoForManyLangs language models — must
+    convert and match a matching torch oracle."""
+    torch.manual_seed(1)
+    root = tmp_path / "xx.model"
+    root.mkdir()
+    char_lex = {t: i for i, t in enumerate(SPECIALS + CHARS)}
+    with open(root / "char.dic", "w", encoding="utf-8") as f:
+        for tok, i in char_lex.items():
+            f.write(f"{tok}\t{i}\n")
+    arch = {
+        "encoder": {"name": "elmo", "projection_dim": PROJ, "dim": CELL,
+                    "n_layers": 1, "cell_clip": 3, "proj_clip": 3},
+        "token_embedder": {"name": "cnn", "activation": "tanh",
+                           "filters": FILTERS, "n_highway": 1,
+                           "word_dim": 0, "char_dim": CHAR_DIM,
+                           "max_characters_per_token": MAX_CHARS},
+    }
+    (root / "config.json").write_text(json.dumps(arch))  # direct config
+    te = {
+        "char_emb_layer.embedding.weight":
+            torch.randn(len(char_lex), CHAR_DIM),
+        "projection.weight": torch.randn(PROJ, NFILT) * 0.3,
+        "projection.bias": torch.randn(PROJ) * 0.1,
+        "highways._layers.0.weight": torch.randn(2 * NFILT, NFILT) * 0.2,
+        "highways._layers.0.bias": torch.randn(2 * NFILT) * 0.1,
+    }
+    for i, (w, out) in enumerate(FILTERS):
+        te[f"convolutions.{i}.weight"] = torch.randn(out, CHAR_DIM, w) * 0.3
+        te[f"convolutions.{i}.bias"] = torch.randn(out) * 0.1
+    torch.save(te, root / "token_embedder.pkl")
+    enc = {}
+    for d in ("forward", "backward"):
+        p = f"{d}_layer_0"
+        enc[f"{p}.input_linearity.weight"] = torch.randn(4 * CELL,
+                                                         PROJ) * 0.2
+        enc[f"{p}.state_linearity.weight"] = torch.randn(4 * CELL,
+                                                         PROJ) * 0.2
+        enc[f"{p}.state_linearity.bias"] = torch.randn(4 * CELL) * 0.1
+        enc[f"{p}.state_projection.weight"] = torch.randn(PROJ, CELL) * 0.2
+    torch.save(enc, root / "encoder.pkl")
+
+    pe = elmo_pretrained.convert_model_dir(root)
+    assert pe.word_lexicon is None
+    assert pe.char_cfg.activation == "tanh"
+    got = pe.embed_sentences(SENTS[:2], batch_size=8)
+
+    def oracle(sent):
+        char_ids, _ = _oracle_ids(sent, char_lex, {"<oov>": 0})
+        with torch.no_grad():
+            # char-only, tanh: same conv/highway stack, no word concat
+            x = te["char_emb_layer.embedding.weight"][char_ids]
+            x = x.transpose(1, 2)
+            convs = []
+            for i in range(len(FILTERS)):
+                y = F.conv1d(x, te[f"convolutions.{i}.weight"],
+                             te[f"convolutions.{i}.bias"])
+                y, _ = torch.max(y, dim=-1)
+                convs.append(torch.tanh(y))
+            h = torch.cat(convs, dim=-1)
+            proj = h @ te["highways._layers.0.weight"].t() + \
+                te["highways._layers.0.bias"]
+            nonlinear = F.relu(proj[:, :NFILT])     # highways stay ReLU
+            gate = torch.sigmoid(proj[:, NFILT:])
+            h = gate * h + (1.0 - gate) * nonlinear
+            emb = h @ te["projection.weight"].t() + te["projection.bias"]
+            layer_reps = [torch.cat([emb, emb], dim=-1)]
+            f_out, _, _ = _oracle_lstmp_dir(enc, "forward_layer_0", emb,
+                                            CELL, PROJ)
+            b_rev, _, _ = _oracle_lstmp_dir(enc, "backward_layer_0",
+                                            torch.flip(emb, [0]), CELL,
+                                            PROJ)
+            layer_reps.append(torch.cat([f_out, torch.flip(b_rev, [0])],
+                                        dim=-1))
+            avg = torch.stack(layer_reps).mean(dim=0)
+            return avg[1:-1].mean(dim=0).numpy()
+
+    want = np.stack([oracle(s) for s in SENTS[:2]])
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_stateful_without_bundle_raises():
     """--elmo-stateful must not silently run the stateless PRNG encoder
     (and pay the per-speaker round-trip loop for nothing)."""
