@@ -443,7 +443,9 @@ def cmd_serve(args):
         predictor.warmup()
     serve.serve_http(predictor, args.host, args.port,
                      batch_window_ms=args.batch_window_ms,
-                     max_batch=args.max_batch, max_queue=args.max_queue)
+                     max_batch=args.max_batch, max_queue=args.max_queue,
+                     auth_token=args.auth_token,
+                     tls_cert=args.tls_cert, tls_key=args.tls_key)
     return 0
 
 
@@ -652,6 +654,13 @@ def build_parser():
                     help="admission bound (pending speakers); overload "
                          "sheds with 503 + Retry-After instead of "
                          "queueing unboundedly")
+    sp.add_argument("--auth-token", default=None,
+                    help="require 'Authorization: Bearer <token>' on "
+                         "prediction endpoints (healthz stays open)")
+    sp.add_argument("--tls-cert", default=None,
+                    help="PEM certificate chain: serve HTTPS")
+    sp.add_argument("--tls-key", default=None,
+                    help="PEM private key for --tls-cert")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("baselines", help="sklearn baselines")

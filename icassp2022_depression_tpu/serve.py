@@ -416,7 +416,13 @@ class Predictor:
 #                               "sr": [16000, 16000, 16000],
 #                               "ordinal_base": 0 (optional)}, ...]}
 #   -> {"results": [{...}, ...]}   (one dict per speaker, as predict_batch)
-# GET  /healthz -> {"ok": true, "task": ..., "cache": {hits, misses}}
+# POST /predict_bin  zero-copy binary variant: uint32-LE header length,
+#   JSON header ({"speakers": [{"n_samples": [...], "sr": [...],
+#   "texts": ..., "ordinal_base": ...}]}), then all speakers' int16-LE
+#   PCM concatenated; waveforms become views over the request body.
+# POST /predict_stream  -> chunked NDJSON, one line per speaker.
+# GET  /healthz -> {"ok": true, "task": ..., "cache": {hits, misses},
+#                   "latency": {request, device_batch histograms}}
 #
 # Default mode is single-threaded: the TPU is single-tenant, so
 # serialising requests at the HTTP layer is a correct concurrency model.
@@ -430,6 +436,74 @@ class ServerOverloaded(RuntimeError):
     """Admission rejected: the pending-speaker queue is full.  The HTTP
     front maps this to 503 + Retry-After (load shedding) so sustained
     overload degrades into fast rejections instead of unbounded latency."""
+
+
+class LatencyHistogram:
+    """Lock-protected fixed-bucket latency histogram (milliseconds).
+
+    Log-spaced upper edges cover the serving regime (sub-ms cache hits
+    through multi-second cold compiles).  ``snapshot`` returns cumulative
+    counts plus mean and interpolated p50/p90/p99 — the observability
+    surface ``/healthz`` exposes so operators can see the shape of
+    serving latency (including the latency bound documented on
+    :class:`_MicroBatcher`) without external tooling."""
+
+    EDGES_MS = (1.0, 2.0, 5.0, 10.0, 25.0, 50.0, 100.0, 250.0, 500.0,
+                1000.0, 2500.0, 5000.0, 10000.0)
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._counts = [0] * (len(self.EDGES_MS) + 1)  # last = overflow
+        self._sum_ms = 0.0
+        self._max_ms = 0.0
+
+    def observe(self, seconds: float) -> None:
+        ms = seconds * 1000.0
+        i = 0
+        while i < len(self.EDGES_MS) and ms > self.EDGES_MS[i]:
+            i += 1
+        with self._lock:
+            self._counts[i] += 1
+            self._sum_ms += ms
+            if ms > self._max_ms:
+                self._max_ms = ms
+
+    def _quantile(self, counts, total, q: float) -> float:
+        """Interpolated quantile from bucket counts (0 lower edge for the
+        first bucket; the overflow bucket reports its lower edge)."""
+        target = q * total
+        seen = 0.0
+        for i, c in enumerate(counts):
+            if seen + c >= target and c > 0:
+                lo = 0.0 if i == 0 else self.EDGES_MS[i - 1]
+                if i >= len(self.EDGES_MS):
+                    return lo
+                hi = self.EDGES_MS[i]
+                frac = (target - seen) / c
+                return lo + frac * (hi - lo)
+            seen += c
+        return self._max_ms
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            counts = list(self._counts)
+            sum_ms = self._sum_ms
+            max_ms = self._max_ms
+        total = sum(counts)
+        if total == 0:
+            return {"count": 0}
+        labels = [f"le_{e:g}ms" for e in self.EDGES_MS] + ["inf"]
+        return {
+            "count": total,
+            "mean_ms": round(sum_ms / total, 3),
+            "max_ms": round(max_ms, 3),
+            "p50_ms": round(self._quantile(counts, total, 0.50), 3),
+            "p90_ms": round(self._quantile(counts, total, 0.90), 3),
+            "p99_ms": round(self._quantile(counts, total, 0.99), 3),
+            "buckets": {k: c for k, c in zip(labels, counts) if c},
+        }
 
 
 class _MicroBatcher:
@@ -458,6 +532,8 @@ class _MicroBatcher:
         self.batches_run = 0
         self.requests_served = 0
         self.requests_shed = 0
+        #: device-batch latency (one observation per coalesced batch)
+        self.batch_latency = LatencyHistogram()
         self._q: "queue.Queue" = queue.Queue()
         self._queue_mod = queue
         self._held = None   # overflow request carried to the next round
@@ -537,9 +613,13 @@ class _MicroBatcher:
                            else [None] * req["n"])
             return out
 
+        import time as _time
+
+        t0 = _time.monotonic()
         try:
             results = self.predictor.predict_batch(
                 cat("waves"), cat("srs"), cat("texts"), cat("bases"))
+            self.batch_latency.observe(_time.monotonic() - t0)
             self.batches_run += 1
             pos = 0
             for req, done, box in batch:
@@ -553,9 +633,11 @@ class _MicroBatcher:
             # retry each request individually so only the bad one errors
             for req, done, box in batch:
                 try:
+                    t1 = _time.monotonic()
                     box["results"] = self.predictor.predict_batch(
                         req["waves"], req["srs"], req["texts"],
                         req["bases"])
+                    self.batch_latency.observe(_time.monotonic() - t1)
                     self.batches_run += 1
                     self.requests_served += 1
                 except Exception as exc:
@@ -566,7 +648,10 @@ class _MicroBatcher:
 
 def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
                      port: int = 8000, batch_window_ms: float = 0.0,
-                     max_batch: int = 32, max_queue: int = 128):
+                     max_batch: int = 32, max_queue: int = 128,
+                     auth_token: Optional[str] = None,
+                     tls_cert: Optional[str] = None,
+                     tls_key: Optional[str] = None):
     """Build (not start) an ``http.server`` around a Predictor.  With
     ``batch_window_ms > 0`` the server is threaded and concurrent requests
     micro-batch into single device calls; admission is bounded at
@@ -575,16 +660,29 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
     ``POST /predict_stream`` answers NDJSON over chunked transfer
     encoding, one line per speaker as its result becomes available
     (each speaker is submitted to the batcher independently, so large
-    requests stream results batch by batch).  Call ``.serve_forever()``
-    to run; tests drive requests against an ephemeral port."""
+    requests stream results batch by batch).  ``POST /predict_bin`` is
+    the zero-copy ingestion path: a uint32-LE header-length prefix, a
+    JSON header (per speaker: ``n_samples``, ``sr``, optional ``texts`` /
+    ``ordinal_base``), then the speakers' int16-LE PCM concatenated —
+    the audio enters NumPy as views over the request body (no base64
+    decode, no copy; ~25% less wire weight than /predict).
+
+    ``auth_token`` requires ``Authorization: Bearer <token>`` on every
+    prediction endpoint (401 otherwise); ``GET /healthz`` stays open for
+    liveness probes.  ``tls_cert``/``tls_key`` (PEM paths) serve HTTPS.
+    ``/healthz`` reports request- and device-batch-latency histograms
+    with interpolated p50/p90/p99.  Call ``.serve_forever()`` to run;
+    tests drive requests against an ephemeral port."""
     import base64
     import json
+    import time as _time
     from http.server import (BaseHTTPRequestHandler, HTTPServer,
                              ThreadingHTTPServer)
 
     batcher = (_MicroBatcher(predictor, batch_window_ms / 1000.0, max_batch,
                              max_queue)
                if batch_window_ms > 0 else None)
+    request_latency = LatencyHistogram()   # end-to-end handler latency
 
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1 (keep-alive + chunked streaming) only on the THREADED
@@ -607,12 +705,32 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
+        def _authorized(self) -> bool:
+            """Bearer-token gate on prediction endpoints (healthz stays
+            open for liveness probes).  Constant-time comparison."""
+            if auth_token is None:
+                return True
+            import hmac
+
+            got = self.headers.get("Authorization", "")
+            if hmac.compare_digest(got, f"Bearer {auth_token}"):
+                return True
+            # drain the unread body so a kept-alive connection's next
+            # request does not start mid-payload
+            remaining = int(self.headers.get("Content-Length", "0"))
+            while remaining > 0:
+                remaining -= len(self.rfile.read(min(remaining, 1 << 20)))
+            self._send(401, {"error": "missing or invalid bearer token"},
+                       headers=(("WWW-Authenticate", "Bearer"),))
+            return False
+
         def do_GET(self):
             if self.path == "/healthz":
                 payload = {
                     "ok": True, "task": predictor.task,
                     "cache": {"hits": predictor.feature_cache.hits,
-                              "misses": predictor.feature_cache.misses}}
+                              "misses": predictor.feature_cache.misses},
+                    "latency": {"request": request_latency.snapshot()}}
                 if batcher is not None:
                     payload["batcher"] = {
                         "batches_run": batcher.batches_run,
@@ -620,6 +738,8 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
                         "requests_shed": batcher.requests_shed,
                         "pending": batcher._pending,
                         "max_queue": batcher.max_queue}
+                    payload["latency"]["device_batch"] = (
+                        batcher.batch_latency.snapshot())
                 self._send(200, payload)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
@@ -645,15 +765,58 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
             self.wfile.write(data)
             self.wfile.write(b"\r\n")
 
+        def _parse_bin(self):
+            """Zero-copy wav ingestion (``/predict_bin``): the body is a
+            uint32-LE header-length prefix, a JSON header, then every
+            speaker's int16-LE PCM concatenated in order.  Waveforms are
+            read-only ``np.frombuffer`` views over the request body —
+            no base64 decode and no per-utterance copies."""
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
+            if len(body) < 4:
+                raise ValueError("binary body shorter than the uint32 "
+                                 "header-length prefix")
+            hlen = int.from_bytes(body[:4], "little")
+            header = json.loads(body[4:4 + hlen].decode("utf-8"))
+            speakers = header["speakers"]
+            off = 4 + hlen
+            waves = srs = texts = bases = None
+            if not predictor.task.startswith("text"):
+                waves, srs = [], []
+                for sp in speakers:
+                    w = []
+                    for ns in sp["n_samples"]:
+                        ns = int(ns)
+                        w.append(np.frombuffer(body, np.int16, ns, off))
+                        off += 2 * ns
+                    waves.append(w)
+                    srs.append(sp["sr"])
+                if off > len(body):
+                    raise ValueError(
+                        "binary payload truncated: header describes "
+                        f"{off - 4 - hlen} PCM bytes but the body carries "
+                        f"{len(body) - 4 - hlen}")
+            if not predictor.task.startswith("audio"):
+                texts = [sp["texts"] for sp in speakers]
+            if any("ordinal_base" in sp for sp in speakers):
+                bases = [int(sp.get("ordinal_base", 0))
+                         for sp in speakers]
+            return len(speakers), waves, srs, texts, bases
+
         def do_POST(self):
+            if not self._authorized():
+                return
             if self.path == "/predict_stream":
                 self._post_stream()
                 return
-            if self.path != "/predict":
+            if self.path not in ("/predict", "/predict_bin"):
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
+            t0 = _time.monotonic()
             try:
-                n, waves, srs, texts, bases = self._parse()
+                n, waves, srs, texts, bases = (
+                    self._parse_bin() if self.path == "/predict_bin"
+                    else self._parse())
                 if batcher is not None:
                     results = batcher.submit(
                         {"waves": waves, "srs": srs, "texts": texts,
@@ -661,6 +824,7 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
                 else:
                     results = predictor.predict_batch(waves, srs, texts,
                                                       bases)
+                request_latency.observe(_time.monotonic() - t0)
                 self._send(200, {"results": results})
             except ServerOverloaded as exc:  # shed load, invite a retry
                 self._send(503, {"error": f"overloaded: {exc}"},
@@ -709,6 +873,7 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
             # free a slot and retry — a stream request never 503s its own
             # speakers; only a queue full of OTHER clients' work with
             # nothing of ours in flight sheds a line
+            t0 = _time.monotonic()
             pending: list = []
             next_out = 0
             i = 0
@@ -745,23 +910,39 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
                     done.wait()
                 write_line(idx, box)
                 next_out += 1
+            request_latency.observe(_time.monotonic() - t0)
             if chunked:
                 self._chunk(b"")  # terminating chunk
 
     server_cls = ThreadingHTTPServer if batcher is not None else HTTPServer
-    return server_cls((host, port), Handler)
+    server = server_cls((host, port), Handler)
+    if tls_cert is not None:
+        import ssl
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(tls_cert, tls_key)
+        server.socket = ctx.wrap_socket(server.socket, server_side=True)
+    return server
 
 
 def serve_http(predictor: Predictor, host: str = "127.0.0.1",
                port: int = 8000, batch_window_ms: float = 0.0,
-               max_batch: int = 32, max_queue: int = 128) -> None:
+               max_batch: int = 32, max_queue: int = 128,
+               auth_token: Optional[str] = None,
+               tls_cert: Optional[str] = None,
+               tls_key: Optional[str] = None) -> None:
     server = make_http_server(predictor, host, port, batch_window_ms,
-                              max_batch, max_queue)
+                              max_batch, max_queue, auth_token,
+                              tls_cert, tls_key)
     mode = (f"micro-batching ({batch_window_ms} ms window, max {max_batch}, "
             f"queue bound {max_queue})"
             if batch_window_ms > 0 else "single-threaded")
-    print(f"serving {predictor.task} on http://{host}:{port} "
-          f"(POST /predict, POST /predict_stream, GET /healthz; {mode})")
+    if auth_token is not None:
+        mode += ", bearer auth"
+    scheme = "https" if tls_cert is not None else "http"
+    print(f"serving {predictor.task} on {scheme}://{host}:{port} "
+          f"(POST /predict, /predict_bin, /predict_stream; GET /healthz; "
+          f"{mode})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -582,3 +582,130 @@ def test_micro_batcher_isolates_bad_request():
         t.join()
     assert isinstance(out["bad"], Exception)
     assert isinstance(out["good"], list) and out["good"][0]["label"] in (0, 1)
+
+
+def test_latency_histogram_quantiles():
+    """Bucketed quantile interpolation and the observability snapshot."""
+    h = serve.LatencyHistogram()
+    assert h.snapshot() == {"count": 0}
+    for ms in (0.5, 1.5, 3.0, 8.0, 20.0, 40.0, 80.0, 200.0, 12000.0):
+        h.observe(ms / 1000.0)
+    s = h.snapshot()
+    assert s["count"] == 9
+    assert s["max_ms"] == pytest.approx(12000.0, rel=1e-6)
+    assert s["mean_ms"] == pytest.approx(sum(
+        (0.5, 1.5, 3.0, 8.0, 20.0, 40.0, 80.0, 200.0, 12000.0)) / 9,
+        rel=1e-3)
+    # p50 of 9 obs -> 4.5th falls in the (10, 25] bucket (5th observation)
+    assert 10.0 < s["p50_ms"] <= 25.0
+    assert s["p99_ms"] >= 10000.0            # overflow bucket lower edge
+    assert s["buckets"]["inf"] == 1
+    assert sum(s["buckets"].values()) == 9
+
+
+def test_healthz_latency_and_auth_and_binary():
+    """The three serving extras together: bearer auth (401 without the
+    token, healthz open), zero-copy /predict_bin matching /predict
+    bit-for-bit, and /healthz latency histograms populated."""
+    import base64
+    import http.client
+    import json
+    import threading
+
+    params = audio_net.init(jax.random.PRNGKey(18), C.AUDIO_CLF.model)
+    p = serve.Predictor(params, "audio_clf")
+    server = serve.make_http_server(p, port=0, batch_window_ms=20,
+                                    max_batch=8, auth_token="s3cret")
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    rng = np.random.default_rng(18)
+    wavs, srs, _ = _speaker(rng)
+    wavs = [np.asarray(w, np.int16) for w in wavs]
+    body_b64 = json.dumps({"speakers": [{
+        "wav_b64": [base64.b64encode(w.tobytes()).decode() for w in wavs],
+        "sr": srs}]})
+    header = json.dumps({"speakers": [{
+        "n_samples": [len(w) for w in wavs], "sr": srs}]}).encode()
+    body_bin = (len(header).to_bytes(4, "little") + header
+                + b"".join(w.tobytes() for w in wavs))
+    auth = {"Authorization": "Bearer s3cret"}
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        # no token -> 401 + WWW-Authenticate; wrong token -> 401
+        conn.request("POST", "/predict", body_b64)
+        r = conn.getresponse()
+        assert r.status == 401
+        assert r.getheader("WWW-Authenticate") == "Bearer"
+        r.read()
+        conn.request("POST", "/predict", body_b64,
+                     {"Authorization": "Bearer wrong"})
+        r = conn.getresponse()
+        assert r.status == 401
+        r.read()
+        # healthz stays open for probes
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200
+        assert json.loads(r.read())["ok"]
+        # authorized base64 and binary requests agree exactly
+        conn.request("POST", "/predict", body_b64, auth)
+        r = conn.getresponse()
+        assert r.status == 200
+        via_b64 = json.loads(r.read())["results"]
+        conn.request("POST", "/predict_bin", body_bin, auth)
+        r = conn.getresponse()
+        assert r.status == 200
+        via_bin = json.loads(r.read())["results"]
+        assert via_bin == via_b64
+        # truncated binary payload -> 400, not a crash
+        conn.request("POST", "/predict_bin", body_bin[:-100], auth)
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        lat = health["latency"]
+        assert lat["request"]["count"] >= 2
+        assert lat["device_batch"]["count"] >= 2
+        assert lat["request"]["p50_ms"] > 0
+        assert set(lat["request"]) >= {"count", "mean_ms", "p50_ms",
+                                       "p90_ms", "p99_ms", "buckets"}
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_tls_serving(tmp_path):
+    """--tls-cert/--tls-key serve HTTPS (self-signed cert, stdlib ssl)."""
+    import http.client
+    import json
+    import ssl
+    import subprocess
+    import threading
+
+    cert, key = tmp_path / "crt.pem", tmp_path / "key.pem"
+    gen = subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=127.0.0.1"], capture_output=True)
+    if gen.returncode != 0:
+        pytest.skip("openssl unavailable to mint a test certificate")
+    params = audio_net.init(jax.random.PRNGKey(19), C.AUDIO_CLF.model)
+    p = serve.Predictor(params, "audio_clf")
+    server = serve.make_http_server(p, port=0, tls_cert=str(cert),
+                                    tls_key=str(key))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    ctx = ssl.create_default_context(cafile=str(cert))
+    ctx.check_hostname = False
+    try:
+        conn = http.client.HTTPSConnection("127.0.0.1", port, timeout=60,
+                                           context=ctx)
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200 and json.loads(r.read())["ok"]
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()
