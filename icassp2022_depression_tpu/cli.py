@@ -41,7 +41,17 @@ def cmd_extract_audio(args):
 
     root = Path(args.root)
     out = Path(args.out) if args.out else root / "Features" / "AudioWhole"
-    feats, sds, clf, manifest = audio.extract_eatd(root, out_dir=out)
+    if args.embedder == "vggish":
+        from icassp2022_depression_tpu.models import vggish
+
+        params = (vggish.from_tf_checkpoint(args.vggish_ckpt)
+                  if args.vggish_ckpt else None)
+        post = (vggish.load_pca_params(args.pca_params)
+                if args.pca_params else None)
+        feats, sds, clf, manifest = audio.extract_eatd_vggish(
+            root, params=params, postprocessor=post, out_dir=out)
+    else:
+        feats, sds, clf, manifest = audio.extract_eatd(root, out_dir=out)
     print(f"audio features {feats.shape} -> {out} "
           f"({len(manifest)} speakers, {int(clf.sum())} depressed)")
 
@@ -516,9 +526,20 @@ def build_parser():
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_synth_corpus)
 
-    sp = sub.add_parser("extract-audio", help="EATD wav2vlad features")
+    sp = sub.add_parser("extract-audio",
+                        help="EATD audio features (wav2vlad or VGGish)")
     sp.add_argument("--root", required=True)
     sp.add_argument("--out")
+    sp.add_argument("--embedder", choices=["netvlad", "vggish"],
+                    default="netvlad",
+                    help="netvlad = the reference's committed wav2vlad "
+                         "path (256-d); vggish = its declared alternative "
+                         "to_vggish_embedds (128-d, _128 npz suffix)")
+    sp.add_argument("--vggish-ckpt",
+                    help="released vggish_model.ckpt to convert+use "
+                         "(default: deterministic PRNG init)")
+    sp.add_argument("--pca-params",
+                    help="released vggish_pca_params.npz postprocessor")
     sp.set_defaults(fn=cmd_extract_audio)
 
     sp = sub.add_parser("extract-text", help="EATD text features")

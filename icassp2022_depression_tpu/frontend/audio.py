@@ -31,6 +31,7 @@ import numpy as np
 from icassp2022_depression_tpu.config import FrontendConfig
 from icassp2022_depression_tpu.data import eatd
 from icassp2022_depression_tpu.ops import mel, netvlad
+from icassp2022_depression_tpu.utils import hostio
 
 
 def _bucket_length(n: int, min_len: int = 16384) -> int:
@@ -256,6 +257,86 @@ def extract_eatd(root: Path, cfg: FrontendConfig = FrontendConfig(),
              # duration has ever been measured
              "min_len_s": min_len if np.isfinite(min_len) else None,
              "max_len_s": max_len if max_len > 0 else None}, indent=2))
+    return features, sds_targets, clf_targets, manifest
+
+
+def extract_eatd_vggish(root: Path, params=None, postprocessor=None,
+                        out_dir: Optional[Path] = None,
+                        max_id: int = eatd.MAX_SPEAKER_ID,
+                        sds_threshold: float = 53.0, seed: int = 0):
+    """EATD corpus pass through the reference's *alternative* embedder:
+    VGGish (``to_vggish_embedds``, ``audio_features_whole.py:39-55`` —
+    defined with checkpoint paths at ``:31-32`` but never called in the
+    committed pipeline; exposed here as a first-class choice).
+
+    Per utterance the 0.96 s example embeddings are mean-pooled to one
+    128-d vector, giving the same ``[N, 3, 1, D]`` layout as wav2vlad so
+    the fold/augmentation machinery applies unchanged; ``out_dir`` writes
+    the reference-layout npz files with the ``_128`` dim suffix.  All
+    utterances' examples are concatenated into a handful of padded
+    power-of-two batches through ONE jitted conv stack (MXU-friendly),
+    instead of a session per utterance.  ``params=None`` uses the
+    deterministic PRNG init (documented stand-in — pass
+    ``models.vggish.from_tf_checkpoint(...)`` for released weights).
+    Utterances shorter than one example (after the 5 s silence fallback
+    this cannot happen for empty files) embed as zero vectors.
+
+    Returns (features [N, 3, 1, 128], sds_targets, clf_targets, manifest).
+    """
+    from icassp2022_depression_tpu.models import vggish
+
+    if params is None:
+        params = vggish.init(jax.random.PRNGKey(seed))
+
+    per_utt_examples: List[np.ndarray] = []
+    sds: List[float] = []
+    manifest = []
+    for sp in eatd.load_speakers(root, max_id=max_id, read_text=False):
+        sds.append(sp.sds)
+        manifest.append({"split": sp.split, "number": sp.number,
+                         "status": "ok"})
+        for w, sr in zip(sp.waveforms, sp.sample_rates):
+            per_utt_examples.append(vggish.waveform_to_examples(w, sr))
+
+    n = len(sds)
+    dim = vggish.EMBEDDING_SIZE
+    features = np.zeros((n, 3, 1, dim), np.float32)
+    counts = [e.shape[0] for e in per_utt_examples]
+    total = sum(counts)
+    if total:
+        flat = np.concatenate([e for e in per_utt_examples if e.shape[0]])
+        # fixed 256-example chunks (last one zero-padded): ONE compiled
+        # shape for any corpus size, and the early conv feature maps
+        # (96 x 64 x 64ch per example) stay well inside HBM
+        chunk = 256
+        pieces = []
+        for lo in range(0, total, chunk):
+            part = flat[lo:lo + chunk]
+            if part.shape[0] < chunk:
+                part = np.concatenate(
+                    [part, np.zeros((chunk - part.shape[0],)
+                                    + part.shape[1:], np.float32)])
+            pieces.append(vggish.apply(params, jnp.asarray(part)))
+        # dispatch every chunk first, read back ONCE (relay is
+        # latency-bound: ~0.45 s per blocking fetch)
+        emb = hostio.gather_chunks(pieces, total)
+        if postprocessor is not None:
+            emb = postprocessor(emb).astype(np.float32)
+        pos = 0
+        for utt, c in enumerate(counts):
+            if c:
+                features[utt // 3, utt % 3, 0] = emb[pos:pos + c].mean(0)
+                pos += c
+    sds_targets = np.asarray(sds, np.float32)
+    clf_targets = (sds_targets >= sds_threshold).astype(np.int64)
+
+    if out_dir is not None:
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        np.savez(out_dir / f"whole_samples_reg_{dim}.npz", features)
+        np.savez(out_dir / f"whole_labels_reg_{dim}.npz", sds_targets)
+        np.savez(out_dir / f"whole_samples_clf_{dim}.npz", features)
+        np.savez(out_dir / f"whole_labels_clf_{dim}.npz", clf_targets)
     return features, sds_targets, clf_targets, manifest
 
 

@@ -63,3 +63,50 @@ def test_htk_mel_formula():
     # VGGish uses peak-normalised (unnormalised-area) filters
     unnorm = vggish._unnormalised(fb)
     assert np.allclose(unnorm.max(axis=1), 1.0, atol=1e-6)
+
+
+def test_extract_eatd_vggish_matches_per_utterance_path(tmp_path):
+    """The batched corpus pass (one padded conv-stack batch + segment
+    means) must equal the reference-shaped per-utterance path
+    ``to_vggish_embedds(...).mean(0)``, in the wav2vlad [N, 3, 1, D]
+    layout, and write the _128-suffixed reference npz files."""
+    import jax
+
+    from icassp2022_depression_tpu.data import eatd
+    from icassp2022_depression_tpu.frontend import audio as afe
+    from icassp2022_depression_tpu.models import vggish
+
+    eatd.make_synthetic_corpus(tmp_path, n_data=2, n_validation=1,
+                               seconds=1.5, seed=3)
+    out = tmp_path / "Features" / "AudioWhole"
+    feats, sds, clf, manifest = afe.extract_eatd_vggish(
+        tmp_path, out_dir=out, seed=0)
+    assert feats.shape == (3, 3, 1, 128)
+    assert len(manifest) == 3 and sds.shape == (3,)
+
+    params = vggish.init(jax.random.PRNGKey(0))
+    speakers = list(eatd.load_speakers(tmp_path, read_text=False))
+    for i, sp in enumerate(speakers):
+        for k, (w, sr) in enumerate(zip(sp.waveforms, sp.sample_rates)):
+            want = vggish.to_vggish_embedds(params, np.asarray(w), sr)
+            np.testing.assert_allclose(feats[i, k, 0], want.mean(0),
+                                       atol=2e-5)
+    with np.load(out / "whole_samples_clf_128.npz") as z:
+        np.testing.assert_allclose(z["arr_0"], feats)
+    with np.load(out / "whole_labels_reg_128.npz") as z:
+        np.testing.assert_allclose(z["arr_0"], sds)
+
+
+def test_extract_audio_cli_vggish(tmp_path):
+    """`extract-audio --embedder vggish` runs end-to-end from the CLI."""
+    from icassp2022_depression_tpu import cli
+    from icassp2022_depression_tpu.data import eatd
+
+    eatd.make_synthetic_corpus(tmp_path, n_data=2, n_validation=0,
+                               seconds=1.2, seed=4)
+    rc = cli.main(["extract-audio", "--root", str(tmp_path),
+                   "--embedder", "vggish"])
+    assert rc == 0
+    out = tmp_path / "Features" / "AudioWhole"
+    with np.load(out / "whole_samples_reg_128.npz") as z:
+        assert z["arr_0"].shape == (2, 3, 1, 128)
