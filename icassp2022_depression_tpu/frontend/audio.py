@@ -331,12 +331,18 @@ def extract_eatd_vggish(root: Path, params=None, postprocessor=None,
     clf_targets = (sds_targets >= sds_threshold).astype(np.int64)
 
     if out_dir is not None:
+        import json
+
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         np.savez(out_dir / f"whole_samples_reg_{dim}.npz", features)
         np.savez(out_dir / f"whole_labels_reg_{dim}.npz", sds_targets)
         np.savez(out_dir / f"whole_samples_clf_{dim}.npz", features)
         np.savez(out_dir / f"whole_labels_clf_{dim}.npz", clf_targets)
+        # same resumability surface as extract_eatd's manifest (and it
+        # replaces any stale netvlad-run manifest in a shared out_dir)
+        (out_dir / "manifest.json").write_text(json.dumps(
+            {"speakers": manifest, "embedder": "vggish"}, indent=2))
     return features, sds_targets, clf_targets, manifest
 
 

@@ -712,14 +712,22 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
                 return True
             import hmac
 
-            got = self.headers.get("Authorization", "")
-            if hmac.compare_digest(got, f"Bearer {auth_token}"):
+            # compare as bytes: http.server decodes headers as latin-1,
+            # and compare_digest raises TypeError on non-ASCII str
+            got = self.headers.get("Authorization", "").encode("latin-1")
+            if hmac.compare_digest(got,
+                                   f"Bearer {auth_token}".encode("utf-8")):
                 return True
             # drain the unread body so a kept-alive connection's next
-            # request does not start mid-payload
+            # request does not start mid-payload; a client that closes
+            # early returns b'' (EOF) — stop, never spin
             remaining = int(self.headers.get("Content-Length", "0"))
             while remaining > 0:
-                remaining -= len(self.rfile.read(min(remaining, 1 << 20)))
+                got_bytes = self.rfile.read(min(remaining, 1 << 20))
+                if not got_bytes:
+                    self.close_connection = True
+                    break
+                remaining -= len(got_bytes)
             self._send(401, {"error": "missing or invalid bearer token"},
                        headers=(("WWW-Authenticate", "Bearer"),))
             return False
@@ -787,15 +795,16 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
                     w = []
                     for ns in sp["n_samples"]:
                         ns = int(ns)
+                        if ns < 0:   # negative count would make frombuffer
+                            # read "all remaining bytes" and walk off back-
+                            # ward into already-consumed payload
+                            raise ValueError(f"negative n_samples {ns}")
+                        # frombuffer itself raises on a body shorter than
+                        # the header describes (truncation -> 400)
                         w.append(np.frombuffer(body, np.int16, ns, off))
                         off += 2 * ns
                     waves.append(w)
                     srs.append(sp["sr"])
-                if off > len(body):
-                    raise ValueError(
-                        "binary payload truncated: header describes "
-                        f"{off - 4 - hlen} PCM bytes but the body carries "
-                        f"{len(body) - 4 - hlen}")
             if not predictor.task.startswith("audio"):
                 texts = [sp["texts"] for sp in speakers]
             if any("ordinal_base" in sp for sp in speakers):
@@ -914,14 +923,31 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
             if chunked:
                 self._chunk(b"")  # terminating chunk
 
-    server_cls = ThreadingHTTPServer if batcher is not None else HTTPServer
-    server = server_cls((host, port), Handler)
     if tls_cert is not None:
         import ssl
 
         ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
         ctx.load_cert_chain(tls_cert, tls_key)
-        server.socket = ctx.wrap_socket(server.socket, server_side=True)
+
+        class Handler(Handler):  # noqa: F811 — TLS-aware variant
+            def setup(self):
+                # handshake HERE (handler thread), not in the accept
+                # loop: with do_handshake_on_connect=True a client that
+                # connects and sends no ClientHello would block
+                # serve_forever itself, stalling every other connection
+                # on the threaded server.  Bounded so a silent peer
+                # releases the thread.
+                old = self.request.gettimeout()
+                self.request.settimeout(30.0)
+                self.request.do_handshake()
+                self.request.settimeout(old)
+                super().setup()
+
+    server_cls = ThreadingHTTPServer if batcher is not None else HTTPServer
+    server = server_cls((host, port), Handler)
+    if tls_cert is not None:
+        server.socket = ctx.wrap_socket(server.socket, server_side=True,
+                                        do_handshake_on_connect=False)
     return server
 
 

@@ -31,7 +31,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
-PORT = 19357
+PORT = 19357   # default; parent picks a free one per run (--port)
 GLOBAL_BATCH = 8
 DIM = 16
 
@@ -64,7 +64,8 @@ def _model_bits():
     return params, optimizer, train_loss
 
 
-def child(pid: int, nprocs: int, local_devices: int) -> None:
+def child(pid: int, nprocs: int, local_devices: int,
+          port: int = PORT) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
@@ -75,7 +76,7 @@ def child(pid: int, nprocs: int, local_devices: int) -> None:
     from icassp2022_depression_tpu.parallel import collectives, distributed
 
     # the PRODUCT multi-process entry point
-    distributed.initialize(coordinator_address=f"127.0.0.1:{PORT}",
+    distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                            num_processes=nprocs, process_id=pid)
     assert jax.process_count() == nprocs, jax.process_count()
 
@@ -152,6 +153,13 @@ def _serial_reference():
 def parent(nprocs: int, local_devices: int) -> int:
     total = nprocs * local_devices
     assert GLOBAL_BATCH % nprocs == 0
+    # a fresh ephemeral coordinator port per run: a previous run's
+    # lingering/orphaned coordinator on the fixed default cannot collide
+    import socket
+
+    with socket.socket() as s_:
+        s_.bind(("127.0.0.1", 0))
+        port = s_.getsockname()[1]
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
@@ -159,12 +167,34 @@ def parent(nprocs: int, local_devices: int) -> int:
                         f"{local_devices}").strip()
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--child", str(pid),
-         "--nprocs", str(nprocs), "--local-devices", str(local_devices)],
+         "--nprocs", str(nprocs), "--local-devices", str(local_devices),
+         "--port", str(port)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for pid in range(nprocs)]
+    # drain ALL children concurrently: a sequential communicate() would
+    # leave later children's pipes unread while waiting on child 0 — a
+    # child that fills its 64 KB stderr pipe then blocks mid-collective
+    # and deadlocks the whole group until the timeout
+    import threading
+
+    outs: list = [None] * nprocs
+
+    def _drain(pid: int, proc) -> None:
+        try:
+            outs[pid] = proc.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            outs[pid] = proc.communicate()
+
+    threads = [threading.Thread(target=_drain, args=(pid, proc))
+               for pid, proc in enumerate(procs)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
     results = []
     for pid, proc in enumerate(procs):
-        out, err = proc.communicate(timeout=300)
+        out, err = outs[pid]
         if proc.returncode != 0:
             sys.stderr.write(err[-2000:])
             print(f"child {pid} failed (rc={proc.returncode})")
@@ -195,8 +225,9 @@ if __name__ == "__main__":
     ap.add_argument("--child", type=int, default=None)
     ap.add_argument("--nprocs", type=int, default=2)
     ap.add_argument("--local-devices", type=int, default=2)
+    ap.add_argument("--port", type=int, default=PORT)
     a = ap.parse_args()
     if a.child is not None:
-        child(a.child, a.nprocs, a.local_devices)
+        child(a.child, a.nprocs, a.local_devices, a.port)
     else:
         sys.exit(parent(a.nprocs, a.local_devices))

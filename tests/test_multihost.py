@@ -27,5 +27,8 @@ def test_two_process_dp_step_matches_serial():
     result = json.loads(proc.stdout.strip().splitlines()[-1])
     assert result["multihost"] == "ok"
     assert result["nprocs"] == 2 and result["devices_total"] == 4
-    assert result["loss"] == result["ref_loss"]
-    assert result["param_l1"] == result["ref_param_l1"]
+    # same tolerances as the script's own acceptance: Gloo cross-process
+    # reduction order need not be bit-identical to the single-process
+    # XLA collective
+    assert abs(result["loss"] - result["ref_loss"]) < 1e-5
+    assert abs(result["param_l1"] - result["ref_param_l1"]) < 1e-4

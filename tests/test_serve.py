@@ -709,3 +709,72 @@ def test_tls_serving(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_auth_hardening_eof_and_non_ascii():
+    """Auth-failure paths must not wedge the server: a client that
+    advertises a large Content-Length then disconnects (EOF mid-drain),
+    and a non-ASCII Authorization header (latin-1 decoded by
+    http.server), both leave the server serving."""
+    import http.client
+    import json
+    import socket
+    import threading
+
+    params = audio_net.init(jax.random.PRNGKey(20), C.AUDIO_CLF.model)
+    p = serve.Predictor(params, "audio_clf")
+    server = serve.make_http_server(p, port=0, batch_window_ms=20,
+                                    auth_token="tok")
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        # half-open client: headers promise 1 MB, then the socket closes
+        s = socket.create_connection(("127.0.0.1", port), timeout=30)
+        s.sendall(b"POST /predict HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: 1000000\r\n\r\npartial")
+        s.shutdown(socket.SHUT_WR)
+        s.settimeout(30)
+        assert b"401" in s.recv(1024)     # responded, did not spin
+        s.close()
+        # non-ASCII bearer token -> clean 401, not a TypeError crash
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")   # server still alive
+        r = conn.getresponse()
+        assert r.status == 200
+        r.read()
+        conn.request("POST", "/predict", "{}",
+                     {"Authorization": "Bearer café"})
+        r = conn.getresponse()
+        assert r.status == 401
+        r.read()
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_predict_bin_rejects_negative_n_samples():
+    """A negative n_samples must 400 (it would otherwise alias
+    already-consumed body bytes via frombuffer's count=-1 semantics)."""
+    import http.client
+    import json
+    import threading
+
+    params = audio_net.init(jax.random.PRNGKey(21), C.AUDIO_CLF.model)
+    p = serve.Predictor(params, "audio_clf")
+    server = serve.make_http_server(p, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    header = json.dumps({"speakers": [{
+        "n_samples": [-1, 100, 100], "sr": [16000] * 3}]}).encode()
+    body = (len(header).to_bytes(4, "little") + header + b"\x00" * 600)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/predict_bin", body)
+        r = conn.getresponse()
+        assert r.status == 400
+        assert "negative n_samples" in json.loads(r.read())["error"]
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()
