@@ -59,6 +59,36 @@ def _bucket_pipeline(wavs, lengths, nv_params, sr, n_fft, hop, n_mels,
     return jax.vmap(netvlad.netvlad)(nv_params, lm, fmask)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("blen", "sr", "n_fft", "hop", "n_mels"))
+def _bucket_pipeline_flat(flat, offsets, written, lengths, nv_params, blen,
+                          sr, n_fft, hop, n_mels, log_floor=1e-6):
+    """Flat-packed bucket -> [B, output_dim] features.
+
+    ``flat`` is every utterance's true samples (plus its host-computed
+    reflected tail) concatenated back to back — the transfer carries ONLY
+    real bytes.  The padded [B, blen] row matrix the mel kernel wants is
+    materialised ON DEVICE (row i reads
+    ``flat[offsets[i] : offsets[i] + written[i]]``, zeros beyond): the
+    host->device relay moves ~44 MB/s while the on-chip unpack is
+    HBM-speed, so shipping the power-of-two zero padding (up to ~4x the
+    payload) was the measured bottleneck of the whole extraction
+    pipeline, not compute.
+
+    The unpack is a vmapped ``dynamic_slice`` (contiguous rows, ~15x
+    faster on TPU than the equivalent arbitrary [B, blen] gather).  The
+    caller sizes ``flat`` so ``offset + blen`` stays in bounds for every
+    row: XLA *clamps* out-of-bounds slice starts, which would silently
+    misalign tail rows instead of erroring."""
+    j = jnp.arange(blen, dtype=jnp.int32)[None, :]
+    rows = jax.vmap(
+        lambda off: jax.lax.dynamic_slice(flat, (off,), (blen,)))(offsets)
+    wavs = jnp.where(j < written[:, None], rows, 0).astype(jnp.float32)
+    lm = mel.batched_log_mel(wavs, sr, n_fft, hop, n_mels, log_floor, True)
+    fmask = mel.frame_mask(lengths, lm.shape[1], hop)
+    return jax.vmap(netvlad.netvlad)(nv_params, lm, fmask)
+
+
 def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
                   cfg: FrontendConfig = FrontendConfig(),
                   start_ordinal: int = 0,
@@ -104,24 +134,31 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
 
     from icassp2022_depression_tpu.utils import profiling
 
-    # Stage 1: enqueue every bucket's host->device transfer up front so the
-    # (bandwidth-bound) copies overlap earlier buckets' compute — JAX
-    # dispatch is async, so nothing here blocks.
+    # Stage 1: enqueue every bucket's host->device transfer up front so
+    # the copies overlap earlier buckets' compute — JAX dispatch is async,
+    # so nothing here blocks.  Each bucket ships ONE flat array of the
+    # true samples (+ per-utterance reflected tails) — never the padded
+    # [B, blen] zero matrix, whose padding bytes dominated transfer time
+    # (the relay's host->device direction measures ~44 MB/s); the padded
+    # rows are rebuilt on device by `_bucket_pipeline_flat`'s gather.
     staged = []
     for (blen, sr, is_pcm), idxs in buckets.items():
         # pad the batch dimension to a multiple of 8 so each length bucket
         # compiles for at most a handful of batch shapes
         brows = -(-len(idxs) // 8) * 8
         dtype = np.int16 if is_pcm else np.float32
-        wavs = np.zeros((brows, blen), dtype)
+        offsets = np.zeros((brows,), np.int32)
+        written = np.zeros((brows,), np.int32)
         lengths = np.zeros((brows,), np.int32)
         row_ordinals = np.zeros((brows,), np.int32)
+        pieces = []
+        pos = 0
         for row, i in enumerate(idxs):
             w = np.asarray(waveforms[i])
             n = len(w)
             # librosa's centered STFT reflect-pads at the TRUE signal end;
             # bucket zero-padding would make the last ~2 valid frames read
-            # zeros instead, so write the reflected tail into the buffer
+            # zeros instead, so append the reflected tail to the stream
             # (multi-bounce reflection handled by np.pad for short signals)
             t_room = min(tail, blen - n)
             if n > 1 and t_room > 0:
@@ -130,11 +167,24 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
                 wp = np.pad(w, (0, t_room), mode="edge")
             else:
                 wp = w
-            wavs[row, :len(wp)] = wp.astype(dtype)
+            pieces.append(np.ascontiguousarray(wp.astype(dtype)))
+            offsets[row] = pos
+            written[row] = len(wp)
             lengths[row] = n
             row_ordinals[row] = (ordinals[i] if ordinals is not None
                                  else start_ordinal + i)
-        staged.append((blen, sr, idxs, jnp.asarray(wavs),
+            pos += len(wp)
+        # flat length padded to a power of two: bounded compile keys, and
+        # the padding is a few percent of real bytes (vs up to ~4x for
+        # padded rows).  One extra row length is reserved so every row's
+        # dynamic_slice window fits without start clamping (see
+        # `_bucket_pipeline_flat`).
+        flat_len = _bucket_length(max(pos, 1) + blen)
+        flat = np.zeros((flat_len,), dtype)
+        if pieces:
+            flat[:pos] = np.concatenate(pieces)
+        staged.append((blen, sr, idxs, jnp.asarray(flat),
+                       jnp.asarray(offsets), jnp.asarray(written),
                        jnp.asarray(lengths), jnp.asarray(row_ordinals)))
 
     # Stage 2: dispatch compute per bucket (transfers already in flight).
@@ -142,14 +192,16 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
     # relay's per-round-trip latency (~0.5 s here) dwarfs the payload, so
     # a blocking np.asarray per bucket would serialize K latencies.
     computed = []
-    for blen, sr, idxs, wavs_d, lengths_d, ordinals_d in staged:
+    for (blen, sr, idxs, flat_d, offsets_d, written_d, lengths_d,
+         ordinals_d) in staged:
         with profiling.annotate(f"wav2vlad/bucket{blen}"):
             nv_stacked = netvlad.batched_per_utterance_params(
                 cfg.netvlad_seed, ordinals_d, cfg.n_mels,
                 cfg.netvlad_clusters, cfg.netvlad_output_dim)
-            feats = _bucket_pipeline(wavs_d, lengths_d, nv_stacked, sr,
-                                     cfg.n_fft, cfg.hop_length, cfg.n_mels,
-                                     cfg.log_floor)
+            feats = _bucket_pipeline_flat(flat_d, offsets_d, written_d,
+                                          lengths_d, nv_stacked, blen, sr,
+                                          cfg.n_fft, cfg.hop_length,
+                                          cfg.n_mels, cfg.log_floor)
             computed.append((idxs, feats[:len(idxs)]))
     if computed:
         with profiling.annotate("wav2vlad/readback"):
