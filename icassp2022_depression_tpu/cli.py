@@ -488,6 +488,22 @@ def cmd_predict(args):
     return 0
 
 
+def cmd_predict_daic(args):
+    """Serve a PHQ8 prediction for one raw DAIC session from a
+    DAIC-trained checkpoint (completes serving coverage for the DAIC
+    model family)."""
+    from icassp2022_depression_tpu import serve
+
+    p = serve.DaicPredictor.from_checkpoint(args.ckpt, args.task)
+    result = p.predict_participant(Path(args.daic_dir), args.participant,
+                                   queries_path=(Path(args.queries)
+                                                 if args.queries else None),
+                                   start_ordinal=args.start_ordinal)
+    result["participant"] = args.participant
+    print(json.dumps(result))
+    return 0
+
+
 def cmd_baselines(args):
     from icassp2022_depression_tpu.data import folds
     from icassp2022_depression_tpu.eval import traditional
@@ -644,6 +660,23 @@ def build_parser():
     sp.add_argument("--speaker", required=True,
                     help="e.g. Data/5 or ValidationData/12")
     sp.set_defaults(fn=cmd_predict)
+
+    sp = sub.add_parser("predict-daic",
+                        help="serve one raw DAIC session from a "
+                             "train-daic checkpoint")
+    sp.add_argument("--task", required=True,
+                    choices=["daic_clf", "daic_reg"])
+    sp.add_argument("--daic-dir", required=True)
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--participant", type=int, required=True)
+    sp.add_argument("--queries",
+                    help="question bank (default: the bundled "
+                         "data/daic_queries.txt)")
+    sp.add_argument("--start-ordinal", type=int, default=0,
+                    help="cumulative utterance ordinal of this "
+                         "participant in its split (reproduces "
+                         "training-time NetVLAD features)")
+    sp.set_defaults(fn=cmd_predict_daic)
 
     sp = sub.add_parser("parity", help="real-corpus parity report vs "
                         "BASELINE.md (runs both tracks)")

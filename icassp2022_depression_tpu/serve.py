@@ -407,6 +407,133 @@ class Predictor:
             self.predict_batch(**kw)
 
 
+class DaicPredictor:
+    """Serve a DAIC-trained checkpoint (``train/daic.py``) end-to-end:
+    a raw interview session (transcript CSV + full-session wav, segmented
+    per-question by the bundled bank exactly like extraction —
+    ``DAICFeatureExtarction/feature_extraction.py:31-64``) or
+    pre-segmented response signals -> PHQ8 binary / score.
+
+    Completes serving coverage for every model family: EATD branch /
+    fusion tasks via :class:`Predictor`, DAIC cross-corpus models here.
+    Response counts are ragged; batches are padded to a power-of-two
+    response axis with a validity mask (no recompilation storms)."""
+
+    TASKS = ("daic_clf", "daic_reg")
+
+    def __init__(self, params, task: str, tcfg=None,
+                 frontend_cfg: C.FrontendConfig = C.FrontendConfig()):
+        assert task in self.TASKS, f"task must be one of {self.TASKS}"
+        from icassp2022_depression_tpu.train import daic as daic_train
+
+        self.task = task
+        self.params = params
+        self.tcfg = tcfg if tcfg is not None else (
+            daic_train.DAIC_CLF if task == "daic_clf"
+            else daic_train.DAIC_REG)
+        self.frontend_cfg = frontend_cfg
+        mcfg = self.tcfg.model
+        self._apply = jax.jit(
+            lambda p, x, m: audio_net.apply(p, mcfg, x, train=False,
+                                            time_mask=m))
+
+    @classmethod
+    def from_checkpoint(cls, path, task: str, tcfg=None, **kw):
+        from icassp2022_depression_tpu.train import daic as daic_train
+
+        resolved = tcfg if tcfg is not None else (
+            daic_train.DAIC_CLF if task == "daic_clf"
+            else daic_train.DAIC_REG)
+        template = audio_net.init(jax.random.PRNGKey(0), resolved.model)
+        params = checkpoints.load(path, like=template)
+        return cls(params, task, tcfg=resolved, **kw)
+
+    def response_features(self, signals_per_participant,
+                          sample_rates: Sequence[int],
+                          start_ordinals: Optional[Sequence[int]] = None):
+        """Ragged response signals -> list of [n_i, 1, D] feature blocks.
+
+        One fused ``extract_batch`` across every participant's responses
+        (single device round-trip).  ``start_ordinals`` reproduces
+        training-time NetVLAD params for corpus participants (extraction
+        numbers utterances cumulatively across the split —
+        ``frontend.daic.extract_split``); default 0-based per participant
+        (batch-position independent)."""
+        counts = [len(s) for s in signals_per_participant]
+        flat = [w for sig in signals_per_participant for w in sig]
+        srs = [sample_rates[i] for i, c in enumerate(counts)
+               for _ in range(c)]
+        if start_ordinals is None:
+            ords = [k for c in counts for k in range(c)]
+        else:
+            ords = [start_ordinals[i] + k
+                    for i, c in enumerate(counts) for k in range(c)]
+        feats = (audio_fe.extract_batch(flat, srs, self.frontend_cfg,
+                                        ordinals=ords)
+                 if flat else np.zeros((0, 256), np.float32))
+        out, pos = [], 0
+        for c in counts:
+            out.append(feats[pos:pos + c][:, None, :])
+            pos += c
+        return out
+
+    def predict_features(self, feature_blocks) -> List[dict]:
+        """[n_i, 1, D] blocks (as the trainer consumes) -> result dicts."""
+        from icassp2022_depression_tpu.frontend.daic import pad_responses
+
+        if any(f.shape[0] == 0 for f in feature_blocks):
+            raise ValueError("participant with zero segmented responses "
+                             "(no transcript line matched the question "
+                             "bank?) — nothing to pool over")
+        n = len(feature_blocks)
+        max_r = max(f.shape[0] for f in feature_blocks)
+        bucket_r = 1
+        while bucket_r < max_r:
+            bucket_r *= 2
+        bucket_n = 1
+        while bucket_n < n:
+            bucket_n *= 2
+        x, mask = pad_responses(feature_blocks, bucket_r)
+        if bucket_n > n:
+            pad = bucket_n - n
+            x = np.concatenate(
+                [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            mask = np.concatenate(
+                [mask, np.ones((pad, bucket_r), mask.dtype)])  # avoid 0/0
+        out = np.asarray(self._apply(self.params, jnp.asarray(x),
+                                     jnp.asarray(mask)))[:n]
+        results = []
+        for row in out:
+            if self.task.endswith("clf"):
+                label = int(np.argmax(row))
+                results.append({"label": label,
+                                "depressed": bool(label == 1),
+                                "probs": row.tolist()})
+            else:
+                results.append({"phq8_score": float(row[0])})
+        return results
+
+    def predict_signals(self, signals_per_participant, sample_rates,
+                        start_ordinals=None) -> List[dict]:
+        return self.predict_features(self.response_features(
+            signals_per_participant, sample_rates, start_ordinals))
+
+    def predict_participant(self, daic_dir, number: int,
+                            queries_path=None, start_ordinal: int = 0
+                            ) -> dict:
+        """Raw ``<daic_dir>/<number>_P`` session -> one result dict."""
+        from icassp2022_depression_tpu.frontend import daic as daic_fe
+
+        base = Path(daic_dir) / f"{number}_P"
+        transcript = daic_fe.read_transcript(
+            base / f"{number}_TRANSCRIPT.csv")
+        wave_data, sr = daic_fe.read_wav(base / f"{number}_AUDIO.wav")
+        signals = daic_fe.segment_responses(
+            transcript, wave_data, sr, daic_fe.load_queries(queries_path))
+        return self.predict_signals([signals], [sr],
+                                    [start_ordinal])[0]
+
+
 # ---------------------------------------------------------------------------
 # Optional stdlib HTTP front
 # ---------------------------------------------------------------------------

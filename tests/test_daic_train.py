@@ -172,3 +172,71 @@ def test_daic_cli_flags_parse():
     a = p.parse_args(["train-daic", "--track", "clf", "--features", "/f",
                       "--multimodal", "--eval-split", "dev"])
     assert a.multimodal and a.eval_split == "dev"
+
+
+def test_daic_predictor_end_to_end(tmp_path):
+    """DaicPredictor: checkpoint round-trip, raw-session prediction via
+    the bundled segmentation, and feature parity with training-time
+    extraction (start_ordinal)."""
+    import jax
+
+    from icassp2022_depression_tpu import config as C, serve
+    from icassp2022_depression_tpu.frontend import daic as daic_fe
+    from icassp2022_depression_tpu.models import audio_net
+    from icassp2022_depression_tpu.train import checkpoints
+
+    queries, train_csv, test_csv = _make_daic_corpus(tmp_path)
+    params = audio_net.init(jax.random.PRNGKey(0), daic.DAIC_CLF.model)
+    ckpt = tmp_path / "daic_clf_0.80"
+    checkpoints.save(ckpt, params)
+    p = serve.DaicPredictor.from_checkpoint(ckpt, "daic_clf")
+
+    r = p.predict_participant(tmp_path, 300, queries_path=queries)
+    assert set(r) == {"label", "depressed", "probs"}
+    assert r["label"] in (0, 1) and len(r["probs"]) == 2
+
+    # serving features reproduce training-time extraction when the
+    # participant's cumulative start ordinal is passed
+    feats = daic_fe.extract_participant(tmp_path, 300,
+                                        daic_fe.load_queries(queries),
+                                        start_ordinal=7)
+    transcript = daic_fe.read_transcript(
+        tmp_path / "300_P" / "300_TRANSCRIPT.csv")
+    wave, sr = daic_fe.read_wav(tmp_path / "300_P" / "300_AUDIO.wav")
+    signals = daic_fe.segment_responses(transcript, wave, sr,
+                                        daic_fe.load_queries(queries))
+    got = p.response_features([signals], [sr], start_ordinals=[7])
+    np.testing.assert_allclose(got[0], feats, atol=1e-5)
+
+    # regression task + ragged multi-participant batch
+    preg = serve.DaicPredictor(
+        audio_net.init(jax.random.PRNGKey(1), daic.DAIC_REG.model),
+        "daic_reg")
+    out = preg.predict_signals([signals, signals[:1]], [sr, sr])
+    assert len(out) == 2 and all("phq8_score" in r for r in out)
+    assert out[0]["phq8_score"] >= 0.0
+
+    # zero-response participant is a clear error, not a NaN
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="zero segmented responses"):
+        preg.predict_features([np.zeros((0, 1, 256), np.float32)])
+
+
+def test_predict_daic_cli(tmp_path, capsys):
+    import jax
+
+    from icassp2022_depression_tpu import cli
+    from icassp2022_depression_tpu.models import audio_net
+    from icassp2022_depression_tpu.train import checkpoints
+
+    queries, _, _ = _make_daic_corpus(tmp_path, pids=(305, 306))
+    params = audio_net.init(jax.random.PRNGKey(2), daic.DAIC_CLF.model)
+    ckpt = tmp_path / "daic_clf_0.70"
+    checkpoints.save(ckpt, params)
+    rc = cli.main(["predict-daic", "--task", "daic_clf",
+                   "--daic-dir", str(tmp_path), "--ckpt", str(ckpt),
+                   "--participant", "305", "--queries", str(queries)])
+    assert rc == 0
+    import json as _json
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["participant"] == 305 and out["label"] in (0, 1)
