@@ -187,9 +187,17 @@ def cmd_train(args):
     _require_features(audio_dir if args.task.startswith("audio")
                       else text_dir,
                       "audio" if args.task.startswith("audio") else "text")
+    if args.task.startswith("audio") and args.audio_dim != 256:
+        # alternative-embedder features (e.g. extract-audio --embedder
+        # vggish writes 128-d rows): load the matching npz dim and widen/
+        # narrow the model's input layer to it
+        base = C.AUDIO_CLF if args.task.endswith("clf") else C.AUDIO_REG
+        resume_kw["tcfg"] = C.replace(
+            base, model=C.replace(base.model,
+                                  embedding_size=args.audio_dim))
     if args.task in ("audio_clf", "text_clf"):
         if args.task == "audio_clf":
-            x, y = afe.load_features(audio_dir, "clf")
+            x, y = afe.load_features(audio_dir, "clf", dim=args.audio_dim)
             fn, sub = trainers.train_audio_clf, "ClassificationWhole/Audio"
         else:
             x, y = tfe.load_features(text_dir, "clf")
@@ -201,7 +209,7 @@ def cmd_train(args):
                      **resume_kw)
     elif args.task in ("audio_reg", "text_reg"):
         if args.task == "audio_reg":
-            x, y = afe.load_features(audio_dir, "reg")
+            x, y = afe.load_features(audio_dir, "reg", dim=args.audio_dim)
             fn, sub = trainers.train_audio_reg, "Regression"
         else:
             x, y = tfe.load_features(text_dir, "reg")
@@ -608,6 +616,9 @@ def build_parser():
     sp.add_argument("--idx-files", nargs="*")
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--verbose", action="store_true")
+    sp.add_argument("--audio-dim", type=int, default=256,
+                    help="audio feature width to load/train on (128 for "
+                         "extract-audio --embedder vggish features)")
     sp.add_argument("--resume-dir", help="chunked execution + resume bundle dir")
     sp.add_argument("--chunk-epochs", type=int, default=25)
     sp.add_argument("--vmap-folds", action="store_true",

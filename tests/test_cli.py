@@ -118,3 +118,27 @@ def test_parity_from_report_cli_both_exit_codes(tmp_path, capsys):
 def test_parity_requires_root_or_report():
     with pytest.raises(SystemExit):
         cli.main(["parity"])
+
+
+def test_train_on_vggish_features(tmp_path, monkeypatch):
+    """extract-audio --embedder vggish -> train --audio-dim 128: the
+    alternative-embedder loop closes from the CLI (features load at the
+    _128 dim and the model input layer is widened to match)."""
+    import json
+
+    import numpy as np
+
+    from icassp2022_depression_tpu import cli
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu.data import eatd
+
+    eatd.make_synthetic_corpus(tmp_path, n_data=6, n_validation=2,
+                               seconds=0.4, seed=7)
+    assert cli.main(["extract-audio", "--root", str(tmp_path),
+                     "--embedder", "vggish"]) == 0
+    monkeypatch.setattr(C, "AUDIO_CLF", C.replace(C.AUDIO_CLF, epochs=3))
+    rc = cli.main(["train", "--task", "audio_clf", "--root", str(tmp_path),
+                   "--audio-dim", "128", "--seed", "0"])
+    assert rc == 0
+    logs = (tmp_path / "Model" / "audio_clf_metrics.jsonl").read_text()
+    assert logs.strip()  # fold logs were written
