@@ -115,7 +115,15 @@ def check_branch_reg(model_module, mcfg: C.RNNConfig, features, targets,
                      fold_cfg: C.FoldConfig = C.FoldConfig()):
     """Regression checking: MAE/RMSE on the (unaugmented) test split of each
     fold (``Regression/AudioModelChecking.py:129-155`` checks one hardcoded
-    fold; we check all three)."""
+    fold; we check all three).
+
+    This also subsumes the reference's single-modality fusion diagnostics
+    ``evaluate_audio``/``evaluate_text`` (``Regression/fuse_net.py:458-524``,
+    invoked only from commented-out lines ``:591-592``): those feed one
+    modality of the fusion pairs to a *branch* model over the same
+    ``reg_fold_split`` test indices and print MAE/RMSE — i.e. exactly
+    ``check_audio_reg``/``check_text_reg`` with that fold's branch
+    checkpoint."""
     template = model_module.init(jax.random.PRNGKey(0), mcfg)
     apply_fn = jax.jit(lambda p, x: model_module.apply(p, mcfg, x))
     results = []

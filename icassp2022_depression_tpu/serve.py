@@ -105,18 +105,31 @@ class Predictor:
                  frontend_cfg: C.FrontendConfig = C.FrontendConfig(),
                  elmo_cfg=elmo.ElmoConfig(), elmo_params=None, seed: int = 0,
                  feature_cache_entries: int = 256,
-                 elmo_weights: Optional[str] = "auto"):
+                 elmo_weights: Optional[str] = "auto",
+                 audio_embedder: str = "netvlad", vggish_params=None,
+                 model_cfg=None):
         """``elmo_weights`` controls the text embedder like extract-text:
         a bundle path, ``"auto"`` (pick up ``ICASSP_ELMO_WEIGHTS``/the
         cache — announced on stderr, since the checkpoint being served
         must have been trained on features from the SAME embedder), or
         None to force the PRNG stand-in.  Explicit ``elmo_params`` win.
+
+        ``audio_embedder="vggish"`` serves models trained on
+        ``extract-audio --embedder vggish`` features (per-utterance
+        mean-pooled 128-d VGGish, matching ``extract_eatd_vggish``);
+        ``vggish_params`` defaults to the deterministic PRNG init.
+        ``model_cfg`` overrides the task's preset model config (e.g. a
+        ``--audio-dim``-widened input layer).
         """
         assert task in TASKS, f"task must be one of {TASKS}"
+        assert audio_embedder in ("netvlad", "vggish")
         self.task = task
         self.params = params
         self.frontend_cfg = frontend_cfg
         self.elmo_cfg = elmo_cfg
+        self.audio_embedder = audio_embedder
+        self._vggish_params = vggish_params
+        self._model_cfg = model_cfg
         self._pretrained_elmo = None
         #: provenance id of the resolved text embedder (same id scheme as
         #: ``frontend.text.make_embedder`` records in extraction sidecars)
@@ -156,6 +169,8 @@ class Predictor:
         self.feature_cache = _FeatureCache(feature_cache_entries)
 
         module, mcfg = _model_for(task)
+        if model_cfg is not None:
+            mcfg = model_cfg
         if module is fusion:
             self._apply = jax.jit(
                 lambda p, xa, xt: fusion.apply(p, mcfg, xa, xt,
@@ -174,6 +189,8 @@ class Predictor:
         trainers from the extraction sidecar), the resolved serving
         embedder is checked against it and a mismatch warns loudly."""
         module, mcfg = _model_for(task)
+        if kw.get("model_cfg") is not None:
+            mcfg = kw["model_cfg"]
         if module is fusion:
             template = fusion.init(jax.random.PRNGKey(0), mcfg)
         else:
@@ -248,10 +265,13 @@ class Predictor:
             _FeatureCache.key(
                 # default ordinals ARE base 0 — key them identically so a
                 # speaker hits the cache regardless of batch composition
-                ["audio", str(0 if ordinal_bases is None
-                              else ordinal_bases[i]),
+                ["audio", self.audio_embedder,
+                 str(0 if ordinal_bases is None else ordinal_bases[i]),
                  str(list(sample_rates[i]))] + list(waveforms_per_speaker[i]))
             for i in range(n)]
+        if self.audio_embedder == "vggish":
+            return self._audio_features_vggish(waveforms_per_speaker,
+                                               sample_rates, keys)
         out = np.zeros((n, 3, self.frontend_cfg.netvlad_output_dim),
                        np.float32)
         todo = []
@@ -276,6 +296,31 @@ class Predictor:
             for row, i in enumerate(todo):
                 out[i] = feats[row]
                 self.feature_cache.put(keys[i], feats[row])
+        return out
+
+    def _audio_features_vggish(self, waveforms_per_speaker, sample_rates,
+                               keys) -> np.ndarray:
+        """Per-utterance mean-pooled VGGish embeddings, matching
+        ``frontend.audio.extract_eatd_vggish`` (so checkpoints trained on
+        ``extract-audio --embedder vggish`` features serve correctly)."""
+        from icassp2022_depression_tpu.models import vggish
+
+        if self._vggish_params is None:
+            self._vggish_params = vggish.init(jax.random.PRNGKey(0))
+        n = len(waveforms_per_speaker)
+        out = np.zeros((n, 3, vggish.EMBEDDING_SIZE), np.float32)
+        for i in range(n):
+            cached = self.feature_cache.get(keys[i])
+            if cached is not None:
+                out[i] = cached
+                continue
+            for k, (w, sr) in enumerate(zip(waveforms_per_speaker[i],
+                                            sample_rates[i])):
+                emb = vggish.to_vggish_embedds(self._vggish_params,
+                                               np.asarray(w), sr)
+                if emb.shape[0]:
+                    out[i, k] = emb.mean(0)
+            self.feature_cache.put(keys[i], out[i])
         return out
 
     def text_features(self, texts_per_speaker: Sequence[Sequence[str]]

@@ -778,3 +778,34 @@ def test_predict_bin_rejects_negative_n_samples():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_vggish_trained_model_serves(tmp_path):
+    """A model trained on extract-audio --embedder vggish features is
+    servable: Predictor(audio_embedder='vggish', model_cfg=<128-d>)
+    reproduces the training-time features and round-trips through
+    from_checkpoint."""
+    from icassp2022_depression_tpu.data import eatd
+    from icassp2022_depression_tpu.frontend import audio as afe
+
+    eatd.make_synthetic_corpus(tmp_path, n_data=2, n_validation=0,
+                               seconds=0.4, seed=9)
+    feats, _, _, _ = afe.extract_eatd_vggish(tmp_path, seed=0)
+
+    mcfg = C.replace(C.AUDIO_CLF.model, embedding_size=128)
+    params = audio_net.init(jax.random.PRNGKey(22), mcfg)
+    path = tmp_path / "gru_vggish_0.70_1"
+    checkpoints.save(path, params)
+    p = serve.Predictor.from_checkpoint(path, "audio_clf",
+                                        audio_embedder="vggish",
+                                        model_cfg=mcfg)
+    sp = eatd.load_speaker(tmp_path, "Data", 1, read_text=False)
+    got = p.audio_features([sp.waveforms], [sp.sample_rates])
+    np.testing.assert_allclose(got[0], feats[0, :, 0, :], atol=2e-5)
+    r = p.predict_speaker(waveforms=sp.waveforms,
+                          sample_rates=sp.sample_rates)
+    assert r["label"] in (0, 1)
+    # repeat hits the cache
+    h0 = p.feature_cache.hits
+    p.predict_speaker(waveforms=sp.waveforms, sample_rates=sp.sample_rates)
+    assert p.feature_cache.hits == h0 + 1
