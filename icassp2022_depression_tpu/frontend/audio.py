@@ -43,22 +43,6 @@ def _bucket_length(n: int, min_len: int = 16384) -> int:
     return b
 
 
-@functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop", "n_mels"))
-def _bucket_pipeline(wavs, lengths, nv_params, sr, n_fft, hop, n_mels,
-                     log_floor=1e-6):
-    """[B, L] padded waveforms + per-utterance NetVLAD params (stacked
-    pytree) -> [B, output_dim] features.
-
-    ``wavs`` may be int16: raw PCM is shipped to the device at half the
-    bytes and cast to f32 on-chip (host->device bandwidth is the measured
-    bottleneck of this pipeline, not compute)."""
-    wavs = wavs.astype(jnp.float32)
-    lm = mel.batched_log_mel(wavs, sr, n_fft, hop, n_mels, log_floor, True)
-    n_frames = lm.shape[1]
-    fmask = mel.frame_mask(lengths, n_frames, hop)
-    return jax.vmap(netvlad.netvlad)(nv_params, lm, fmask)
-
-
 @functools.partial(jax.jit,
                    static_argnames=("blen", "sr", "n_fft", "hop", "n_mels"))
 def _bucket_pipeline_flat(flat, offsets, written, lengths, nv_params, blen,
@@ -312,6 +296,50 @@ def extract_eatd(root: Path, cfg: FrontendConfig = FrontendConfig(),
     return features, sds_targets, clf_targets, manifest
 
 
+def vggish_embed_waveforms(params, waveforms: Sequence[np.ndarray],
+                           sample_rates: Sequence[int],
+                           postprocessor=None) -> np.ndarray:
+    """Waveforms -> per-utterance mean-pooled VGGish embeddings
+    [n_utt, 128].
+
+    The one batched VGGish entry point — corpus extraction AND serving
+    both embed through here, so a checkpoint trained on these features
+    is served on identically-computed ones.  All utterances' 0.96 s
+    examples go through fixed 256-example chunks of ONE jitted conv
+    stack (single compiled shape, early conv feature maps bounded in
+    HBM), dispatched first and read back ONCE (the relay is
+    latency-bound).  Utterances shorter than one example embed as zero
+    vectors."""
+    from icassp2022_depression_tpu.models import vggish
+
+    per_utt_examples = [vggish.waveform_to_examples(np.asarray(w), sr)
+                        for w, sr in zip(waveforms, sample_rates)]
+    counts = [e.shape[0] for e in per_utt_examples]
+    total = sum(counts)
+    out = np.zeros((len(counts), vggish.EMBEDDING_SIZE), np.float32)
+    if not total:
+        return out
+    flat = np.concatenate([e for e in per_utt_examples if e.shape[0]])
+    chunk = 256
+    pieces = []
+    for lo in range(0, total, chunk):
+        part = flat[lo:lo + chunk]
+        if part.shape[0] < chunk:
+            part = np.concatenate(
+                [part, np.zeros((chunk - part.shape[0],) + part.shape[1:],
+                                np.float32)])
+        pieces.append(vggish.apply(params, jnp.asarray(part)))
+    emb = hostio.gather_chunks(pieces, total)
+    if postprocessor is not None:
+        emb = postprocessor(emb).astype(np.float32)
+    pos = 0
+    for utt, c in enumerate(counts):
+        if c:
+            out[utt] = emb[pos:pos + c].mean(0)
+            pos += c
+    return out
+
+
 def extract_eatd_vggish(root: Path, params=None, postprocessor=None,
                         out_dir: Optional[Path] = None,
                         max_id: int = eatd.MAX_SPEAKER_ID,
@@ -340,7 +368,8 @@ def extract_eatd_vggish(root: Path, params=None, postprocessor=None,
     if params is None:
         params = vggish.init(jax.random.PRNGKey(seed))
 
-    per_utt_examples: List[np.ndarray] = []
+    waveforms: List[np.ndarray] = []
+    rates: List[int] = []
     sds: List[float] = []
     manifest = []
     for sp in eatd.load_speakers(root, max_id=max_id, read_text=False):
@@ -348,37 +377,14 @@ def extract_eatd_vggish(root: Path, params=None, postprocessor=None,
         manifest.append({"split": sp.split, "number": sp.number,
                          "status": "ok"})
         for w, sr in zip(sp.waveforms, sp.sample_rates):
-            per_utt_examples.append(vggish.waveform_to_examples(w, sr))
+            waveforms.append(np.asarray(w))
+            rates.append(sr)
 
     n = len(sds)
     dim = vggish.EMBEDDING_SIZE
-    features = np.zeros((n, 3, 1, dim), np.float32)
-    counts = [e.shape[0] for e in per_utt_examples]
-    total = sum(counts)
-    if total:
-        flat = np.concatenate([e for e in per_utt_examples if e.shape[0]])
-        # fixed 256-example chunks (last one zero-padded): ONE compiled
-        # shape for any corpus size, and the early conv feature maps
-        # (96 x 64 x 64ch per example) stay well inside HBM
-        chunk = 256
-        pieces = []
-        for lo in range(0, total, chunk):
-            part = flat[lo:lo + chunk]
-            if part.shape[0] < chunk:
-                part = np.concatenate(
-                    [part, np.zeros((chunk - part.shape[0],)
-                                    + part.shape[1:], np.float32)])
-            pieces.append(vggish.apply(params, jnp.asarray(part)))
-        # dispatch every chunk first, read back ONCE (relay is
-        # latency-bound: ~0.45 s per blocking fetch)
-        emb = hostio.gather_chunks(pieces, total)
-        if postprocessor is not None:
-            emb = postprocessor(emb).astype(np.float32)
-        pos = 0
-        for utt, c in enumerate(counts):
-            if c:
-                features[utt // 3, utt % 3, 0] = emb[pos:pos + c].mean(0)
-                pos += c
+    per_utt = vggish_embed_waveforms(params, waveforms, rates,
+                                     postprocessor)
+    features = per_utt.reshape(n, 3, 1, dim)
     sds_targets = np.asarray(sds, np.float32)
     clf_targets = (sds_targets >= sds_threshold).astype(np.int64)
 

@@ -45,6 +45,29 @@ TASKS = ("audio_clf", "text_clf", "fuse_clf",
          "audio_reg", "text_reg", "fuse_reg")
 
 
+def _pow2(n: int) -> int:
+    """Power-of-two bucket: serving traffic of varying sizes reuses a
+    handful of compiled programs instead of compiling per size."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+def _format_outputs(out: np.ndarray, clf: bool, reg_key: str) -> List[dict]:
+    """Raw model outputs [N, C] -> one result dict per row (the single
+    definition of the serving result schema)."""
+    results = []
+    for row in out:
+        if clf:
+            label = int(np.argmax(row))
+            results.append({"label": label, "depressed": bool(label == 1),
+                            "probs": row.tolist()})
+        else:
+            results.append({reg_key: float(row[0])})
+    return results
+
+
 def _model_for(task: str):
     if task.startswith("audio"):
         mcfg = (C.AUDIO_CLF if task.endswith("clf") else C.AUDIO_REG).model
@@ -107,7 +130,7 @@ class Predictor:
                  feature_cache_entries: int = 256,
                  elmo_weights: Optional[str] = "auto",
                  audio_embedder: str = "netvlad", vggish_params=None,
-                 model_cfg=None):
+                 vggish_postprocessor=None, model_cfg=None):
         """``elmo_weights`` controls the text embedder like extract-text:
         a bundle path, ``"auto"`` (pick up ``ICASSP_ELMO_WEIGHTS``/the
         cache — announced on stderr, since the checkpoint being served
@@ -117,9 +140,12 @@ class Predictor:
         ``audio_embedder="vggish"`` serves models trained on
         ``extract-audio --embedder vggish`` features (per-utterance
         mean-pooled 128-d VGGish, matching ``extract_eatd_vggish``);
-        ``vggish_params`` defaults to the deterministic PRNG init.
-        ``model_cfg`` overrides the task's preset model config (e.g. a
-        ``--audio-dim``-widened input layer).
+        ``vggish_params`` defaults to the deterministic PRNG init at
+        ``seed`` (match extraction's seed), and
+        ``vggish_postprocessor`` must be passed iff extraction used
+        ``--pca-params`` (same distribution at serve time as at
+        training time).  ``model_cfg`` overrides the task's preset model
+        config (e.g. a ``--audio-dim``-widened input layer).
         """
         assert task in TASKS, f"task must be one of {TASKS}"
         assert audio_embedder in ("netvlad", "vggish")
@@ -128,7 +154,9 @@ class Predictor:
         self.frontend_cfg = frontend_cfg
         self.elmo_cfg = elmo_cfg
         self.audio_embedder = audio_embedder
+        self._seed = seed
         self._vggish_params = vggish_params
+        self._vggish_postprocessor = vggish_postprocessor
         self._model_cfg = model_cfg
         self._pretrained_elmo = None
         #: provenance id of the resolved text embedder (same id scheme as
@@ -300,27 +328,38 @@ class Predictor:
 
     def _audio_features_vggish(self, waveforms_per_speaker, sample_rates,
                                keys) -> np.ndarray:
-        """Per-utterance mean-pooled VGGish embeddings, matching
-        ``frontend.audio.extract_eatd_vggish`` (so checkpoints trained on
-        ``extract-audio --embedder vggish`` features serve correctly)."""
+        """Per-utterance mean-pooled VGGish embeddings through the SAME
+        batched entry point as corpus extraction
+        (``frontend.audio.vggish_embed_waveforms``: fixed-chunk conv
+        batches, one fused readback), so checkpoints trained on
+        ``extract-audio --embedder vggish`` features serve on
+        identically-computed ones — including the PCA postprocessor when
+        training extraction used one (``vggish_postprocessor``)."""
         from icassp2022_depression_tpu.models import vggish
 
         if self._vggish_params is None:
-            self._vggish_params = vggish.init(jax.random.PRNGKey(0))
+            # same deterministic default as extract_eatd_vggish(seed=...)
+            self._vggish_params = vggish.init(
+                jax.random.PRNGKey(self._seed))
         n = len(waveforms_per_speaker)
         out = np.zeros((n, 3, vggish.EMBEDDING_SIZE), np.float32)
+        todo = []
         for i in range(n):
             cached = self.feature_cache.get(keys[i])
             if cached is not None:
                 out[i] = cached
-                continue
-            for k, (w, sr) in enumerate(zip(waveforms_per_speaker[i],
-                                            sample_rates[i])):
-                emb = vggish.to_vggish_embedds(self._vggish_params,
-                                               np.asarray(w), sr)
-                if emb.shape[0]:
-                    out[i, k] = emb.mean(0)
-            self.feature_cache.put(keys[i], out[i])
+            else:
+                todo.append(i)
+        if todo:
+            flat_w = [w for i in todo for w in waveforms_per_speaker[i]]
+            flat_sr = [sr for i in todo for sr in sample_rates[i]]
+            emb = audio_fe.vggish_embed_waveforms(
+                self._vggish_params, flat_w, flat_sr,
+                self._vggish_postprocessor)
+            emb = emb.reshape(len(todo), 3, -1)
+            for row, i in enumerate(todo):
+                out[i] = emb[row]
+                self.feature_cache.put(keys[i], emb[row].copy())
         return out
 
     def text_features(self, texts_per_speaker: Sequence[Sequence[str]]
@@ -377,9 +416,7 @@ class Predictor:
         varying request sizes reuses a handful of compiled programs instead
         of compiling per batch size."""
         n = (audio_feats if audio_feats is not None else text_feats).shape[0]
-        bucket = 1
-        while bucket < n:
-            bucket *= 2
+        bucket = _pow2(n)
         if self._module is fusion:
             assert audio_feats is not None and text_feats is not None
             out = self._apply(self.params,
@@ -406,15 +443,7 @@ class Predictor:
         if not self.task.startswith("audio"):
             tf = self.text_features(texts_per_speaker)
         out = self.predict_features(af, tf)
-        results = []
-        for row in out:
-            if self.task.endswith("clf"):
-                label = int(np.argmax(row))
-                results.append({"label": label, "depressed": bool(label == 1),
-                                "probs": row.tolist()})
-            else:
-                results.append({"sds_score": float(row[0])})
-        return results
+        return _format_outputs(out, self.task.endswith("clf"), "sds_score")
 
     def predict_speaker(self, waveforms=None, sample_rates=None,
                         texts=None, ordinal_base: Optional[int] = None
@@ -515,7 +544,9 @@ class DaicPredictor:
                     for i, c in enumerate(counts) for k in range(c)]
         feats = (audio_fe.extract_batch(flat, srs, self.frontend_cfg,
                                         ordinals=ords)
-                 if flat else np.zeros((0, 256), np.float32))
+                 if flat else np.zeros(
+                     (0, self.frontend_cfg.netvlad_output_dim),
+                     np.float32))
         out, pos = [], 0
         for c in counts:
             out.append(feats[pos:pos + c][:, None, :])
@@ -531,13 +562,8 @@ class DaicPredictor:
                              "(no transcript line matched the question "
                              "bank?) — nothing to pool over")
         n = len(feature_blocks)
-        max_r = max(f.shape[0] for f in feature_blocks)
-        bucket_r = 1
-        while bucket_r < max_r:
-            bucket_r *= 2
-        bucket_n = 1
-        while bucket_n < n:
-            bucket_n *= 2
+        bucket_r = _pow2(max(f.shape[0] for f in feature_blocks))
+        bucket_n = _pow2(n)
         x, mask = pad_responses(feature_blocks, bucket_r)
         if bucket_n > n:
             pad = bucket_n - n
@@ -547,16 +573,8 @@ class DaicPredictor:
                 [mask, np.ones((pad, bucket_r), mask.dtype)])  # avoid 0/0
         out = np.asarray(self._apply(self.params, jnp.asarray(x),
                                      jnp.asarray(mask)))[:n]
-        results = []
-        for row in out:
-            if self.task.endswith("clf"):
-                label = int(np.argmax(row))
-                results.append({"label": label,
-                                "depressed": bool(label == 1),
-                                "probs": row.tolist()})
-            else:
-                results.append({"phq8_score": float(row[0])})
-        return results
+        return _format_outputs(out, self.task.endswith("clf"),
+                               "phq8_score")
 
     def predict_signals(self, signals_per_participant, sample_rates,
                         start_ordinals=None) -> List[dict]:
@@ -566,17 +584,16 @@ class DaicPredictor:
     def predict_participant(self, daic_dir, number: int,
                             queries_path=None, start_ordinal: int = 0
                             ) -> dict:
-        """Raw ``<daic_dir>/<number>_P`` session -> one result dict."""
+        """Raw ``<daic_dir>/<number>_P`` session -> one result dict
+        (reads/segments/embeds via the extraction-side
+        ``extract_participant`` — one definition of the session
+        pipeline)."""
         from icassp2022_depression_tpu.frontend import daic as daic_fe
 
-        base = Path(daic_dir) / f"{number}_P"
-        transcript = daic_fe.read_transcript(
-            base / f"{number}_TRANSCRIPT.csv")
-        wave_data, sr = daic_fe.read_wav(base / f"{number}_AUDIO.wav")
-        signals = daic_fe.segment_responses(
-            transcript, wave_data, sr, daic_fe.load_queries(queries_path))
-        return self.predict_signals([signals], [sr],
-                                    [start_ordinal])[0]
+        feats = daic_fe.extract_participant(
+            Path(daic_dir), number, daic_fe.load_queries(queries_path),
+            self.frontend_cfg, start_ordinal)
+        return self.predict_features([feats])[0]
 
 
 # ---------------------------------------------------------------------------

@@ -788,9 +788,12 @@ def test_vggish_trained_model_serves(tmp_path):
     from icassp2022_depression_tpu.data import eatd
     from icassp2022_depression_tpu.frontend import audio as afe
 
+    # utterances must exceed one 0.96 s VGGish example or every feature
+    # is a zero vector and the parity assertions are vacuous
     eatd.make_synthetic_corpus(tmp_path, n_data=2, n_validation=0,
-                               seconds=0.4, seed=9)
+                               seconds=1.3, seed=9)
     feats, _, _, _ = afe.extract_eatd_vggish(tmp_path, seed=0)
+    assert np.abs(feats).sum() > 0
 
     mcfg = C.replace(C.AUDIO_CLF.model, embedding_size=128)
     params = audio_net.init(jax.random.PRNGKey(22), mcfg)
@@ -805,7 +808,23 @@ def test_vggish_trained_model_serves(tmp_path):
     r = p.predict_speaker(waveforms=sp.waveforms,
                           sample_rates=sp.sample_rates)
     assert r["label"] in (0, 1)
-    # repeat hits the cache
+    # repeat hits the cache, and the cached entry is isolated from
+    # caller-side mutation of the returned array
     h0 = p.feature_cache.hits
-    p.predict_speaker(waveforms=sp.waveforms, sample_rates=sp.sample_rates)
+    got[0][:] = -1.0
+    again = p.audio_features([sp.waveforms], [sp.sample_rates])
     assert p.feature_cache.hits == h0 + 1
+    np.testing.assert_allclose(again[0], feats[0, :, 0, :], atol=2e-5)
+
+    # PCA-postprocessed extraction serves identically when the SAME
+    # postprocessor is passed (and differs when it is not)
+    from icassp2022_depression_tpu.models import vggish as vg
+    post = vg.Postprocessor.random(jax.random.PRNGKey(3))
+    feats_pca, _, _, _ = afe.extract_eatd_vggish(tmp_path, seed=0,
+                                                 postprocessor=post)
+    p_pca = serve.Predictor(params, "audio_clf", audio_embedder="vggish",
+                            model_cfg=mcfg, vggish_postprocessor=post)
+    got_pca = p_pca.audio_features([sp.waveforms], [sp.sample_rates])
+    np.testing.assert_allclose(got_pca[0], feats_pca[0, :, 0, :],
+                               atol=2e-5)
+    assert not np.allclose(got_pca[0], feats[0, :, 0, :])
