@@ -456,9 +456,17 @@ def cmd_serve(args):
     """Run the stdlib HTTP serving front around one checkpoint."""
     from icassp2022_depression_tpu import serve
 
-    predictor = serve.Predictor.from_checkpoint(args.ckpt, args.task)
-    if args.warmup:
-        predictor.warmup()
+    if args.task.startswith("daic"):
+        predictor = serve.DaicPredictor.from_checkpoint(args.ckpt,
+                                                        args.task)
+        if args.warmup:
+            print("note: --warmup is a no-op for DAIC serving (shapes "
+                  "depend on per-session response counts)",
+                  file=sys.stderr)
+    else:
+        predictor = serve.Predictor.from_checkpoint(args.ckpt, args.task)
+        if args.warmup:
+            predictor.warmup()
     serve.serve_http(predictor, args.host, args.port,
                      batch_window_ms=args.batch_window_ms,
                      max_batch=args.max_batch, max_queue=args.max_queue,
@@ -705,7 +713,8 @@ def build_parser():
     sp = sub.add_parser("serve", help="HTTP serving front (stdlib)")
     sp.add_argument("--task", required=True, choices=[
         "audio_clf", "text_clf", "fuse_clf",
-        "audio_reg", "text_reg", "fuse_reg"])
+        "audio_reg", "text_reg", "fuse_reg",
+        "daic_clf", "daic_reg"])
     sp.add_argument("--ckpt", required=True)
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8000)

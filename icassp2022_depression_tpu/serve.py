@@ -868,6 +868,11 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
     from http.server import (BaseHTTPRequestHandler, HTTPServer,
                              ThreadingHTTPServer)
 
+    is_daic = isinstance(predictor, DaicPredictor)
+    if is_daic and batch_window_ms > 0:
+        raise ValueError("micro-batching coalesces EATD speaker requests; "
+                         "DAIC serving is single-threaded "
+                         "(batch_window_ms must be 0)")
     batcher = (_MicroBatcher(predictor, batch_window_ms / 1000.0, max_batch,
                              max_queue)
                if batch_window_ms > 0 else None)
@@ -925,9 +930,11 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
             if self.path == "/healthz":
                 payload = {
                     "ok": True, "task": predictor.task,
-                    "cache": {"hits": predictor.feature_cache.hits,
-                              "misses": predictor.feature_cache.misses},
                     "latency": {"request": request_latency.snapshot()}}
+                if not is_daic:
+                    payload["cache"] = {
+                        "hits": predictor.feature_cache.hits,
+                        "misses": predictor.feature_cache.misses}
                 if batcher is not None:
                     payload["batcher"] = {
                         "batches_run": batcher.batches_run,
@@ -1001,8 +1008,37 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
                          for sp in speakers]
             return len(speakers), waves, srs, texts, bases
 
+        def _post_daic(self):
+            """DAIC request shape: {"participants": [{"responses_b64":
+            ["<base64 int16 LE PCM>", ...], "sr": 16000,
+            "start_ordinal": 0 (optional)}, ...]} — one ragged response
+            list per participant, answered like /predict."""
+            if self.path != "/predict":
+                self._send(404, {"error": "DAIC serving exposes /predict "
+                                          "and /healthz only"})
+                return
+            t0 = _time.monotonic()
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length))
+                parts = req["participants"]
+                signals = [[np.frombuffer(base64.b64decode(b), np.int16)
+                            for b in sp["responses_b64"]] for sp in parts]
+                srs = [int(sp["sr"]) for sp in parts]
+                starts = ([int(sp.get("start_ordinal", 0)) for sp in parts]
+                          if any("start_ordinal" in sp for sp in parts)
+                          else None)
+                results = predictor.predict_signals(signals, srs, starts)
+                request_latency.observe(_time.monotonic() - t0)
+                self._send(200, {"results": results})
+            except Exception as exc:
+                self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+
         def do_POST(self):
             if not self._authorized():
+                return
+            if is_daic:
+                self._post_daic()
                 return
             if self.path == "/predict_stream":
                 self._post_stream()

@@ -240,3 +240,58 @@ def test_predict_daic_cli(tmp_path, capsys):
     import json as _json
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["participant"] == 305 and out["label"] in (0, 1)
+
+
+def test_daic_http_serving(tmp_path):
+    """`cli serve --task daic_clf`'s HTTP front: POST /predict with
+    ragged base64 responses per participant; micro-batching refused."""
+    import base64
+    import http.client
+    import json
+    import threading
+
+    import jax
+    import pytest
+
+    from icassp2022_depression_tpu import serve
+    from icassp2022_depression_tpu.models import audio_net
+
+    params = audio_net.init(jax.random.PRNGKey(3), daic.DAIC_CLF.model)
+    p = serve.DaicPredictor(params, "daic_clf")
+    with pytest.raises(ValueError, match="single-threaded"):
+        serve.make_http_server(p, port=0, batch_window_ms=20)
+    server = serve.make_http_server(p, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    rng = np.random.default_rng(3)
+
+    def resp_b64(n):
+        return base64.b64encode(np.round(
+            rng.standard_normal(n) * 2000).astype(np.int16).tobytes()
+        ).decode()
+
+    body = json.dumps({"participants": [
+        {"responses_b64": [resp_b64(8000), resp_b64(12000)], "sr": 16000},
+        {"responses_b64": [resp_b64(5000)], "sr": 16000,
+         "start_ordinal": 4},
+    ]})
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/predict", body)
+        r = conn.getresponse()
+        assert r.status == 200
+        results = json.loads(r.read())["results"]
+        assert len(results) == 2
+        assert all(x["label"] in (0, 1) for x in results)
+        conn.request("POST", "/predict_stream", body)
+        r = conn.getresponse()
+        assert r.status == 404
+        r.read()
+        conn.request("GET", "/healthz")
+        h = json.loads(conn.getresponse().read())
+        assert h["ok"] and h["task"] == "daic_clf"
+        assert h["latency"]["request"]["count"] >= 1
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()
