@@ -781,6 +781,13 @@ def main():
     # ~100x slower TF rebuild path) + measured torch epochs extrapolated
     # to the full 3x169-epoch schedule
     cpu_e2e_s = np_ext_s + audio_torch_ms / 1000.0 * n_epochs_total
+    # the same pipeline through the vmapped product path (`train
+    # --vmap-folds`: all folds as ONE compiled program, results identical
+    # to serial — tests/test_vmap_folds.py) — the fastest single-chip
+    # configuration a user can actually run
+    tpu_e2e_vmap_s = tpu_ext_s + vmap_ms / 1000.0 * n_epochs_total
+    emit("end_to_end_pipeline_vmapped", tpu_e2e_vmap_s, "s",
+         cpu_e2e_s / tpu_e2e_vmap_s)
     speedup = cpu_e2e_s / tpu_e2e_s
     emit("end_to_end_pipeline", tpu_e2e_s, "s", speedup,
          target=5.0, meets_target=bool(speedup >= 5.0))

@@ -464,7 +464,8 @@ def cmd_serve(args):
                   "depend on per-session response counts)",
                   file=sys.stderr)
     else:
-        predictor = serve.Predictor.from_checkpoint(args.ckpt, args.task)
+        predictor = serve.Predictor.from_checkpoint(
+            args.ckpt, args.task, **_embedder_kw(args))
         if args.warmup:
             predictor.warmup()
     serve.serve_http(predictor, args.host, args.port,
@@ -473,6 +474,21 @@ def cmd_serve(args):
                      auth_token=args.auth_token,
                      tls_cert=args.tls_cert, tls_key=args.tls_key)
     return 0
+
+
+def _embedder_kw(args) -> dict:
+    """serve/predict: map the audio-embedder flags onto Predictor kwargs
+    (vggish needs the matching 128-d input layer on audio tasks)."""
+    kw = {}
+    if getattr(args, "audio_embedder", "netvlad") == "vggish":
+        from icassp2022_depression_tpu import config as C
+
+        kw["audio_embedder"] = "vggish"
+        if args.task.startswith("audio"):
+            base = (C.AUDIO_CLF if args.task.endswith("clf")
+                    else C.AUDIO_REG).model
+            kw["model_cfg"] = C.replace(base, embedding_size=128)
+    return kw
 
 
 def cmd_predict(args):
@@ -484,7 +500,8 @@ def cmd_predict(args):
     sp = eatd.load_speaker(Path(args.root), split, int(number))
     if sp is None:
         raise SystemExit(f"speaker {args.speaker} not found under {args.root}")
-    p = serve.Predictor.from_checkpoint(args.ckpt, args.task)
+    p = serve.Predictor.from_checkpoint(args.ckpt, args.task,
+                                        **_embedder_kw(args))
     kw = {}
     if not args.task.startswith("text"):
         # corpus-position ordinal base -> NetVLAD features identical to
@@ -678,6 +695,10 @@ def build_parser():
     sp.add_argument("--ckpt", required=True)
     sp.add_argument("--speaker", required=True,
                     help="e.g. Data/5 or ValidationData/12")
+    sp.add_argument("--audio-embedder", choices=["netvlad", "vggish"],
+                    default="netvlad",
+                    help="serve checkpoints trained on extract-audio "
+                         "--embedder vggish features")
     sp.set_defaults(fn=cmd_predict)
 
     sp = sub.add_parser("predict-daic",
@@ -735,6 +756,10 @@ def build_parser():
                     help="PEM certificate chain: serve HTTPS")
     sp.add_argument("--tls-key", default=None,
                     help="PEM private key for --tls-cert")
+    sp.add_argument("--audio-embedder", choices=["netvlad", "vggish"],
+                    default="netvlad",
+                    help="serve checkpoints trained on extract-audio "
+                         "--embedder vggish features")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("baselines", help="sklearn baselines")

@@ -142,3 +142,29 @@ def test_train_on_vggish_features(tmp_path, monkeypatch):
     assert rc == 0
     logs = (tmp_path / "Model" / "audio_clf_metrics.jsonl").read_text()
     assert logs.strip()  # fold logs were written
+
+
+def test_predict_cli_vggish_embedder(tmp_path, capsys):
+    """predict --audio-embedder vggish serves a 128-d checkpoint on
+    vggish features from the CLI."""
+    import json
+
+    import jax
+
+    from icassp2022_depression_tpu import cli
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu.data import eatd
+    from icassp2022_depression_tpu.models import audio_net
+    from icassp2022_depression_tpu.train import checkpoints
+
+    eatd.make_synthetic_corpus(tmp_path, n_data=2, n_validation=0,
+                               seconds=1.2, seed=11)
+    mcfg = C.replace(C.AUDIO_CLF.model, embedding_size=128)
+    ckpt = tmp_path / "gru_vggish_0.70_1"
+    checkpoints.save(ckpt, audio_net.init(jax.random.PRNGKey(0), mcfg))
+    rc = cli.main(["predict", "--task", "audio_clf", "--root",
+                   str(tmp_path), "--ckpt", str(ckpt), "--speaker",
+                   "Data/1", "--audio-embedder", "vggish"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["label"] in (0, 1)
