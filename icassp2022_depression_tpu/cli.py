@@ -121,6 +121,30 @@ def cmd_train_daic(args):
     return 0
 
 
+def cmd_check_daic(args):
+    """L5 symmetry for DAIC: recompute a checkpoint's eval-split metrics
+    (the EATD tracks' ``check`` counterpart)."""
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu.frontend import daic as daic_fe
+    from icassp2022_depression_tpu.train import daic as daic_train
+
+    prefix = Path(args.features)
+    if args.multimodal:
+        xa, xt, y = daic_fe.load_features(prefix, args.eval_split,
+                                          args.track, True)
+        x = daic_train.concat_multimodal(xa, xt)
+    else:
+        x, y = daic_fe.load_features(prefix, args.eval_split, args.track)
+    dim = x[0].shape[-1] if x else 0
+    base = (daic_train.DAIC_CLF if args.track == "clf"
+            else daic_train.DAIC_REG)
+    tcfg = C.replace(base, model=C.replace(base.model, embedding_size=dim))
+    out = daic_train.check_daic(x, y, args.ckpt, tcfg)
+    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in out.items()}))
+    return 0
+
+
 def _load_clf_inputs(root: Path):
     from icassp2022_depression_tpu.frontend import audio as afe
     from icassp2022_depression_tpu.frontend import text as tfe
@@ -632,6 +656,16 @@ def build_parser():
     sp.add_argument("--multimodal", action="store_true")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_train_daic)
+
+    sp = sub.add_parser("check-daic",
+                        help="recompute DAIC eval-split metrics from a "
+                             "train-daic checkpoint")
+    sp.add_argument("--track", required=True, choices=["clf", "reg"])
+    sp.add_argument("--features", required=True)
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--eval-split", default="test")
+    sp.add_argument("--multimodal", action="store_true")
+    sp.set_defaults(fn=cmd_check_daic)
 
     sp = sub.add_parser("train", help="train one branch task")
     sp.add_argument("--task", required=True,

@@ -95,6 +95,34 @@ def concat_multimodal(audio_features: List[np.ndarray],
     return out
 
 
+def check_daic(features: List[np.ndarray], labels, ckpt_path,
+               tcfg: C.TrainerConfig = DAIC_CLF):
+    """Model-checking for DAIC checkpoints (the L5 counterpart the EATD
+    tracks get from ``eval/checking.py``): recompute the eval-split
+    metrics of a gated-best ``train_daic`` checkpoint.
+
+    Returns the metric dict (P/R/F1/accuracy for clf; MAE/RMSE for reg)
+    — reproducing the training-time best exactly when fed the same split
+    (cf. the four reference ``*ModelChecking.py`` scripts)."""
+    from icassp2022_depression_tpu.eval import metrics
+
+    max_r = max((f.shape[0] for f in features), default=1)
+    x, mask = pad_responses(features, max_r)
+    y = np.asarray(labels)
+    template = audio_net.init(jax.random.PRNGKey(0), tcfg.model)
+    params = checkpoints.load(ckpt_path, like=template)
+    _, eval_fn = _fns(tcfg)
+    pred = np.asarray(eval_fn(params, (jnp.asarray(x), jnp.asarray(mask))))
+    if tcfg.track == "classification":
+        cm = metrics.standard_confusion_matrix(y, np.argmax(pred, axis=-1))
+        out = metrics.classification_metrics(cm)
+        out["confusion_matrix"] = cm.tolist()
+        return out
+    pred = pred.ravel()
+    return {"mae": metrics.mean_absolute_error(y, pred),
+            "rmse": metrics.root_mean_squared_error(y, pred)}
+
+
 def train_daic(train_features: List[np.ndarray], train_labels,
                test_features: List[np.ndarray], test_labels,
                tcfg: C.TrainerConfig = DAIC_CLF,

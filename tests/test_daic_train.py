@@ -295,3 +295,66 @@ def test_daic_http_serving(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_check_daic_reproduces_training_best(tmp_path):
+    """check_daic on the gated-best checkpoint reproduces the
+    training-time best eval metric exactly (same split, deterministic
+    eval; padding-count differences are masked out)."""
+    rng = np.random.default_rng(5)
+    tr_f, tr_y = _ragged(20, rng)
+    te_f, te_y = _ragged(8, rng)
+    tcfg = C.replace(
+        daic.DAIC_CLF,
+        model=C.replace(daic.DAIC_CLF.model, embedding_size=16,
+                        hidden_dims=16),
+        optimizer=C.replace(daic.DAIC_CLF.optimizer, learning_rate=3e-2),
+        epochs=11, batch_size=8)
+    result = daic.train_daic(tr_f, tr_y, te_f, te_y, tcfg,
+                             out_dir=tmp_path)
+    assert result["best"]["epoch"] >= 0
+    ckpts = sorted(tmp_path.glob("daic_cla_*.npz"))
+    assert ckpts, list(tmp_path.iterdir())
+    out = daic.check_daic(te_f, te_y, ckpts[0].with_suffix(""), tcfg)
+    np.testing.assert_allclose(out["f1"], result["best"]["f1"], atol=1e-6)
+
+
+def test_check_daic_cli(tmp_path, capsys):
+    """extract-daic -> train-daic -> check-daic from the CLI."""
+    import json
+
+    from icassp2022_depression_tpu import cli
+
+    queries, train_csv, test_csv = _make_daic_corpus(tmp_path)
+    feats = tmp_path / "Features"
+    assert cli.main(["extract-daic", "--daic-dir", str(tmp_path),
+                     "--split-csv", str(train_csv), "--queries",
+                     str(queries), "--out", str(feats),
+                     "--split-name", "train"]) == 0
+    assert cli.main(["extract-daic", "--daic-dir", str(tmp_path),
+                     "--split-csv", str(test_csv), "--queries",
+                     str(queries), "--out", str(feats),
+                     "--split-name", "test"]) == 0
+    import icassp2022_depression_tpu.train.daic as daic_mod
+    import icassp2022_depression_tpu.config as C_mod
+    orig = daic_mod.DAIC_CLF
+    # enough optimisation to fit the single training participant, or the
+    # gate's train_acc > 0 condition never admits a checkpoint
+    daic_mod.DAIC_CLF = C_mod.replace(
+        orig, epochs=16, batch_size=2,
+        optimizer=C_mod.replace(orig.optimizer, learning_rate=3e-2),
+        gate=C_mod.GateConfig(f1_floor=-1.0, train_acc_frac=0.0))
+    try:
+        assert cli.main(["train-daic", "--track", "clf", "--features",
+                         str(feats), "--model-dir", str(tmp_path / "M")
+                         ]) == 0
+        ckpts = list((tmp_path / "M").glob("daic_cla_*.npz"))
+        assert ckpts
+        rc = cli.main(["check-daic", "--track", "clf", "--features",
+                       str(feats), "--ckpt",
+                       str(ckpts[0].with_suffix(""))])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "f1" in out and "confusion_matrix" in out
+    finally:
+        daic_mod.DAIC_CLF = orig
