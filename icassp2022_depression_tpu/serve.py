@@ -18,7 +18,8 @@ serving traffic hits cached compilations).  Per-speaker extracted
 features are additionally memoised in an LRU keyed by a content digest of
 the raw inputs, so repeat speakers skip the (relay-transfer-bound)
 extraction entirely.  ``serve_http`` is an optional stdlib HTTP front
-(``cli serve``).  When a converted ELMoForManyLangs bundle is available
+(``cli serve``).  :class:`DaicPredictor` is the DAIC counterpart (raw
+interview session -> PHQ8), served over the same HTTP front.  When a converted ELMoForManyLangs bundle is available
 (``ICASSP_ELMO_WEIGHTS`` / the cache path — see
 ``scripts/convert_elmo_zhs.py``), text features come from the pretrained
 encoder automatically, matching ``extract-text``.
