@@ -218,3 +218,34 @@ def test_vggish_resample():
     x = np.sin(np.linspace(0, 100, 44100)).astype(np.float32)
     y = vggish.resample(x, 44100, 16000)
     assert abs(len(y) - 16000) <= 1
+
+
+def test_flat_packed_extraction_boundary_lengths():
+    """Fuzz the flat-packed transfer at the boundaries where packing
+    could break: lengths at/around the frame size, the bucket size
+    (tail room t_room < n_fft//2), 1-sample and tiny signals, mixed
+    dtypes (int16 PCM + f32), and many utterances sharing one bucket —
+    every row must equal the direct unpadded-pipeline oracle."""
+    from icassp2022_depression_tpu.ops import mel, netvlad
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    lengths = [1, 2, 512, 2047, 2048, 2049, 15360, 16383, 16384,
+               16385, 17000, 32768 - 100, 32768]
+    wavs, srs = [], []
+    for i, n in enumerate(lengths):
+        w = np.round(rng.standard_normal(n) * 2000)
+        # alternate int16 PCM and float32 rows (separate buckets)
+        wavs.append(w.astype(np.int16) if i % 2 == 0
+                    else w.astype(np.float32))
+        srs.append(16000)
+    feats = audio_fe.extract_batch(wavs, srs, CFG)
+    assert feats.shape == (len(lengths), 256)
+    for i, w in enumerate(wavs):
+        lm = mel.log_mel(jnp.asarray(np.asarray(w, np.float32)), sr=16000)
+        nv = netvlad.per_utterance_params(CFG.netvlad_seed, i, CFG.n_mels,
+                                          CFG.netvlad_clusters,
+                                          CFG.netvlad_output_dim)
+        direct = np.asarray(netvlad.netvlad(nv, lm))
+        np.testing.assert_allclose(feats[i], direct, atol=2e-4,
+                                   err_msg=f"row {i} len={lengths[i]}")
