@@ -76,7 +76,8 @@ def _bucket_pipeline_flat(flat, offsets, written, lengths, nv_params, blen,
 def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
                   cfg: FrontendConfig = FrontendConfig(),
                   start_ordinal: int = 0,
-                  ordinals: Optional[Sequence[int]] = None) -> np.ndarray:
+                  ordinals: Optional[Sequence[int]] = None,
+                  device: bool = False):
     """wav2vlad over a list of variable-length utterances -> [N, output_dim].
 
     Utterances are bucketed by padded length; each bucket is one device
@@ -84,6 +85,11 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
     consecutive from ``start_ordinal``, or explicit via ``ordinals`` (the
     incremental-extraction path, where only a subset of corpus positions is
     recomputed).
+
+    ``device=True`` returns the features as a DEVICE array in input order
+    (on-device reorder, no host readback) — the serving path feeds them
+    straight into the model forward, eliminating one blocking relay
+    round-trip per request.
     """
     n = len(waveforms)
     out = np.zeros((n, cfg.netvlad_output_dim), np.float32)
@@ -187,6 +193,19 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
                                           cfg.n_fft, cfg.hop_length,
                                           cfg.n_mels, cfg.log_floor)
             computed.append((idxs, feats[:len(idxs)]))
+    if device:
+        n_utts = len(waveforms)   # the staging loop shadows `n`
+        if not computed:
+            return jnp.zeros((n_utts, cfg.netvlad_output_dim), jnp.float32)
+        merged_d = (computed[0][1] if len(computed) == 1
+                    else jnp.concatenate([f for _, f in computed], axis=0))
+        # invert the bucket grouping on device: row k of the result is
+        # the utterance k of the input order
+        order = np.concatenate([np.asarray(idxs, np.int64)
+                                for idxs, _ in computed])
+        perm = np.empty(n_utts, np.int64)
+        perm[order] = np.arange(len(order))
+        return merged_d[jnp.asarray(perm)]
     if computed:
         with profiling.annotate("wav2vlad/readback"):
             merged = np.asarray(jnp.concatenate([f for _, f in computed],

@@ -285,29 +285,45 @@ class Predictor:
         speaker's corpus ordinal base (3 x corpus position) per speaker in
         ``ordinal_bases`` (the ``cli predict`` path does this).
         """
+        keys = self._audio_keys(waveforms_per_speaker, sample_rates,
+                                ordinal_bases)
+        if self.audio_embedder == "vggish":
+            return self._audio_features_vggish(waveforms_per_speaker,
+                                               sample_rates, keys)
+        # ONE readback for API compatibility; the predict path uses the
+        # device rows directly (no round-trip)
+        return np.asarray(jnp.stack(self._audio_feature_rows(
+            waveforms_per_speaker, sample_rates, ordinal_bases, keys)))
+
+    def _audio_keys(self, waveforms_per_speaker, sample_rates,
+                    ordinal_bases):
         if waveforms_per_speaker is None or sample_rates is None:
             raise ValueError(
                 f"task {self.task!r} needs 3 waveforms (+ sample rates) per "
                 "speaker; got None")
-        n = len(waveforms_per_speaker)
-        keys = [
+        return [
             _FeatureCache.key(
                 # default ordinals ARE base 0 — key them identically so a
                 # speaker hits the cache regardless of batch composition
                 ["audio", self.audio_embedder,
                  str(0 if ordinal_bases is None else ordinal_bases[i]),
                  str(list(sample_rates[i]))] + list(waveforms_per_speaker[i]))
-            for i in range(n)]
-        if self.audio_embedder == "vggish":
-            return self._audio_features_vggish(waveforms_per_speaker,
-                                               sample_rates, keys)
-        out = np.zeros((n, 3, self.frontend_cfg.netvlad_output_dim),
-                       np.float32)
+            for i in range(len(waveforms_per_speaker))]
+
+    def _audio_feature_rows(self, waveforms_per_speaker, sample_rates,
+                            ordinal_bases, keys):
+        """Cache-aware extraction -> list of per-speaker [3, D] DEVICE
+        arrays.  Features stay device-resident end to end: extraction
+        feeds the model forward without an intermediate host readback
+        (one relay round-trip saved per cold request), and cache hits
+        are device arrays — repeat speakers pay no transfer at all."""
+        n = len(waveforms_per_speaker)
+        rows: list = [None] * n
         todo = []
         for i, key in enumerate(keys):
             cached = self.feature_cache.get(key)
             if cached is not None:
-                out[i] = cached
+                rows[i] = cached
             else:
                 todo.append(i)
         if todo:
@@ -320,12 +336,12 @@ class Predictor:
                             for k in range(3)]
             feats = audio_fe.extract_batch(flat_w, flat_sr,
                                            self.frontend_cfg,
-                                           ordinals=ordinals)
+                                           ordinals=ordinals, device=True)
             feats = feats.reshape(len(todo), 3, -1)
             for row, i in enumerate(todo):
-                out[i] = feats[row]
+                rows[i] = feats[row]
                 self.feature_cache.put(keys[i], feats[row])
-        return out
+        return rows
 
     def _audio_features_vggish(self, waveforms_per_speaker, sample_rates,
                                keys) -> np.ndarray:
@@ -402,35 +418,38 @@ class Predictor:
     # -- prediction ---------------------------------------------------------
 
     @staticmethod
-    def _pad_batch(x: np.ndarray, total: int) -> np.ndarray:
+    def _pad_batch(x, total: int) -> jnp.ndarray:
+        """Pad rows to ``total``.  jnp-based so a device-resident input
+        (the serving fast path) incurs no host readback; a NumPy input
+        enqueues one async transfer."""
+        x = jnp.asarray(x, jnp.float32)
         pad = total - x.shape[0]
         if pad <= 0:
             return x
-        return np.concatenate(
-            [x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        return jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
 
     def predict_features(self, audio_feats: Optional[np.ndarray] = None,
                          text_feats: Optional[np.ndarray] = None):
         """Model forward on precomputed features -> raw outputs [N, C].
 
-        The batch is padded to a power-of-two bucket so serving traffic of
-        varying request sizes reuses a handful of compiled programs instead
-        of compiling per batch size."""
+        Accepts NumPy or device arrays.  The batch is padded to a
+        power-of-two bucket so serving traffic of varying request sizes
+        reuses a handful of compiled programs instead of compiling per
+        batch size."""
         n = (audio_feats if audio_feats is not None else text_feats).shape[0]
         bucket = _pow2(n)
         if self._module is fusion:
             assert audio_feats is not None and text_feats is not None
             out = self._apply(self.params,
-                              jnp.asarray(self._pad_batch(np.asarray(
-                                  audio_feats, np.float32), bucket)),
-                              jnp.asarray(self._pad_batch(np.asarray(
-                                  text_feats, np.float32), bucket)))
+                              self._pad_batch(audio_feats, bucket),
+                              self._pad_batch(text_feats, bucket))
         elif self.task.startswith("audio"):
-            out = self._apply(self.params, jnp.asarray(self._pad_batch(
-                np.asarray(audio_feats, np.float32), bucket)))
+            out = self._apply(self.params,
+                              self._pad_batch(audio_feats, bucket))
         else:
-            out = self._apply(self.params, jnp.asarray(self._pad_batch(
-                np.asarray(text_feats, np.float32), bucket)))
+            out = self._apply(self.params,
+                              self._pad_batch(text_feats, bucket))
         return np.asarray(out)[:n]
 
     def predict_batch(self, waveforms_per_speaker=None, sample_rates=None,
@@ -439,8 +458,17 @@ class Predictor:
         """Raw inputs -> one result dict per speaker."""
         af = tf = None
         if not self.task.startswith("text"):
-            af = self.audio_features(waveforms_per_speaker, sample_rates,
-                                     ordinal_bases)
+            if self.audio_embedder == "vggish":
+                af = self.audio_features(waveforms_per_speaker,
+                                         sample_rates, ordinal_bases)
+            else:
+                # fast path: features stay ON DEVICE between extraction
+                # and the model forward — one relay round-trip total
+                keys = self._audio_keys(waveforms_per_speaker,
+                                        sample_rates, ordinal_bases)
+                af = jnp.stack(self._audio_feature_rows(
+                    waveforms_per_speaker, sample_rates, ordinal_bases,
+                    keys))
         if not self.task.startswith("audio"):
             tf = self.text_features(texts_per_speaker)
         out = self.predict_features(af, tf)
