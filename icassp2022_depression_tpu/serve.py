@@ -819,24 +819,30 @@ class _MicroBatcher:
                 total += nxt[0]["n"]
             self._run(batch)
 
-    def _run(self, batch):
-        def cat(field):
-            if all(item[0][field] is None for item in batch):
-                return None
-            out = []
-            for req, _, _ in batch:
-                vals = req[field]
-                out.extend(vals if vals is not None
-                           else [0] * req["n"] if field == "bases"
-                           else [None] * req["n"])
-            return out
+    @staticmethod
+    def _cat(batch, field, fill=None):
+        if all(item[0][field] is None for item in batch):
+            return None
+        out = []
+        for req, _, _ in batch:
+            vals = req[field]
+            out.extend(vals if vals is not None else [fill] * req["n"])
+        return out
 
+    def _predict_merged(self, batch) -> List[dict]:
+        """Merge a round's requests and run ONE device batch; results in
+        concatenated request order.  Subclasses override for other
+        request shapes (e.g. DAIC participants)."""
+        return self.predictor.predict_batch(
+            self._cat(batch, "waves"), self._cat(batch, "srs"),
+            self._cat(batch, "texts"), self._cat(batch, "bases", fill=0))
+
+    def _run(self, batch):
         import time as _time
 
         t0 = _time.monotonic()
         try:
-            results = self.predictor.predict_batch(
-                cat("waves"), cat("srs"), cat("texts"), cat("bases"))
+            results = self._predict_merged(batch)
             self.batch_latency.observe(_time.monotonic() - t0)
             self.batches_run += 1
             pos = 0
@@ -852,9 +858,8 @@ class _MicroBatcher:
             for req, done, box in batch:
                 try:
                     t1 = _time.monotonic()
-                    box["results"] = self.predictor.predict_batch(
-                        req["waves"], req["srs"], req["texts"],
-                        req["bases"])
+                    box["results"] = self._predict_merged([(req, done,
+                                                            box)])
                     self.batch_latency.observe(_time.monotonic() - t1)
                     self.batches_run += 1
                     self.requests_served += 1
@@ -862,6 +867,19 @@ class _MicroBatcher:
                     box["error"] = exc
                 self._release(req["n"])
                 done.set()
+
+
+class _DaicMicroBatcher(_MicroBatcher):
+    """Micro-batcher for :class:`DaicPredictor`: a round's participants
+    (ragged response lists) coalesce into ONE ``predict_signals`` call —
+    padded to the round's max response count on device.  Request shape:
+    ``{"signals": [[resp, ...], ...], "srs": [...], "starts": [...]|None,
+    "n": k}``."""
+
+    def _predict_merged(self, batch) -> List[dict]:
+        return self.predictor.predict_signals(
+            self._cat(batch, "signals"), self._cat(batch, "srs"),
+            self._cat(batch, "starts", fill=0))
 
 
 def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
@@ -898,12 +916,9 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
                              ThreadingHTTPServer)
 
     is_daic = isinstance(predictor, DaicPredictor)
-    if is_daic and batch_window_ms > 0:
-        raise ValueError("micro-batching coalesces EATD speaker requests; "
-                         "DAIC serving is single-threaded "
-                         "(batch_window_ms must be 0)")
-    batcher = (_MicroBatcher(predictor, batch_window_ms / 1000.0, max_batch,
-                             max_queue)
+    batcher_cls = _DaicMicroBatcher if is_daic else _MicroBatcher
+    batcher = (batcher_cls(predictor, batch_window_ms / 1000.0, max_batch,
+                           max_queue)
                if batch_window_ms > 0 else None)
     request_latency = LatencyHistogram()   # end-to-end handler latency
 
@@ -1041,7 +1056,10 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
             """DAIC request shape: {"participants": [{"responses_b64":
             ["<base64 int16 LE PCM>", ...], "sr": 16000,
             "start_ordinal": 0 (optional)}, ...]} — one ragged response
-            list per participant, answered like /predict."""
+            list per participant, answered like /predict.  With
+            ``--batch-window-ms`` concurrent requests coalesce into one
+            padded ragged device batch (admission bounded in
+            participants; overload sheds 503)."""
             if self.path != "/predict":
                 self._send(404, {"error": "DAIC serving exposes /predict "
                                           "and /healthz only"})
@@ -1057,9 +1075,18 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
                 starts = ([int(sp.get("start_ordinal", 0)) for sp in parts]
                           if any("start_ordinal" in sp for sp in parts)
                           else None)
-                results = predictor.predict_signals(signals, srs, starts)
+                if batcher is not None:
+                    results = batcher.submit(
+                        {"signals": signals, "srs": srs, "starts": starts,
+                         "n": len(parts)})
+                else:
+                    results = predictor.predict_signals(signals, srs,
+                                                        starts)
                 request_latency.observe(_time.monotonic() - t0)
                 self._send(200, {"results": results})
+            except ServerOverloaded as exc:
+                self._send(503, {"error": f"overloaded: {exc}"},
+                           headers=(("Retry-After", "1"),))
             except Exception as exc:
                 self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
 

@@ -258,8 +258,6 @@ def test_daic_http_serving(tmp_path):
 
     params = audio_net.init(jax.random.PRNGKey(3), daic.DAIC_CLF.model)
     p = serve.DaicPredictor(params, "daic_clf")
-    with pytest.raises(ValueError, match="single-threaded"):
-        serve.make_http_server(p, port=0, batch_window_ms=20)
     server = serve.make_http_server(p, port=0)
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
@@ -291,6 +289,65 @@ def test_daic_http_serving(tmp_path):
         h = json.loads(conn.getresponse().read())
         assert h["ok"] and h["task"] == "daic_clf"
         assert h["latency"]["request"]["count"] >= 1
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_daic_micro_batching_coalesces():
+    """Concurrent DAIC requests through --batch-window-ms coalesce into
+    fewer ragged device batches; every client gets its own slice."""
+    import base64
+    import http.client
+    import json
+    import threading
+
+    import jax
+
+    from icassp2022_depression_tpu import serve
+    from icassp2022_depression_tpu.models import audio_net
+
+    params = audio_net.init(jax.random.PRNGKey(4), daic.DAIC_CLF.model)
+    p = serve.DaicPredictor(params, "daic_clf")
+    server = serve.make_http_server(p, port=0, batch_window_ms=400,
+                                    max_batch=16)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def body(seed, n_resp):
+        r = np.random.default_rng(seed)
+        return json.dumps({"participants": [{
+            "responses_b64": [base64.b64encode(np.round(
+                r.standard_normal(6000 + 2000 * k) * 2000)
+                .astype(np.int16).tobytes()).decode()
+                for k in range(n_resp)],
+            "sr": 16000}]})
+
+    def one(out, i, n_resp):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/predict", body(i, n_resp))
+        out[i] = json.loads(conn.getresponse().read())
+        conn.close()
+
+    try:
+        one({}, 99, 2)   # warm compiles outside the burst
+        out: dict = {}
+        threads = [threading.Thread(target=one, args=(out, i, 1 + i % 3))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(len(out[i]["results"]) == 1 for i in range(4))
+        assert all(out[i]["results"][0]["label"] in (0, 1)
+                   for i in range(4))
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")
+        h = json.loads(conn.getresponse().read())
+        b = h["batcher"]
+        assert b["requests_served"] >= 5
+        assert b["batches_run"] < b["requests_served"]  # coalesced
         conn.close()
     finally:
         server.shutdown()
