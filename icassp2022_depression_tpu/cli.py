@@ -480,6 +480,7 @@ def cmd_serve(args):
     """Run the stdlib HTTP serving front around one checkpoint."""
     from icassp2022_depression_tpu import serve
 
+    _embedder_kw(args)   # rejects --audio-embedder vggish off-audio
     if args.task.startswith("daic"):
         predictor = serve.DaicPredictor.from_checkpoint(args.ckpt,
                                                         args.task)
@@ -505,13 +506,17 @@ def _embedder_kw(args) -> dict:
     (vggish needs the matching 128-d input layer on audio tasks)."""
     kw = {}
     if getattr(args, "audio_embedder", "netvlad") == "vggish":
+        if not args.task.startswith("audio"):
+            raise SystemExit(
+                "--audio-embedder vggish is supported for audio_* tasks "
+                "only (fusion/DAIC checkpoints train on wav2vlad "
+                "features; serve those with the default embedder)")
         from icassp2022_depression_tpu import config as C
 
         kw["audio_embedder"] = "vggish"
-        if args.task.startswith("audio"):
-            base = (C.AUDIO_CLF if args.task.endswith("clf")
-                    else C.AUDIO_REG).model
-            kw["model_cfg"] = C.replace(base, embedding_size=128)
+        base = (C.AUDIO_CLF if args.task.endswith("clf")
+                else C.AUDIO_REG).model
+        kw["model_cfg"] = C.replace(base, embedding_size=128)
     return kw
 
 

@@ -292,8 +292,16 @@ class Predictor:
                                                sample_rates, keys)
         # ONE readback for API compatibility; the predict path uses the
         # device rows directly (no round-trip)
-        return np.asarray(jnp.stack(self._audio_feature_rows(
+        return np.asarray(self._stack_rows(self._audio_feature_rows(
             waveforms_per_speaker, sample_rates, ordinal_bases, keys)))
+
+    def _stack_rows(self, rows) -> jnp.ndarray:
+        """[3, D] rows -> [N, 3, D] device array (empty-safe: zero
+        speakers is a valid request answered with zero results)."""
+        if not rows:
+            return jnp.zeros((0, 3, self.frontend_cfg.netvlad_output_dim),
+                             jnp.float32)
+        return jnp.stack(rows)
 
     def _audio_keys(self, waveforms_per_speaker, sample_rates,
                     ordinal_bases):
@@ -466,7 +474,7 @@ class Predictor:
                 # and the model forward — one relay round-trip total
                 keys = self._audio_keys(waveforms_per_speaker,
                                         sample_rates, ordinal_bases)
-                af = jnp.stack(self._audio_feature_rows(
+                af = self._stack_rows(self._audio_feature_rows(
                     waveforms_per_speaker, sample_rates, ordinal_bases,
                     keys))
         if not self.task.startswith("audio"):
@@ -1247,9 +1255,12 @@ def serve_http(predictor: Predictor, host: str = "127.0.0.1",
     if auth_token is not None:
         mode += ", bearer auth"
     scheme = "https" if tls_cert is not None else "http"
+    endpoints = ("POST /predict; GET /healthz"
+                 if isinstance(predictor, DaicPredictor)
+                 else "POST /predict, /predict_bin, /predict_stream; "
+                      "GET /healthz")
     print(f"serving {predictor.task} on {scheme}://{host}:{port} "
-          f"(POST /predict, /predict_bin, /predict_stream; GET /healthz; "
-          f"{mode})")
+          f"({endpoints}; {mode})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

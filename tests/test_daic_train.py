@@ -310,7 +310,7 @@ def test_daic_micro_batching_coalesces():
 
     params = audio_net.init(jax.random.PRNGKey(4), daic.DAIC_CLF.model)
     p = serve.DaicPredictor(params, "daic_clf")
-    server = serve.make_http_server(p, port=0, batch_window_ms=400,
+    server = serve.make_http_server(p, port=0, batch_window_ms=700,
                                     max_batch=16)
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
@@ -324,9 +324,15 @@ def test_daic_micro_batching_coalesces():
                 for k in range(n_resp)],
             "sr": 16000}]})
 
+    # bodies precomputed so thread start-up + b64 encoding cannot push a
+    # request past the batch window (would flake the coalescing assert)
+    bodies = {99: body(99, 2)}
+    for i in range(4):
+        bodies[i] = body(i, 1 + i % 3)
+
     def one(out, i, n_resp):
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
-        conn.request("POST", "/predict", body(i, n_resp))
+        conn.request("POST", "/predict", bodies[i])
         out[i] = json.loads(conn.getresponse().read())
         conn.close()
 

@@ -828,3 +828,12 @@ def test_vggish_trained_model_serves(tmp_path):
     np.testing.assert_allclose(got_pca[0], feats_pca[0, :, 0, :],
                                atol=2e-5)
     assert not np.allclose(got_pca[0], feats[0, :, 0, :])
+
+
+def test_empty_speaker_batch_is_valid():
+    """Zero speakers is a valid request answered with zero results (the
+    device-resident fast path must not crash on jnp.stack([]))."""
+    params = audio_net.init(jax.random.PRNGKey(23), C.AUDIO_CLF.model)
+    p = serve.Predictor(params, "audio_clf")
+    assert p.predict_batch([], []) == []
+    assert p.audio_features([], []).shape == (0, 3, 256)
