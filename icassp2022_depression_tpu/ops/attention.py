@@ -7,8 +7,9 @@ Given the (bi)RNN outputs ``lstm_out`` [B, T, 2H] and the final hidden states
 ``lstm_hidden`` [B, L*D, H]:
 
 1. split ``lstm_out`` in two along features and *sum* the halves -> h [B,T,H]
-   (for a unidirectional H-sized output the same split-sum is applied to the
-   H features, halving the width — faithfully reproduced);
+   (bidirectional outputs only: a unidirectional H-sized input would halve
+   to H/2 and shape-mismatch the [B, H] query in step 3 — exactly as the
+   reference's code would; both in-repo callers are bidirectional);
 2. query = Linear+ReLU of the summed final hidden states [B, H];
 3. scores = query · tanh(h)^T, softmax over time;
 4. context = scores · h  -> [B, H].

@@ -165,9 +165,14 @@ def _lstmp_pallas_fits(b: int, c_dim: int, p_dim: int) -> bool:
     """Backward-pass VMEM-fit estimate for the streaming LSTMP kernel
     (same auto-guard policy as :func:`_pallas_fits`): the batch-scaled
     scratches (c-state + dc carry [B, C], h/acc/dhp [B, P] x4) plus the
-    minimum (slab=128) double-buffered weight/activation blocks must fit
-    the budget, else fall back to the scan path."""
-    slab = min(c_dim, 128)
+    double-buffered weight/activation blocks at the slab the kernel will
+    ACTUALLY choose must fit the budget, else fall back to the scan path.
+    (``_lstmp_slab`` can only halve while staying 128-aligned — e.g.
+    c_dim 1536 bottoms out at slab 384, not 128 — so assuming the
+    minimum slab here would under-estimate the working set.)"""
+    from icassp2022_depression_tpu.ops import rnn_pallas
+
+    slab = rnn_pallas._lstmp_slab(c_dim, p_dim, b)
     need = (b * (2 * c_dim + 4 * p_dim)              # persistent scratches
             + 2 * (p_dim * 4 * slab + slab * p_dim)  # weight blocks x2 buf
             + 2 * b * (2 * 4 * slab + 3 * slab + 2 * p_dim)  # act blocks

@@ -254,11 +254,17 @@ def _gru_stream_bwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_prev_ref,
     jax.lax.fori_loop(0, chunk, step, 0)
 
 
-def _stream_chunk(t_steps: int, b: int, g: int) -> int:
+def _stream_chunk(t_steps: int, b: int, g: int, hidden: int,
+                  n_state_bufs: int) -> int:
     """Largest power-of-two chunk whose backward working set fits the same
-    12 MB budget used by the single-block guard."""
+    12 MB budget used by the single-block guard.
+
+    ``n_state_bufs`` is the cell's per-step [b, hidden] buffer count in
+    the backward chunk: 3 for GRU (ys, ys_prev, dys), 5 for LSTM
+    (ys_prev, cs, cs_prev, dys, dcs) — a GRU-shaped estimate would
+    undercount the LSTM working set and erode the VMEM guarantee."""
     budget = 12 * 1024 * 1024
-    per_step = (2 * b * g + 3 * b * (g // 3)) * 4   # xp+dxp + ys,ys_prev,dys
+    per_step = (2 * b * g + n_state_bufs * b * hidden) * 4   # xp+dxp + states
     chunk = 8
     while chunk * 2 <= t_steps and (chunk * 2) * per_step <= budget:
         chunk *= 2
@@ -353,7 +359,7 @@ def gru_layer_streamed(p: dict, x: jnp.ndarray, reverse: bool = False,
     xp = jnp.swapaxes(xp, 0, 1)
     g = xp.shape[-1]
     if chunk is None:
-        chunk = _stream_chunk(t_steps, b, g)
+        chunk = _stream_chunk(t_steps, b, g, g // 3, 3)
     pad = (-t_steps) % chunk
     if pad:
         xp = jnp.concatenate(
@@ -544,7 +550,7 @@ def lstm_layer_streamed(p: dict, x: jnp.ndarray, reverse: bool = False,
     xp = jnp.swapaxes(xp, 0, 1)
     g = xp.shape[-1]
     if chunk is None:
-        chunk = _stream_chunk(t_steps, b, g)
+        chunk = _stream_chunk(t_steps, b, g, g // 4, 5)
     pad = (-t_steps) % chunk
     if pad:
         xp = jnp.concatenate(

@@ -59,7 +59,11 @@ def save(path, params, meta: dict | None = None) -> Path:
     flat = _flatten(params)
     atomic_savez(str(path) + ".npz", **flat)
     if meta is not None:
-        Path(str(path) + ".json").write_text(json.dumps(meta, indent=2))
+        # atomic like the npz payload: a crash mid-write must not leave a
+        # truncated .json beside a valid checkpoint
+        tmp = Path(str(path) + ".json.tmp")
+        tmp.write_text(json.dumps(meta, indent=2))
+        os.replace(tmp, str(path) + ".json")
     return Path(str(path) + ".npz")
 
 

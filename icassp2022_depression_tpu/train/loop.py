@@ -119,8 +119,9 @@ def make_fold_runner(train_loss_fn: Callable, eval_fn: Callable,
         reproducing the reference's ``range(1, epochs)``.
 
     Returns ``run(params, opt_state, data: FoldData, key) ->
-    (final_params, final_opt_state, best, logs)`` where ``best`` carries the
-    gated best params + metrics and ``logs`` per-epoch metric arrays.
+    (final_params, final_opt_state, final_key, best, logs)`` where ``best``
+    carries the gated best params + metrics and ``logs`` per-epoch metric
+    arrays.
     """
     grad_fn = jax.value_and_grad(train_loss_fn, has_aux=True)
     n_epochs = epochs - 1

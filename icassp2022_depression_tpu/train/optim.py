@@ -43,7 +43,14 @@ def layernorm_mask(params, dead_paths=()):
 
 
 def build(cfg: OptimizerConfig, params, dead_paths=()):
-    """Returns an optax GradientTransformation for the given param tree."""
+    """Returns an optax GradientTransformation for the given param tree.
+
+    Unknown names raise — a typo must not silently train with plain Adam
+    (the reference recipes use exactly adamw-with-LayerNorm-exemption and
+    adam; parity depends on which one ran)."""
+    if cfg.name not in ("adam", "adamw"):
+        raise ValueError(f"unknown optimizer {cfg.name!r}: expected "
+                         "'adam' or 'adamw'")
     if cfg.name == "adamw" and cfg.weight_decay > 0:
         mask = layernorm_mask(params, dead_paths)
         return optax.adamw(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2,

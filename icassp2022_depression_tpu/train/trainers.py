@@ -195,6 +195,11 @@ def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
     and restored — then re-sharded over the fold mesh — on restart.
     Chunked + resumed runs are bit-exact vs single-shot
     (``tests/test_resume.py``)."""
+    if data_parallel > 1 and not fold_parallel:
+        raise ValueError(
+            "data_parallel shards each fold's batch over that fold's "
+            "device group and therefore requires fold_parallel=True "
+            "(otherwise it would be silently ignored)")
     train_loss, eval_fn = fns
     stacked_params = jax.tree_util.tree_map(
         lambda *ls: jnp.stack(ls), *params_list)
@@ -632,10 +637,15 @@ def train_audio_reg(features: np.ndarray, targets: np.ndarray,
                     out_dir: Optional[Path] = None, seed: int = 0,
                     resume_dir=None, chunk_epochs=None,
                     vmap_folds: bool = False, fold_parallel: bool = False,
-                    data_parallel: int = 1, meta_extras: dict | None = None):
-    """3-fold audio GRU SDS-score regressor (L1 loss, MAE gating)."""
+                    data_parallel: int = 1, meta_extras: dict | None = None,
+                    fold_cfg: C.FoldConfig = C.FoldConfig()):
+    """3-fold audio GRU SDS-score regressor (L1 loss, MAE gating).
+
+    Pass the SAME ``fold_cfg`` here and to ``train_fuse_reg`` — the
+    fusion trainer re-derives these splits, so a mismatch would leak
+    branch training rows into the fusion test set."""
     datas = _reg_fold_datas([features], targets, dep_idxs, non_idxs,
-                            tcfg.batch_size)
+                            tcfg.batch_size, fold_cfg)
     results = _run_folds(audio_net, tcfg, datas, seed,
                          resume_dir=resume_dir, chunk_epochs=chunk_epochs,
                          task_name="audio_reg", vmap_folds=vmap_folds,
@@ -660,9 +670,11 @@ def train_text_reg(features: np.ndarray, targets: np.ndarray,
                    out_dir: Optional[Path] = None, seed: int = 0,
                    resume_dir=None, chunk_epochs=None,
                    vmap_folds: bool = False, fold_parallel: bool = False,
-                   data_parallel: int = 1, meta_extras: dict | None = None):
+                   data_parallel: int = 1, meta_extras: dict | None = None,
+                   fold_cfg: C.FoldConfig = C.FoldConfig()):
+    """As :func:`train_audio_reg` (SmoothL1; same ``fold_cfg`` caveat)."""
     datas = _reg_fold_datas([features], targets, dep_idxs, non_idxs,
-                            tcfg.batch_size)
+                            tcfg.batch_size, fold_cfg)
     results = _run_folds(text_net, tcfg, datas, seed,
                          resume_dir=resume_dir, chunk_epochs=chunk_epochs,
                          task_name="text_reg", vmap_folds=vmap_folds,
