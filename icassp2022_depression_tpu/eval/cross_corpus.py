@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from icassp2022_depression_tpu.utils import shapes
 from icassp2022_depression_tpu import config as C
 from icassp2022_depression_tpu.eval import metrics
 from icassp2022_depression_tpu.models import audio_net
@@ -47,9 +48,7 @@ def _bucketed_apply(apply_fn, params, wins: np.ndarray) -> np.ndarray:
     bucket instead of one per distinct participant response count (compiles
     are expensive through this environment's remote service)."""
     n = len(wins)
-    bucket = 1
-    while bucket < n:
-        bucket *= 2
+    bucket = shapes.next_pow2(n)
     if bucket > n:
         wins = np.concatenate(
             [wins, np.zeros((bucket - n,) + wins.shape[1:], wins.dtype)])

@@ -31,16 +31,13 @@ import numpy as np
 from icassp2022_depression_tpu.config import FrontendConfig
 from icassp2022_depression_tpu.data import eatd
 from icassp2022_depression_tpu.ops import mel, netvlad
-from icassp2022_depression_tpu.utils import hostio
+from icassp2022_depression_tpu.utils import hostio, shapes
 
 
 def _bucket_length(n: int, min_len: int = 16384) -> int:
     """Next power-of-two padded length (bounded recompilation: one compile
     per bucket, ~log2 buckets overall)."""
-    b = min_len
-    while b < n:
-        b *= 2
-    return b
+    return shapes.next_pow2(n, minimum=min_len)
 
 
 @functools.partial(jax.jit,
@@ -92,6 +89,13 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
     round-trip per request.
     """
     n = len(waveforms)
+    # the reference substitutes 5 s of 1e-4 "silence" for empty audio at
+    # the corpus reader (audio_features_whole.py:105-110); serving feeds
+    # raw request waveforms straight in, so apply the SAME fallback here
+    # — a zero-length signal would otherwise pool one junk log-floor
+    # frame into a confident nonsense feature
+    waveforms = [np.asarray(w) if len(w) else eatd.silence_fallback(sr)
+                 for w, sr in zip(waveforms, sample_rates)]
     out = np.zeros((n, cfg.netvlad_output_dim), np.float32)
     buckets: dict = {}
 
@@ -348,7 +352,7 @@ def vggish_embed_waveforms(params, waveforms: Sequence[np.ndarray],
                 [part, np.zeros((chunk - part.shape[0],) + part.shape[1:],
                                 np.float32)])
         pieces.append(vggish.apply(params, jnp.asarray(part)))
-    emb = hostio.gather_chunks(pieces, total)
+    emb = hostio.gather_chunks(pieces, total, vggish.EMBEDDING_SIZE)
     if postprocessor is not None:
         emb = postprocessor(emb).astype(np.float32)
     pos = 0

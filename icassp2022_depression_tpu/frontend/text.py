@@ -58,6 +58,14 @@ def fallback_segment(text: str) -> List[str]:
 
 
 def tokenize(text: str, use_jieba: bool = True) -> List[str]:
+    """Segment one transcript line.
+
+    Documented parity deviation: the reference feeds the raw line —
+    including its trailing newline and interior spaces — to ``jieba.cut``
+    (``text_features_whole.py:29,33``), whose whitespace tokens are then
+    embedded and included in the answer's mean pool.  We drop
+    whitespace-only tokens: they carry no content, and their embeddings
+    only dilute the mean (see README "Fidelity notes")."""
     if use_jieba and _HAS_JIEBA:
         return [t for t in jieba.cut(text.strip(), cut_all=False)
                 if t.strip()]
@@ -99,7 +107,7 @@ def embed_sentences(params, sentences: Sequence[List[str]],
         pooled_chunks.append(pooled[:len(chunk)])
     # single device->host readback: dispatch is async, and the relay's
     # per-round-trip latency dwarfs the payload (utils/hostio.py)
-    return hostio.gather_chunks(pooled_chunks, n)
+    return hostio.gather_chunks(pooled_chunks, n, cfg.output_dim)
 
 
 def make_embedder(params=None, cfg=None, seed: int = 0,

@@ -137,17 +137,18 @@ def build_char_ids(tokens: Sequence[str], char_vocab: Mapping[str, int],
                    eow: Optional[int] = None, pad: int = 0,
                    oov: Optional[int] = None) -> np.ndarray:
     """[T] tokens -> [T, max_chars] char ids with optional begin/end-of-word
-    markers (ELMo convention); unknown chars map to ``oov`` (or pad)."""
+    markers (ELMo convention); unknown chars map to ``oov`` (or pad).
+
+    An over-long token is truncated to leave room for BOTH markers
+    (upstream's rule, shared with ``elmo_pretrained.build_batch``) — a
+    naive tail cut would silently drop the end-of-word marker."""
     out = np.full((len(tokens), max_chars), pad, np.int32)
+    n_markers = (bow is not None) + (eow is not None)
     for i, tok in enumerate(tokens):
-        ids = []
-        if bow is not None:
-            ids.append(bow)
-        for ch in tok:
-            ids.append(char_vocab.get(ch, oov if oov is not None else pad))
-        if eow is not None:
-            ids.append(eow)
-        out[i, :min(len(ids), max_chars)] = ids[:max_chars]
+        chars = list(tok)[:max_chars - n_markers]
+        ids = ([] if bow is None else [bow]) +             [char_vocab.get(ch, oov if oov is not None else pad)
+             for ch in chars] + ([] if eow is None else [eow])
+        out[i, :len(ids)] = ids
     return out
 
 

@@ -239,7 +239,7 @@ class PretrainedElmo:
                 jnp.asarray(lengths), self.char_cfg, self.lstmp_cfg)
             pooled_chunks.append(pooled[:real])
         # dispatch all chunks, read back once (relay-latency-bound)
-        return hostio.gather_chunks(pooled_chunks, n)
+        return hostio.gather_chunks(pooled_chunks, n, self.output_dim)
 
     # ---------------- upstream-faithful stateful pipeline ----------------
 
@@ -317,7 +317,7 @@ class PretrainedElmo:
                 self.lstmp_cfg)
             self._update_states(h_n, c_n)
             pooled_chunks.append(pooled)
-        flat = hostio.gather_chunks(pooled_chunks, n)
+        flat = hostio.gather_chunks(pooled_chunks, n, self.output_dim)
         out = np.empty_like(flat)
         out[np.asarray(order)] = flat
         return out

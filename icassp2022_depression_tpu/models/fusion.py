@@ -164,8 +164,7 @@ def init_from_branches(fusion_params, cfg: FusionConfig,
     """
     import copy
 
-    p = jax.tree_util.tree_map(lambda x: x, fusion_params)  # shallow-ish copy
-    p = copy.deepcopy(jax.device_get(p))
+    p = copy.deepcopy(jax.device_get(fusion_params))
     if text_params is not None:
         p["text"]["attn"] = text_params["attn"]
         p["text"]["rnn"] = text_params["rnn"]

@@ -70,19 +70,36 @@ def waveform_to_examples(x: np.ndarray, sr: int) -> np.ndarray:
     window = mel_ops.hann_window(STFT_WINDOW)
     frames = x[idx] * window
     spec = np.abs(np.fft.rfft(frames, n=512, axis=-1))  # magnitude, fft 512
-    fb = mel_ops.mel_filterbank(SAMPLE_RATE, 512, NUM_MEL_BINS,
-                                fmin=MEL_MIN_HZ, fmax=MEL_MAX_HZ, htk=True)
-    # VGGish mel weights have no Slaney normalisation; undo it
-    # (mel_filterbank applies slaney enorm unconditionally)
-    log_mel = np.log(spec @ _unnormalised(fb).T + LOG_OFFSET)
+    log_mel = np.log(spec @ _vggish_mel_matrix().T + LOG_OFFSET)
     n_examples = log_mel.shape[0] // EXAMPLE_FRAMES
     return log_mel[:n_examples * EXAMPLE_FRAMES].reshape(
         n_examples, EXAMPLE_FRAMES, NUM_MEL_BINS).astype(np.float32)
 
 
-def _unnormalised(fb: np.ndarray) -> np.ndarray:
-    peaks = fb.max(axis=1, keepdims=True)
-    return np.where(peaks > 0, fb / peaks, fb)
+@functools.lru_cache(maxsize=1)
+def _vggish_mel_matrix() -> np.ndarray:
+    """VGGish's own mel weight matrix [64, 257]: unnormalised triangles
+    interpolated in MEL space (``vggish_input``'s
+    ``spectrogram_to_mel_matrix`` semantics — NOT librosa's Hz-space
+    triangles), with the DC spectrogram bin zeroed.  An earlier version
+    peak-renormalised a Slaney filterbank, which forces every peak to
+    exactly 1.0 while the discrete mel-space triangles peak slightly
+    below it — a small systematic per-band scale error with released
+    weights."""
+    n_bins = 1 + 512 // 2
+    spec_mel = mel_ops.hz_to_mel(
+        np.linspace(0.0, SAMPLE_RATE / 2.0, n_bins), htk=True)
+    edges = np.linspace(mel_ops.hz_to_mel(MEL_MIN_HZ, htk=True),
+                        mel_ops.hz_to_mel(MEL_MAX_HZ, htk=True),
+                        NUM_MEL_BINS + 2)
+    fb = np.zeros((NUM_MEL_BINS, n_bins), np.float32)
+    for i in range(NUM_MEL_BINS):
+        lo, ctr, hi = edges[i], edges[i + 1], edges[i + 2]
+        lower = (spec_mel - lo) / (ctr - lo)
+        upper = (hi - spec_mel) / (hi - ctr)
+        fb[i] = np.maximum(0.0, np.minimum(lower, upper))
+    fb[:, 0] = 0.0   # the DC bin contributes nothing
+    return fb
 
 
 def init(key):

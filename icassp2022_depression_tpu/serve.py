@@ -41,6 +41,7 @@ from icassp2022_depression_tpu.frontend import audio as audio_fe
 from icassp2022_depression_tpu.frontend import text as text_fe
 from icassp2022_depression_tpu.models import audio_net, elmo, fusion, text_net
 from icassp2022_depression_tpu.train import checkpoints
+from icassp2022_depression_tpu.utils import shapes
 
 TASKS = ("audio_clf", "text_clf", "fuse_clf",
          "audio_reg", "text_reg", "fuse_reg")
@@ -49,10 +50,7 @@ TASKS = ("audio_clf", "text_clf", "fuse_clf",
 def _pow2(n: int) -> int:
     """Power-of-two bucket: serving traffic of varying sizes reuses a
     handful of compiled programs instead of compiling per size."""
-    b = 1
-    while b < n:
-        b *= 2
-    return b
+    return shapes.next_pow2(n)
 
 
 def _format_outputs(out: np.ndarray, clf: bool, reg_key: str) -> List[dict]:

@@ -12,11 +12,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def gather_chunks(chunks, n: int) -> np.ndarray:
+def gather_chunks(chunks, n: int, dim: int = 0) -> np.ndarray:
     """Device-array chunks (same trailing shape) -> one host array of the
-    first ``n`` rows, via an on-device concat and a single readback."""
+    first ``n`` rows, via an on-device concat and a single readback.
+
+    ``dim`` shapes the empty-input result ``[0, dim]`` — without it an
+    empty corpus would yield ``[0, 0]`` and poison downstream dim
+    bookkeeping (e.g. the extraction sidecar's ``output_dim``)."""
     if not chunks:
-        return np.zeros((0, 0), np.float32)
+        return np.zeros((0, dim), np.float32)
     if len(chunks) == 1:
         return np.asarray(chunks[0], np.float32)[:n]
     return np.asarray(jnp.concatenate(chunks, axis=0), np.float32)[:n]

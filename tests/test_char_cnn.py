@@ -93,3 +93,12 @@ def test_from_elmoformanylangs_mapping_and_word_branch():
     np.testing.assert_array_equal(
         np.asarray(params["word_emb"]),
         sd["token_embedder.word_emb_layer.embedding.weight"])
+
+
+def test_build_char_ids_long_token_keeps_markers():
+    """Over-long tokens truncate the TOKEN, not the end-of-word marker
+    (upstream's rule, matching elmo_pretrained.build_batch)."""
+    vocab = {c: 3 + i for i, c in enumerate("abcdefg")}
+    ids = char_cnn.build_char_ids(["abcdefg"], vocab, max_chars=5,
+                                  bow=1, eow=2, pad=0, oov=9)
+    np.testing.assert_array_equal(ids[0], [1, 3, 4, 5, 2])

@@ -249,3 +249,16 @@ def test_flat_packed_extraction_boundary_lengths():
         direct = np.asarray(netvlad.netvlad(nv, lm))
         np.testing.assert_allclose(feats[i], direct, atol=2e-4,
                                    err_msg=f"row {i} len={lengths[i]}")
+
+
+def test_extract_batch_empty_waveform_uses_silence_fallback():
+    """A zero-length waveform gets the reference's 5 s 1e-4 silence
+    fallback (audio_features_whole.py:105-110) instead of pooling a junk
+    log-floor frame — serving feeds raw request audio straight in."""
+    from icassp2022_depression_tpu.data import eatd
+
+    empty = np.zeros(0, np.float32)
+    got = audio_fe.extract_batch([empty], [16000], CFG)
+    want = audio_fe.extract_batch([eatd.silence_fallback(16000)], [16000],
+                                  CFG)
+    np.testing.assert_allclose(got, want, atol=1e-6)

@@ -58,11 +58,27 @@ def test_htk_mel_formula():
                                2595.0 * np.log10(2.0))
     np.testing.assert_allclose(
         mel.mel_to_hz(mel.hz_to_mel(1234.5, htk=True), htk=True), 1234.5)
-    fb = mel.mel_filterbank(16000, 512, 64, fmin=125.0, fmax=7500.0, htk=True)
+    # VGGish's own matrix: unnormalised MEL-space triangles.  Discrete
+    # peaks sit at or just below 1 (never forced to exactly 1 the way a
+    # peak-renormalised filterbank would be), each band's weights rise
+    # then fall, and the DC bin contributes nothing.
+    fb = vggish._vggish_mel_matrix()
     assert fb.shape == (64, 257)
-    # VGGish uses peak-normalised (unnormalised-area) filters
-    unnorm = vggish._unnormalised(fb)
-    assert np.allclose(unnorm.max(axis=1), 1.0, atol=1e-6)
+    peaks = fb.max(axis=1)
+    assert np.all(peaks > 0.5) and np.all(peaks <= 1.0 + 1e-6)
+    assert not np.allclose(peaks, 1.0)     # the old approximation's tell
+    assert np.all(fb[:, 0] == 0.0)
+    # triangle shape: exactly one contiguous support run per band
+    for row in fb:
+        nz = row > 0
+        assert np.sum(np.abs(np.diff(nz.astype(int)))) <= 2
+    # cross-check band centers against the HTK mel formula
+    edges = np.linspace(mel.hz_to_mel(125.0, htk=True),
+                        mel.hz_to_mel(7500.0, htk=True), 66)
+    spec_mel = mel.hz_to_mel(np.linspace(0.0, 8000.0, 257), htk=True)
+    for i in (0, 31, 63):
+        assert abs(spec_mel[np.argmax(fb[i])] - edges[i + 1]) < \
+            (spec_mel[2] - spec_mel[1]) * 60  # within bin resolution
 
 
 def test_extract_eatd_vggish_matches_per_utterance_path(tmp_path):
