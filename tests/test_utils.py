@@ -79,3 +79,34 @@ def test_stopwatch_and_annotate():
         with sw.section("a"):
             pass
     assert "a" in sw.report()
+
+
+def test_next_pow2_policy():
+    from icassp2022_depression_tpu.utils import shapes
+
+    assert [shapes.next_pow2(n) for n in (0, 1, 2, 3, 5, 8, 9)] == \
+        [1, 1, 2, 4, 8, 8, 16]
+    assert shapes.next_pow2(5, minimum=16384) == 16384
+    assert shapes.next_pow2(16385, minimum=16384) == 32768
+
+
+def test_gather_chunks_empty_keeps_dim():
+    import numpy as np
+
+    from icassp2022_depression_tpu.utils import hostio
+
+    assert hostio.gather_chunks([], 0, 1024).shape == (0, 1024)
+
+
+def test_optimizer_unknown_name_raises():
+    import jax
+    import pytest
+
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu.train import optim
+
+    params = {"w": jax.numpy.zeros((2, 2))}
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        optim.build(C.OptimizerConfig(name="sgd"), params)
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        optim.build(C.OptimizerConfig(name="adamW"), params)
