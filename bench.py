@@ -411,9 +411,16 @@ def bench_lstmp_hbm_utilization(b=64, t_short=64, t_long=512, reps=4,
 
         return min(timed() for _ in range(reps))
 
-    dt_long = make_run(t_long)
-    dt_short = make_run(t_short)
-    step_s = max((dt_long - dt_short) / (t_long - t_short), 1e-9)
+    delta = 0.0
+    for _ in range(3):   # the relay's volatile latency can swallow the
+        dt_long = make_run(t_long)       # compute delta; retry, and if it
+        dt_short = make_run(t_short)     # stays non-positive report an
+        delta = dt_long - dt_short       # INVALID measurement (fails the
+        if delta > 0:                    # floor) instead of clamping to a
+            break                        # garbage near-zero step time
+    if delta <= 0:
+        return 0.0, 0.0, 0.0
+    step_s = delta / (t_long - t_short)
     bytes_step = (4 * (proj * 4 * cell + cell * proj)      # weight stream
                   + 4 * (b * 4 * cell) * 2                 # xp write + read
                   + 4 * (b * proj + b * cell))             # ys + cs_pre

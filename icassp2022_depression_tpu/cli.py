@@ -44,10 +44,17 @@ def cmd_extract_audio(args):
     if args.embedder == "vggish":
         from icassp2022_depression_tpu.models import vggish
 
-        params = (vggish.from_tf_checkpoint(args.vggish_ckpt)
-                  if args.vggish_ckpt else None)
-        post = (vggish.load_pca_params(args.pca_params)
-                if args.pca_params else None)
+        params = post = None
+        if args.vggish_ckpt:
+            params = vggish.from_tf_checkpoint(args.vggish_ckpt)
+        else:
+            bundle = vggish.default_weights_path()
+            if bundle is not None:   # converted-once bundle auto-loads,
+                params, post = vggish.load_npz(bundle)   # like ELMo
+                print(f"extract-audio: auto-loaded VGGish bundle {bundle}",
+                      file=sys.stderr)
+        if args.pca_params:          # explicit flag wins over bundle pca
+            post = vggish.load_pca_params(args.pca_params)
         feats, sds, clf, manifest = audio.extract_eatd_vggish(
             root, params=params, postprocessor=post, out_dir=out)
     else:

@@ -200,6 +200,44 @@ def from_tf_checkpoint(ckpt_path) -> dict:
     return params
 
 
+def default_weights_path():
+    """Resolution order for auto-loading a converted bundle
+    (``scripts/convert_vggish.py``): the ``ICASSP_VGGISH_WEIGHTS`` env
+    var, then ``~/.cache/icassp2022_tpu/vggish.npz`` — the same
+    convention as the ELMo bundle.  Returns None when neither exists."""
+    import os
+    from pathlib import Path
+
+    env = os.environ.get("ICASSP_VGGISH_WEIGHTS")
+    if env and Path(env).exists():
+        return Path(env)
+    cached = Path.home() / ".cache" / "icassp2022_tpu" / "vggish.npz"
+    if cached.exists():
+        return cached
+    return None
+
+
+def load_npz(path):
+    """Converted bundle (``scripts/convert_vggish.py``) -> (params,
+    Postprocessor | None).  The optional ``pca`` subtree (written when
+    the converter got ``--pca``) becomes the postprocessor."""
+    p = str(path)
+    if not p.endswith(".npz"):
+        p += ".npz"
+    flat = dict(np.load(p))
+    params = {"convs": [], "fcs": []}
+    for group in ("convs", "fcs"):
+        i = 0
+        while f"{group}/{i}/w" in flat:
+            params[group].append({"w": jnp.asarray(flat[f"{group}/{i}/w"]),
+                                  "b": jnp.asarray(flat[f"{group}/{i}/b"])})
+            i += 1
+    assert len(params["convs"]) == len(_CONV_CHANNELS), sorted(flat)[:5]
+    post = (Postprocessor(flat["pca/matrix"], flat["pca/means"])
+            if "pca/matrix" in flat else None)
+    return params, post
+
+
 def load_pca_params(pca_params_path) -> Postprocessor:
     """Released ``vggish_pca_params.npz`` -> :class:`Postprocessor`
     (``audio_features_whole.py:32,44``)."""

@@ -361,9 +361,20 @@ class Predictor:
         from icassp2022_depression_tpu.models import vggish
 
         if self._vggish_params is None:
-            # same deterministic default as extract_eatd_vggish(seed=...)
-            self._vggish_params = vggish.init(
-                jax.random.PRNGKey(self._seed))
+            bundle = vggish.default_weights_path()
+            if bundle is not None:
+                import sys
+
+                self._vggish_params, bundle_post = vggish.load_npz(bundle)
+                if self._vggish_postprocessor is None:
+                    self._vggish_postprocessor = bundle_post
+                print(f"Predictor: auto-loaded VGGish bundle {bundle} — "
+                      "the served checkpoint must have been trained on "
+                      "features from this embedder", file=sys.stderr)
+            else:
+                # same deterministic default as extract_eatd_vggish(seed=)
+                self._vggish_params = vggish.init(
+                    jax.random.PRNGKey(self._seed))
         n = len(waveforms_per_speaker)
         out = np.zeros((n, 3, vggish.EMBEDDING_SIZE), np.float32)
         todo = []

@@ -71,7 +71,6 @@ def child(pid: int, nprocs: int, local_devices: int,
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    sys.path.insert(0, REPO)
 
     from icassp2022_depression_tpu.parallel import collectives, distributed
 
@@ -152,7 +151,11 @@ def _serial_reference():
 
 def parent(nprocs: int, local_devices: int) -> int:
     total = nprocs * local_devices
-    assert GLOBAL_BATCH % nprocs == 0
+    if GLOBAL_BATCH % nprocs or GLOBAL_BATCH % total:
+        raise SystemExit(
+            f"GLOBAL_BATCH={GLOBAL_BATCH} must divide evenly over "
+            f"--nprocs {nprocs} and the {total} total devices "
+            "(sharding over the data axis requires it)")
     # a fresh ephemeral coordinator port per run: a previous run's
     # lingering/orphaned coordinator on the fixed default cannot collide
     import socket
@@ -160,11 +163,15 @@ def parent(nprocs: int, local_devices: int) -> int:
     with socket.socket() as s_:
         s_.bind(("127.0.0.1", 0))
         port = s_.getsockname()[1]
+    from __graft_entry__ import _force_device_count_flag
+
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
-                        f" --xla_force_host_platform_device_count="
-                        f"{local_devices}").strip()
+    # REPLACE any pre-existing device-count flag (appending would leave
+    # two conflicting occurrences and first-occurrence-wins parsing
+    # would ignore ours)
+    env["XLA_FLAGS"] = _force_device_count_flag(
+        env.get("XLA_FLAGS", ""), local_devices)
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--child", str(pid),
          "--nprocs", str(nprocs), "--local-devices", str(local_devices),
@@ -202,9 +209,8 @@ def parent(nprocs: int, local_devices: int) -> int:
         results.append(json.loads(out.strip().splitlines()[-1]))
 
     # serial reference in THIS process (same total device count)
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
-                               f" --xla_force_host_platform_device_count="
-                               f"{total}").strip()
+    os.environ["XLA_FLAGS"] = _force_device_count_flag(
+        os.environ.get("XLA_FLAGS", ""), total)
     ref_loss, ref_l1 = _serial_reference()
 
     ok = True

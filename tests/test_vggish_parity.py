@@ -126,3 +126,47 @@ def test_extract_audio_cli_vggish(tmp_path):
     out = tmp_path / "Features" / "AudioWhole"
     with np.load(out / "whole_samples_reg_128.npz") as z:
         assert z["arr_0"].shape == (2, 3, 1, 128)
+
+
+def test_vggish_bundle_autoload(tmp_path, monkeypatch):
+    """A converted VGGish bundle auto-loads (ICASSP_VGGISH_WEIGHTS) in
+    both extraction and serving — README's 'convert once, every consumer
+    auto-loads' promise — including its embedded PCA postprocessor."""
+    import jax
+
+    from icassp2022_depression_tpu import config as C, serve
+    from icassp2022_depression_tpu.data import eatd
+    from icassp2022_depression_tpu.frontend import audio as afe
+    from icassp2022_depression_tpu.models import audio_net
+    from icassp2022_depression_tpu.train import checkpoints
+
+    params = vggish.init(jax.random.PRNGKey(7))
+    post = vggish.Postprocessor.random(jax.random.PRNGKey(8))
+    bundle_tree = dict(params, pca={"matrix": post.pca_matrix,
+                                    "means": post.pca_means.ravel()})
+    bundle = tmp_path / "vggish_converted"
+    checkpoints.save(bundle, bundle_tree)
+    loaded, loaded_post = vggish.load_npz(bundle)
+    assert loaded_post is not None
+    monkeypatch.setenv("ICASSP_VGGISH_WEIGHTS", str(bundle) + ".npz")
+
+    eatd.make_synthetic_corpus(tmp_path / "corpus", n_data=2,
+                               n_validation=0, seconds=1.3, seed=12)
+    from icassp2022_depression_tpu import cli
+    out = tmp_path / "corpus" / "Features" / "AudioWhole"
+    assert cli.main(["extract-audio", "--root", str(tmp_path / "corpus"),
+                     "--embedder", "vggish"]) == 0
+    with np.load(out / "whole_samples_clf_128.npz") as z:
+        auto_feats = z["arr_0"]
+    want, _, _, _ = afe.extract_eatd_vggish(
+        tmp_path / "corpus", params=params, postprocessor=post)
+    np.testing.assert_allclose(auto_feats, want, atol=2e-5)
+
+    # serving resolves the same bundle (params + pca) lazily
+    mcfg = C.replace(C.AUDIO_CLF.model, embedding_size=128)
+    p = serve.Predictor(audio_net.init(jax.random.PRNGKey(9), mcfg),
+                        "audio_clf", audio_embedder="vggish",
+                        model_cfg=mcfg)
+    sp = eatd.load_speaker(tmp_path / "corpus", "Data", 1, read_text=False)
+    got = p.audio_features([sp.waveforms], [sp.sample_rates])
+    np.testing.assert_allclose(got[0], want[0, :, 0, :], atol=2e-5)
