@@ -421,3 +421,47 @@ def test_check_daic_cli(tmp_path, capsys):
         assert "f1" in out and "confusion_matrix" in out
     finally:
         daic_mod.DAIC_CLF = orig
+
+
+def test_daic_http_auth_gate():
+    """Bearer auth applies to the DAIC endpoint too (401 without the
+    token, healthz open)."""
+    import base64
+    import http.client
+    import json
+    import threading
+
+    import jax
+
+    from icassp2022_depression_tpu import serve
+    from icassp2022_depression_tpu.models import audio_net
+
+    params = audio_net.init(jax.random.PRNGKey(6), daic.DAIC_CLF.model)
+    p = serve.DaicPredictor(params, "daic_clf")
+    server = serve.make_http_server(p, port=0, auth_token="tok")
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    rng = np.random.default_rng(6)
+    body = json.dumps({"participants": [{
+        "responses_b64": [base64.b64encode(np.round(
+            rng.standard_normal(6000) * 2000).astype(np.int16).tobytes()
+        ).decode()], "sr": 16000}]})
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/predict", body)
+        r = conn.getresponse()
+        assert r.status == 401
+        r.read()
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200
+        r.read()
+        conn.request("POST", "/predict", body,
+                     {"Authorization": "Bearer tok"})
+        r = conn.getresponse()
+        assert r.status == 200
+        assert json.loads(r.read())["results"][0]["label"] in (0, 1)
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()
