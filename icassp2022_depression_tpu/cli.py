@@ -487,7 +487,7 @@ def cmd_serve(args):
     """Run the stdlib HTTP serving front around one checkpoint."""
     from icassp2022_depression_tpu import serve
 
-    _embedder_kw(args)   # rejects --audio-embedder vggish off-audio
+    kw = _embedder_kw(args)   # rejects --audio-embedder vggish off-audio
     if args.task.startswith("daic"):
         predictor = serve.DaicPredictor.from_checkpoint(args.ckpt,
                                                         args.task)
@@ -496,8 +496,8 @@ def cmd_serve(args):
                   "depend on per-session response counts)",
                   file=sys.stderr)
     else:
-        predictor = serve.Predictor.from_checkpoint(
-            args.ckpt, args.task, **_embedder_kw(args))
+        predictor = serve.Predictor.from_checkpoint(args.ckpt, args.task,
+                                                    **kw)
         if args.warmup:
             predictor.warmup()
     serve.serve_http(predictor, args.host, args.port,
@@ -519,11 +519,21 @@ def _embedder_kw(args) -> dict:
                 "only (fusion/DAIC checkpoints train on wav2vlad "
                 "features; serve those with the default embedder)")
         from icassp2022_depression_tpu import config as C
+        from icassp2022_depression_tpu.models import vggish
 
         kw["audio_embedder"] = "vggish"
         base = (C.AUDIO_CLF if args.task.endswith("clf")
                 else C.AUDIO_REG).model
         kw["model_cfg"] = C.replace(base, embedding_size=128)
+        # same embedder weights/postprocessor flags as extract-audio, so
+        # a checkpoint trained on --vggish-ckpt/--pca-params features is
+        # served on identically-computed ones
+        if getattr(args, "vggish_ckpt", None):
+            kw["vggish_params"] = vggish.from_tf_checkpoint(
+                args.vggish_ckpt)
+        if getattr(args, "pca_params", None):
+            kw["vggish_postprocessor"] = vggish.load_pca_params(
+                args.pca_params)
     return kw
 
 
@@ -541,12 +551,22 @@ def cmd_predict(args):
     kw = {}
     if not args.task.startswith("text"):
         # corpus-position ordinal base -> NetVLAD features identical to
-        # the training-time extraction of this speaker
-        for idx, other in enumerate(eatd.iter_speakers(Path(args.root),
-                                                       read_text=False)):
-            if other.split == split and other.number == int(number):
-                kw["ordinal_base"] = 3 * idx
-                break
+        # the training-time extraction of this speaker.  Same iteration
+        # order as eatd.iter_speakers (Data then ValidationData, ids
+        # ascending, existing dirs only) but WITHOUT decoding ~3 wavs
+        # per preceding speaker just to count them.
+        idx = 0
+        root = Path(args.root)
+        for sp_split in ("Data", "ValidationData"):
+            for n_ in range(1, eatd.MAX_SPEAKER_ID + 1):
+                if sp_split == split and n_ == int(number):
+                    kw["ordinal_base"] = 3 * idx
+                    break
+                if (root / sp_split / str(n_)).is_dir():
+                    idx += 1
+            else:
+                continue
+            break
         kw.update(waveforms=sp.waveforms, sample_rates=sp.sample_rates)
     if not args.task.startswith("audio"):
         kw.update(texts=sp.texts)
@@ -745,6 +765,13 @@ def build_parser():
                     default="netvlad",
                     help="serve checkpoints trained on extract-audio "
                          "--embedder vggish features")
+    sp.add_argument("--vggish-ckpt",
+                    help="with --audio-embedder vggish: the SAME released "
+                         "ckpt extraction used (default: bundle autoload "
+                         "/ PRNG init)")
+    sp.add_argument("--pca-params",
+                    help="with --audio-embedder vggish: the SAME PCA "
+                         "postprocessor extraction used")
     sp.set_defaults(fn=cmd_predict)
 
     sp = sub.add_parser("predict-daic",
@@ -806,6 +833,13 @@ def build_parser():
                     default="netvlad",
                     help="serve checkpoints trained on extract-audio "
                          "--embedder vggish features")
+    sp.add_argument("--vggish-ckpt",
+                    help="with --audio-embedder vggish: the SAME released "
+                         "ckpt extraction used (default: bundle autoload "
+                         "/ PRNG init)")
+    sp.add_argument("--pca-params",
+                    help="with --audio-embedder vggish: the SAME PCA "
+                         "postprocessor extraction used")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("baselines", help="sklearn baselines")

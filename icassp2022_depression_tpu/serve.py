@@ -157,41 +157,27 @@ class Predictor:
         self._vggish_params = vggish_params
         self._vggish_postprocessor = vggish_postprocessor
         self._model_cfg = model_cfg
-        self._pretrained_elmo = None
         #: provenance id of the resolved text embedder (same id scheme as
         #: ``frontend.text.make_embedder`` records in extraction sidecars)
         self.embedder_id: Optional[str] = None
+        self._text_embed = None
+        self._text_dim = 0
         if not task.startswith("audio"):
-            if elmo_params is not None:
-                self.embedder_id = "explicit-params"
-            else:
-                from icassp2022_depression_tpu.models import elmo_pretrained
+            # ONE resolution chain shared with the extraction frontends —
+            # the provenance id strings must stay byte-identical to the
+            # extraction sidecars' for the mismatch warning to work
+            self._text_embed, self._text_dim, self.embedder_id = \
+                text_fe.make_embedder(params=elmo_params, cfg=elmo_cfg,
+                                      seed=seed, elmo_weights=elmo_weights,
+                                      with_id=True)
+            if (elmo_weights == "auto"
+                    and self.embedder_id.startswith("elmo_bundle")):
+                import sys
 
-                bundle = None
-                if elmo_weights == "auto":
-                    bundle = elmo_pretrained.default_weights_path()
-                elif elmo_weights:
-                    bundle = Path(elmo_weights)
-                if bundle is not None:
-                    import sys
-
-                    self._pretrained_elmo = elmo_pretrained.load_npz(bundle)
-                    self.embedder_id = (f"elmo_bundle:{Path(bundle).name}:"
-                                        f"{Path(bundle).stat().st_size}")
-                    if elmo_weights == "auto":
-                        print(f"Predictor: auto-loaded ELMo bundle {bundle}"
-                              " — the served checkpoint must have been "
-                              "trained on features from this embedder "
-                              "(pass elmo_weights=None to force the PRNG "
-                              "encoder)", file=sys.stderr)
-                elif isinstance(elmo_cfg, elmo.ElmoLstmpConfig):
-                    elmo_params = elmo.init_lstmp_encoder(
-                        jax.random.PRNGKey(seed), elmo_cfg)
-                    self.embedder_id = f"prng-lstmp:seed={seed}"
-                else:
-                    elmo_params = elmo.init(jax.random.PRNGKey(seed),
-                                            elmo_cfg)
-                    self.embedder_id = f"prng:seed={seed}"
+                print("Predictor: auto-loaded the converted ELMo bundle — "
+                      "the served checkpoint must have been trained on "
+                      "features from this embedder (pass elmo_weights="
+                      "None to force the PRNG encoder)", file=sys.stderr)
         self.elmo_params = elmo_params
         self.feature_cache = _FeatureCache(feature_cache_entries)
 
@@ -253,12 +239,6 @@ class Predictor:
 
         from icassp2022_depression_tpu.models import porting
 
-        if not task.startswith("audio") and "elmo_params" not in kw:
-            print("WARNING: serving a reference-trained text/fusion model "
-                  "without elmo_params — the default PRNG-initialised text "
-                  "encoder does NOT match the pretrained ELMo features the "
-                  "reference model was trained on", file=sys.stderr)
-
         module, mcfg = _model_for(task)
         if module is audio_net:
             params = porting.audio_net_from_state_dict(sd, mcfg)
@@ -266,7 +246,18 @@ class Predictor:
             params = porting.text_net_from_state_dict(sd, mcfg)
         else:
             params = porting.fusion_from_state_dict(sd, mcfg)
-        return cls(params, task, **kw)
+        predictor = cls(params, task, **kw)
+        # warn only when the RESOLVED embedder is the PRNG stand-in — a
+        # converted zhs bundle (explicit or auto-loaded) IS the pretrained
+        # encoder the reference model was trained on
+        if (not task.startswith("audio") and predictor.embedder_id
+                and predictor.embedder_id.startswith("prng")):
+            print("WARNING: serving a reference-trained text/fusion model "
+                  "on the PRNG-initialised text encoder — it does NOT "
+                  "match the pretrained ELMo features the reference model "
+                  "was trained on (pass elmo_params or a converted "
+                  "bundle)", file=sys.stderr)
+        return predictor
 
     # -- feature extraction -------------------------------------------------
 
@@ -407,10 +398,7 @@ class Predictor:
         n = len(texts_per_speaker)
         keys = [_FeatureCache.key(["text"] + list(ts))
                 for ts in texts_per_speaker]
-        dim = (self._pretrained_elmo.output_dim
-               if self._pretrained_elmo is not None
-               else self.elmo_cfg.output_dim)
-        out = np.zeros((n, 3, dim), np.float32)
+        out = np.zeros((n, 3, self._text_dim), np.float32)
         todo = []
         for i, key in enumerate(keys):
             cached = self.feature_cache.get(key)
@@ -421,15 +409,12 @@ class Predictor:
         if todo:
             sentences = [text_fe.tokenize(t) for i in todo
                          for t in texts_per_speaker[i]]
-            if self._pretrained_elmo is not None:
-                flat = self._pretrained_elmo.embed_sentences(sentences)
-            else:
-                flat = text_fe.embed_sentences(self.elmo_params, sentences,
-                                               self.elmo_cfg)
-            flat = flat.reshape(len(todo), 3, -1)
+            flat = self._text_embed(sentences).reshape(len(todo), 3, -1)
             for row, i in enumerate(todo):
                 out[i] = flat[row]
-                self.feature_cache.put(keys[i], flat[row])
+                # copy: a slice view would pin the whole batch array in
+                # the LRU for the entry's lifetime
+                self.feature_cache.put(keys[i], flat[row].copy())
         return out
 
     # -- prediction ---------------------------------------------------------
@@ -603,6 +588,8 @@ class DaicPredictor:
         """[n_i, 1, D] blocks (as the trainer consumes) -> result dicts."""
         from icassp2022_depression_tpu.frontend.daic import pad_responses
 
+        if not feature_blocks:
+            return []   # zero participants is a valid request
         if any(f.shape[0] == 0 for f in feature_blocks):
             raise ValueError("participant with zero segmented responses "
                              "(no transcript line matched the question "
@@ -1148,7 +1135,10 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
             except Exception as exc:
                 self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
                 return
-            chunked = self.protocol_version >= "HTTP/1.1"
+            # chunked framing needs BOTH sides on HTTP/1.1: an HTTP/1.0
+            # client would read the hex chunk-size lines as body bytes
+            chunked = (self.protocol_version >= "HTTP/1.1"
+                       and self.request_version >= "HTTP/1.1")
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
             if chunked:

@@ -239,7 +239,8 @@ def test_predictor_uses_pretrained_elmo_bundle(tmp_path, monkeypatch):
     params = text_net.init(jax.random.PRNGKey(7),
                            C.replace(C.TEXT_CLF.model, embedding_size=32))
     p = serve.Predictor(params, "text_clf")
-    assert p._pretrained_elmo is not None
+    assert p.embedder_id.startswith("elmo_bundle")   # bundle resolved
+    assert p._text_dim == 32
     feats = p.text_features([["我 今天 很 好", "还 可以", "有点 累"]])
     assert feats.shape == (1, 3, 32)
 
