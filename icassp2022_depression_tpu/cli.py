@@ -70,7 +70,8 @@ def cmd_extract_text(args):
     out = Path(args.out) if args.out else root / "Features" / "TextWhole"
     feats, sds, clf = text.extract_eatd(root, out_dir=out, seed=args.seed,
                                         elmo_weights=args.elmo_weights,
-                                        elmo_stateful=args.elmo_stateful)
+                                        elmo_stateful=args.elmo_stateful,
+                                        segmenter=args.segmenter)
     print(f"text features {feats.shape} -> {out}")
 
 
@@ -661,6 +662,13 @@ def build_parser():
                     "state carried across calls) instead of the default "
                     "deterministic zero-state mode; slower — one device "
                     "round-trip per speaker")
+    sp.add_argument("--segmenter", default="auto",
+                    help="Chinese word segmenter: auto (jieba when "
+                    "importable, else the CJK fallback), jieba, fallback, "
+                    "pkuseg, thulac, hanlp (the reference's commented "
+                    "alternatives, text_features_whole.py:30-32; they "
+                    "require their packages), or any name added via "
+                    "frontend.text.register_segmenter")
     sp.set_defaults(fn=cmd_extract_text)
 
     sp = sub.add_parser("extract-daic", help="DAIC-WOZ features")

@@ -57,19 +57,96 @@ def fallback_segment(text: str) -> List[str]:
     return tokens
 
 
-def tokenize(text: str, use_jieba: bool = True) -> List[str]:
-    """Segment one transcript line.
+# ---------------------------------------------------------------------------
+# Pluggable segmenter registry
+# ---------------------------------------------------------------------------
+#
+# The reference keeps its alternative Chinese segmenters as commented-out
+# imports (``Classification/text_features_whole.py:30-32``: pkuseg, thulac,
+# pyhanlp).  Here they are first-class: a named registry dispatched by
+# ``tokenize(..., segmenter=...)`` / ``extract-text --segmenter``.  jieba and
+# the CJK fallback are always available in-env; the others raise a clear
+# ImportError unless their package is installed.  Third parties extend via
+# :func:`register_segmenter`.
+
+
+def _jieba_segment(text: str) -> List[str]:
+    if not _HAS_JIEBA:
+        raise ImportError("segmenter 'jieba' requested but jieba is not "
+                          "installed (use --segmenter fallback)")
+    return list(jieba.cut(text.strip(), cut_all=False))
+
+
+def _pkuseg_segment(text: str) -> List[str]:  # pragma: no cover - optional dep
+    import pkuseg  # type: ignore
+
+    global _PKUSEG
+    if "_PKUSEG" not in globals() or _PKUSEG is None:
+        _PKUSEG = pkuseg.pkuseg()
+    return _PKUSEG.cut(text.strip())
+
+
+def _thulac_segment(text: str) -> List[str]:  # pragma: no cover - optional dep
+    import thulac  # type: ignore
+
+    global _THULAC
+    if "_THULAC" not in globals() or _THULAC is None:
+        _THULAC = thulac.thulac(seg_only=True)
+    return [w for w, _tag in _THULAC.cut(text.strip())]
+
+
+def _hanlp_segment(text: str) -> List[str]:  # pragma: no cover - optional dep
+    from pyhanlp import HanLP  # type: ignore
+
+    return [term.word for term in HanLP.segment(text.strip())]
+
+
+SEGMENTERS = {
+    "jieba": _jieba_segment,
+    "fallback": fallback_segment,
+    "pkuseg": _pkuseg_segment,
+    "thulac": _thulac_segment,
+    "hanlp": _hanlp_segment,
+}
+
+
+def register_segmenter(name: str, fn) -> None:
+    """Extension point: register ``fn(text) -> list[str]`` under ``name`` so
+    ``tokenize``/``extract-text --segmenter`` can dispatch to it."""
+    SEGMENTERS[name] = fn
+
+
+def get_segmenter(name: str):
+    """Resolve a segmenter name ('auto' -> jieba when importable, else the
+    CJK fallback)."""
+    if name == "auto":
+        return _jieba_segment if _HAS_JIEBA else fallback_segment
+    try:
+        return SEGMENTERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown segmenter {name!r}; available: "
+            f"{', '.join(sorted(SEGMENTERS))} (register_segmenter to add)"
+        ) from None
+
+
+def tokenize(text: str, use_jieba: bool = True,
+             segmenter: str = "auto") -> List[str]:
+    """Segment one transcript line via the named segmenter.
 
     Documented parity deviation: the reference feeds the raw line —
     including its trailing newline and interior spaces — to ``jieba.cut``
     (``text_features_whole.py:29,33``), whose whitespace tokens are then
     embedded and included in the answer's mean pool.  We drop
-    whitespace-only tokens: they carry no content, and their embeddings
-    only dilute the mean (see README "Fidelity notes")."""
-    if use_jieba and _HAS_JIEBA:
-        return [t for t in jieba.cut(text.strip(), cut_all=False)
-                if t.strip()]
-    return fallback_segment(text)
+    whitespace-only tokens for every segmenter: they carry no content, and
+    their embeddings only dilute the mean (see README "Fidelity notes").
+
+    ``use_jieba=False`` is back-compat shorthand for
+    ``segmenter='fallback'`` (only honored with the default 'auto')."""
+    if not use_jieba and segmenter == "auto":
+        segmenter = "fallback"
+    seg = get_segmenter(segmenter)
+    return [t for t in seg(text) if t.strip()]
 
 
 def embed_sentences(params, sentences: Sequence[List[str]],
@@ -167,8 +244,39 @@ def make_embedder(params=None, cfg=None, seed: int = 0,
     else:
         params = elmo.init(jax.random.PRNGKey(seed), cfg)
         kind = "prng"
+    warn_standin_encoder()
     return ret(lambda s: embed_sentences(params, s, cfg), cfg.output_dim,
                f"{kind}:seed={seed}")
+
+
+def warn_standin_encoder() -> None:
+    """Unmissable stderr notice that the hashed-token PRNG stand-in encoder
+    is in use instead of converted pretrained ELMo weights.
+
+    The reference ALWAYS embeds with the released zhs ELMoForManyLangs model
+    (``Classification/text_features_whole.py:16``); features produced by the
+    stand-in are internally consistent (extract/train/serve agree) but NOT
+    comparable to the reference's published metrics.  Suppress with
+    ``ICASSP_SUPPRESS_STANDIN_WARNING=1`` (tests)."""
+    import os
+    import sys
+
+    if os.environ.get("ICASSP_SUPPRESS_STANDIN_WARNING"):
+        return
+    print(
+        "\n".join([
+            "=" * 72,
+            "WARNING: no converted ELMo bundle found - using the PRNG",
+            "stand-in text encoder.  Text features will be deterministic and",
+            "self-consistent but NOT comparable to the reference's published",
+            "metrics (it uses the pretrained zhs ELMoForManyLangs model).",
+            "Convert real weights with scripts/convert_elmo_zhs.py and set",
+            "ICASSP_ELMO_WEIGHTS (or pass --elmo-weights).",
+            "=" * 72,
+        ]),
+        file=sys.stderr,
+        flush=True,
+    )
 
 
 def extract_eatd(root: Path, params=None,
@@ -177,7 +285,8 @@ def extract_eatd(root: Path, params=None,
                  max_id: int = eatd.MAX_SPEAKER_ID,
                  sds_threshold: float = 53.0,
                  elmo_weights: Optional[str] = "auto",
-                 elmo_stateful: bool = False):
+                 elmo_stateful: bool = False,
+                 segmenter: str = "auto"):
     """Full EATD text pass -> ([N, 3, 1024] features, sds, clf labels).
 
     ``elmo_weights``: path to a converted ELMoForManyLangs bundle
@@ -196,7 +305,7 @@ def extract_eatd(root: Path, params=None,
     for sp in eatd.iter_speakers(root, max_id=max_id, read_text=True):
         assert sp.texts is not None, f"missing transcripts for {sp.number}"
         for text in sp.texts:
-            sentences.append(tokenize(text))
+            sentences.append(tokenize(text, segmenter=segmenter))
         sds.append(sp.sds)
     if elmo_stateful:
         # reference granularity: ONE sents2elmo call per speaker (the 3
@@ -224,7 +333,7 @@ def extract_eatd(root: Path, params=None,
         # (models trained on them are only servable with the same one)
         (out_dir / "extraction_meta.json").write_text(json.dumps(
             {"embedder": embedder_id, "output_dim": int(flat.shape[1]),
-             "seed": seed, "n_speakers": n}))
+             "seed": seed, "n_speakers": n, "segmenter": segmenter}))
     return features, sds_targets, clf_targets
 
 

@@ -133,6 +133,60 @@ def log_mel(y: jnp.ndarray, sr: int = 16000, n_fft: int = 2048,
     return jnp.log(jnp.maximum(log_floor, mel))
 
 
+def dct_ii_matrix(n_out: int, n_in: int, norm: str | None = "ortho") -> np.ndarray:
+    """[n_out, n_in] DCT-II basis (scipy.fftpack.dct(type=2) convention).
+
+    With ``norm='ortho'`` rows are orthonormal, matching librosa's
+    ``feature.mfcc`` which computes ``dct(S, axis=-2, type=2, norm='ortho')``
+    over the dB-scaled mel spectrogram.  Applied as one matmul on the MXU.
+    """
+    k = np.arange(n_out, dtype=np.float64)[:, None]
+    m = np.arange(n_in, dtype=np.float64)[None, :]
+    basis = 2.0 * np.cos(np.pi * k * (2.0 * m + 1.0) / (2.0 * n_in))
+    if norm == "ortho":
+        basis *= np.sqrt(1.0 / (2.0 * n_in))
+        basis[0] *= np.sqrt(0.5)
+    elif norm is not None:
+        raise ValueError(f"unknown DCT norm {norm!r}")
+    return basis.astype(np.float32)
+
+
+def power_to_db(S: jnp.ndarray, amin: float = 1e-10,
+                top_db: float | None = 80.0) -> jnp.ndarray:
+    """librosa.power_to_db with ref=1.0: 10*log10(max(amin, S)), then clamp
+    to within ``top_db`` of the global maximum."""
+    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, S))
+    if top_db is not None:
+        log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - top_db)
+    return log_spec
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sr", "n_fft", "hop", "n_mels", "n_mfcc", "center", "lifter"))
+def mfcc(y: jnp.ndarray, sr: int = 16000, n_fft: int = 2048, hop: int = 512,
+         n_mels: int = 80, n_mfcc: int = 20, center: bool = True,
+         lifter: int = 0) -> jnp.ndarray:
+    """[T] waveform -> [frames, n_mfcc] MFCCs, librosa.feature.mfcc
+    semantics: DCT-II (ortho) over the dB-scaled mel power spectrogram,
+    optional sinusoidal liftering.
+
+    Completes the "STFT, log-mel/MFCC" frontend family: the reference's own
+    pipeline stops at log-mel (``Classification/audio_features_whole.py:60``),
+    so MFCC is an extension, not a parity requirement.
+    """
+    spec = power_spectrogram(y, n_fft, hop, center)             # [F, bins]
+    fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))          # [M, bins]
+    mel_power = jnp.dot(spec, fb.T, preferred_element_type=jnp.float32)
+    db = power_to_db(mel_power)                                  # [F, M]
+    dct = jnp.asarray(dct_ii_matrix(n_mfcc, n_mels))             # [C, M]
+    out = jnp.dot(db, dct.T, preferred_element_type=jnp.float32)  # [F, C]
+    if lifter > 0:
+        lift = 1.0 + (lifter / 2.0) * np.sin(
+            np.pi * (1.0 + np.arange(n_mfcc)) / lifter)
+        out = out * jnp.asarray(lift.astype(np.float32))[None, :]
+    return out
+
+
 def frame_mask(lengths: jnp.ndarray, max_frames: int, hop: int = 512,
                center: bool = True, n_fft: int = 2048) -> jnp.ndarray:
     """Valid-frame mask [B, max_frames] for a batch of padded waveforms with

@@ -12,6 +12,10 @@ import sys
 # sitecustomize pins JAX_PLATFORMS=axon in the environment, so the env var
 # alone is not sufficient — jax.config wins over it.)
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The stand-in-encoder stderr banner (frontend.text.warn_standin_encoder) is
+# intentionally loud for users; hundreds of tests build PRNG embedders, so
+# silence it suite-wide.  Tests that assert the banner unset this var.
+os.environ.setdefault("ICASSP_SUPPRESS_STANDIN_WARNING", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -94,6 +94,88 @@ def test_tokenize_fallback():
     assert text_fe.tokenize("") == []
 
 
+def test_segmenter_registry_dispatch():
+    # explicit names resolve; unknown names list the registry
+    assert text_fe.get_segmenter("fallback") is text_fe.fallback_segment
+    assert (text_fe.tokenize("我 今天x", segmenter="fallback")
+            == ["我", "今", "天", "x"])
+    with pytest.raises(ValueError, match="unknown segmenter"):
+        text_fe.tokenize("x", segmenter="nope")
+    # back-compat: use_jieba=False selects the fallback under 'auto'
+    assert (text_fe.tokenize("我今天", use_jieba=False)
+            == text_fe.tokenize("我今天", segmenter="fallback"))
+
+
+def test_segmenter_registry_extension_point():
+    """Third-party segmenters plug in by name (the reference's commented
+    pkuseg/thulac/HanLP alternatives, text_features_whole.py:30-32)."""
+    calls = []
+
+    def fake(text):
+        calls.append(text)
+        return ["A", " ", "B "]  # whitespace-only token must be dropped
+
+    text_fe.register_segmenter("fake-seg", fake)
+    try:
+        assert text_fe.tokenize("hello", segmenter="fake-seg") == ["A", "B "]
+        assert calls == ["hello"]
+    finally:
+        del text_fe.SEGMENTERS["fake-seg"]
+
+
+def test_extract_eatd_text_custom_segmenter(tmp_path, monkeypatch):
+    """extract_eatd threads the segmenter through and records it in the
+    provenance sidecar."""
+    import json
+
+    eatd.make_synthetic_corpus(tmp_path, n_data=2, n_validation=1,
+                               seconds=0.1, seed=7)
+    seen = []
+
+    def spy(text):
+        seen.append(text)
+        return text_fe.fallback_segment(text)
+
+    text_fe.register_segmenter("spy-seg", spy)
+    try:
+        cfg = elmo.ElmoConfig(vocab_size=128, embed_dim=8, hidden=8,
+                              layers=1, output_dim=16)
+        out = tmp_path / "feat"
+        text_fe.extract_eatd(tmp_path, cfg=cfg, out_dir=out,
+                             elmo_weights=None, segmenter="spy-seg")
+        assert len(seen) == 3 * 3  # 3 speakers x 3 answers
+        meta = json.loads((out / "extraction_meta.json").read_text())
+        assert meta["segmenter"] == "spy-seg"
+    finally:
+        del text_fe.SEGMENTERS["spy-seg"]
+
+
+def test_standin_warning_loud_and_suppressible(monkeypatch, capsys):
+    """make_embedder prints an unmissable stderr banner when it falls back
+    to the PRNG stand-in (the reference always uses pretrained zhs weights,
+    text_features_whole.py:16) — and stays quiet with a converted bundle
+    path or under the suppression env var."""
+    cfg = elmo.ElmoConfig(vocab_size=64, embed_dim=8, hidden=8, layers=1,
+                          output_dim=16)
+    monkeypatch.delenv("ICASSP_SUPPRESS_STANDIN_WARNING", raising=False)
+    monkeypatch.delenv("ICASSP_ELMO_WEIGHTS", raising=False)
+    text_fe.make_embedder(cfg=cfg, elmo_weights=None)
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "stand-in" in err
+    assert "convert_elmo_zhs" in err
+
+    # suppressed for test suites
+    monkeypatch.setenv("ICASSP_SUPPRESS_STANDIN_WARNING", "1")
+    text_fe.make_embedder(cfg=cfg, elmo_weights=None)
+    assert capsys.readouterr().err == ""
+
+    # explicit params are not the stand-in fallback: no banner
+    monkeypatch.delenv("ICASSP_SUPPRESS_STANDIN_WARNING", raising=False)
+    params = elmo.init(jax.random.PRNGKey(0), cfg)
+    text_fe.make_embedder(params=params, cfg=cfg)
+    assert capsys.readouterr().err == ""
+
+
 def test_elmo_padding_invariance():
     cfg = elmo.ElmoConfig(vocab_size=128, embed_dim=8, hidden=8, layers=2)
     params = elmo.init(jax.random.PRNGKey(0), cfg)

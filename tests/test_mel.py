@@ -72,3 +72,61 @@ def test_batched_log_mel_matches_single():
     for i in range(3):
         single = np.asarray(mel.log_mel(jnp.asarray(ys[i]), sr=16000))
         np.testing.assert_allclose(batched[i], single, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# MFCC (DCT-II over dB-mel, librosa.feature.mfcc convention)
+# ---------------------------------------------------------------------------
+
+
+def test_dct_ii_matrix_matches_scipy():
+    from scipy.fftpack import dct as scipy_dct
+    rng = np.random.default_rng(2)
+    n_mels, n_mfcc, frames = 12, 7, 5
+    S = rng.standard_normal((frames, n_mels))
+    want = scipy_dct(S, type=2, axis=-1, norm="ortho")[:, :n_mfcc]
+    got = S @ mel.dct_ii_matrix(n_mfcc, n_mels).T
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_power_to_db_matches_librosa_formula():
+    rng = np.random.default_rng(3)
+    S = rng.uniform(0.0, 5.0, (4, 6)) ** 4  # wide dynamic range
+    S[0, 0] = 0.0  # exercise amin floor
+    log_spec = 10.0 * np.log10(np.maximum(1e-10, S))
+    want = np.maximum(log_spec, log_spec.max() - 80.0)
+    got = np.asarray(mel.power_to_db(jnp.asarray(S)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_mfcc_matches_numpy_oracle_end_to_end():
+    """Full-chain oracle: direct-DFT power spec -> numpy filterbank ->
+    librosa power_to_db formula -> scipy DCT-II(ortho) -> lifter."""
+    from scipy.fftpack import dct as scipy_dct
+    rng = np.random.default_rng(4)
+    sr, n_fft, hop, n_mels, n_mfcc, lifter = 16000, 64, 16, 10, 6, 22
+    y = rng.standard_normal(300).astype(np.float32)
+
+    spec = _dft_power_oracle(y.astype(np.float64), n_fft, hop)
+    fb = mel.mel_filterbank(sr, n_fft, n_mels).astype(np.float64)
+    mel_power = spec @ fb.T
+    log_spec = 10.0 * np.log10(np.maximum(1e-10, mel_power))
+    db = np.maximum(log_spec, log_spec.max() - 80.0)
+    want = scipy_dct(db, type=2, axis=-1, norm="ortho")[:, :n_mfcc]
+    want *= 1.0 + (lifter / 2.0) * np.sin(
+        np.pi * (1.0 + np.arange(n_mfcc)) / lifter)
+
+    got = np.asarray(mel.mfcc(jnp.asarray(y), sr=sr, n_fft=n_fft, hop=hop,
+                              n_mels=n_mels, n_mfcc=n_mfcc, lifter=lifter))
+    assert got.shape == (1 + len(y) // hop, n_mfcc)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_mfcc_no_lifter_default():
+    rng = np.random.default_rng(5)
+    y = rng.standard_normal(256).astype(np.float32)
+    a = np.asarray(mel.mfcc(jnp.asarray(y), n_fft=64, hop=32, n_mels=8,
+                            n_mfcc=4))
+    b = np.asarray(mel.mfcc(jnp.asarray(y), n_fft=64, hop=32, n_mels=8,
+                            n_mfcc=4, lifter=0))
+    np.testing.assert_allclose(a, b)
