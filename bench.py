@@ -73,23 +73,36 @@ def make_wavs(seed=0, n_utts=3 * N_SPEAKERS, mean_s=5.0):
 # ---------------------------------------------------------------------------
 
 
-def bench_extraction_tpu(wavs, passes=2):
+def _pass_stats(dts):
+    """Median + spread over repeated timed passes of a relay-bound stage.
+
+    The host<->device relay's bandwidth is volatile session-to-session
+    (measured 16-900 MB/s) and its latency spikes within a session, so a
+    single draw is weather, not capability: the reported value is the
+    MEDIAN of N passes and every line carries min/max so round-over-round
+    comparisons can tell regression from weather."""
+    dts = sorted(float(d) for d in dts)
+    n = len(dts)
+    med = (dts[n // 2] if n % 2 else 0.5 * (dts[n // 2 - 1] + dts[n // 2]))
+    return {"median_s": med, "min_s": dts[0], "max_s": dts[-1], "passes": n}
+
+
+def bench_extraction_tpu(wavs, passes=3):
     from icassp2022_depression_tpu.frontend import audio
 
     cfg = audio.FrontendConfig()
     # warm pass covers every bucket shape (compiles are one-time and
-    # persisted; steady-state throughput is the metric).  The relay's
-    # round-trip latency is volatile run-to-run, so take the best of
-    # ``passes`` timed passes — the steady-state capability, not one
-    # draw of relay noise.
+    # persisted; steady-state throughput is the metric), then
+    # median-of-``passes`` timed passes (see _pass_stats).
     audio.extract_batch(wavs, [SR] * len(wavs), cfg)
-    dt = float("inf")
+    dts = []
     for _ in range(passes):
         t0 = time.time()
         out = audio.extract_batch(wavs, [SR] * len(wavs), cfg)
-        dt = min(dt, time.time() - t0)
+        dts.append(time.time() - t0)
     assert out.shape == (len(wavs), cfg.netvlad_output_dim)
-    return len(wavs) / dt, dt
+    stats = _pass_stats(dts)
+    return len(wavs) / stats["median_s"], stats
 
 
 def _numpy_logmel(w, fb, win):
@@ -428,7 +441,7 @@ def bench_lstmp_hbm_utilization(b=64, t_short=64, t_long=512, reps=4,
     return bw / peak_bytes_s, bw / 1e9, step_s * 1e6
 
 
-def bench_serving(batch=32, seconds=4.0, repeats=8):
+def bench_serving(batch=32, seconds=4.0, repeats=8, passes=3):
     """End-to-end serving: raw wav -> features -> model forward through
     the public Predictor, plus the content-addressed cache-hit path.
 
@@ -436,8 +449,10 @@ def bench_serving(batch=32, seconds=4.0, repeats=8):
     but any serving built on it is bounded by its feature-extraction cost
     — a fresh TF1 graph per utterance, 3 utterances/speaker (~0.2 s/utt
     => ~0.6 s/speaker ~ 1.7 speakers/s; the 12-sample subprocess
-    measurement above).  Returns
-    (speakers_per_s, cold_s, repeat_ms)."""
+    measurement above).  Cold throughput is relay-bound (raw PCM upload),
+    so it is the median of ``passes`` passes over distinct uncached
+    content (see _pass_stats).  Returns
+    (speakers_per_s, cold_stats, repeat_ms)."""
     import jax
 
     from icassp2022_depression_tpu import config as C
@@ -456,18 +471,22 @@ def bench_serving(batch=32, seconds=4.0, repeats=8):
     waves = [s[0] for s in speakers]
     srs = [s[1] for s in speakers]
     p.predict_batch(waves, srs)          # warm: compiles + caches features
-    fresh = [speaker(1000 + i) for i in range(batch)]   # uncached content
-    t0 = time.time()
-    out = p.predict_batch([s[0] for s in fresh], [s[1] for s in fresh])
-    cold_s = time.time() - t0
-    assert len(out) == batch
+    dts = []
+    for pass_i in range(passes):
+        fresh = [speaker(1000 * (pass_i + 1) + i)   # uncached content
+                 for i in range(batch)]
+        t0 = time.time()
+        out = p.predict_batch([s[0] for s in fresh], [s[1] for s in fresh])
+        dts.append(time.time() - t0)
+        assert len(out) == batch
+    stats = _pass_stats(dts)
     # repeat-speaker latency: cache-hit path (features memoised)
     p.predict_speaker(waveforms=waves[0], sample_rates=srs[0])
     t0 = time.time()
     for _ in range(repeats):
         p.predict_speaker(waveforms=waves[0], sample_rates=srs[0])
     repeat_ms = (time.time() - t0) / repeats * 1000.0
-    return batch / cold_s, cold_s, repeat_ms
+    return batch / stats["median_s"], stats, repeat_ms
 
 
 # ---------------------------------------------------------------------------
@@ -704,7 +723,8 @@ def main():
     # TF never contends with the JAX TPU client; mean +- spread recorded);
     # the (far stronger) NumPy oracle goes to stderr and anchors the
     # conservative end-to-end baseline below
-    tpu_utts, tpu_ext_s = bench_extraction_tpu(wavs)
+    tpu_utts, ext_stats = bench_extraction_tpu(wavs)
+    tpu_ext_s = ext_stats["median_s"]
     np_utts, np_ext_s = bench_extraction_numpy(wavs)
     ref_extra = {}
     ref_per_utt_mean = None
@@ -723,6 +743,12 @@ def main():
               "vs_baseline anchored to the NumPy oracle instead",
               file=sys.stderr)
     emit("extraction_throughput", tpu_utts, "utt/s", tpu_utts / ref_utts,
+         passes=ext_stats["passes"],
+         utts_min=round(len(wavs) / ext_stats["max_s"], 2),
+         utts_max=round(len(wavs) / ext_stats["min_s"], 2),
+         pass_s=[round(ext_stats["min_s"], 3),
+                 round(ext_stats["median_s"], 3),
+                 round(ext_stats["max_s"], 3)],
          **ref_extra)
 
     # trainers
@@ -773,12 +799,15 @@ def main():
     # reference's design (TF graph per utterance, ~1.7 speakers/s);
     # fallback uses the same 1/(3 x 0.2 s/utt) formula so the ratio
     # keeps its meaning when the TF subprocess is unavailable
-    serve_sps, _, repeat_ms = bench_serving()
+    serve_sps, serve_stats, repeat_ms = bench_serving()
     ref_serve_sps = (1.0 / (3.0 * ref_per_utt_mean)
                      if ref_per_utt_mean else 1.0 / (3.0 * 0.2))
     emit("serving_throughput", serve_sps, "speakers/s",
          serve_sps / ref_serve_sps, floor=2.0,
          meets_floor=bool(serve_sps >= 2.0),
+         passes=serve_stats["passes"],
+         sps_min=round(32 / serve_stats["max_s"], 2),
+         sps_max=round(32 / serve_stats["min_s"], 2),
          repeat_speaker_ms=round(repeat_ms, 1))
 
     # headline: end-to-end pipeline (extraction + 3x169-epoch audio clf)
@@ -795,9 +824,16 @@ def main():
     tpu_e2e_vmap_s = tpu_ext_s + vmap_ms / 1000.0 * n_epochs_total
     emit("end_to_end_pipeline_vmapped", tpu_e2e_vmap_s, "s",
          cpu_e2e_s / tpu_e2e_vmap_s)
+    # spread: the training term is device-bound and stable; the relay-bound
+    # extraction term carries the weather, so the e2e min/max substitute the
+    # extraction pass extremes for its median
+    train_s = audio_ms / 1000.0 * n_epochs_total
     speedup = cpu_e2e_s / tpu_e2e_s
     emit("end_to_end_pipeline", tpu_e2e_s, "s", speedup,
-         target=5.0, meets_target=bool(speedup >= 5.0))
+         target=5.0, meets_target=bool(speedup >= 5.0),
+         min_s=round(ext_stats["min_s"] + train_s, 2),
+         max_s=round(ext_stats["max_s"] + train_s, 2),
+         ext_median_s=round(tpu_ext_s, 2), train_s=round(train_s, 2))
 
     print(f"# torch-cpu epochs ms: audio {audio_torch_ms:.0f}, "
           f"text {text_torch_ms:.0f}, fuse {fuse_torch_ms:.0f}, "

@@ -71,7 +71,8 @@ def cmd_extract_text(args):
     feats, sds, clf = text.extract_eatd(root, out_dir=out, seed=args.seed,
                                         elmo_weights=args.elmo_weights,
                                         elmo_stateful=args.elmo_stateful,
-                                        segmenter=args.segmenter)
+                                        segmenter=args.segmenter,
+                                        elmo_tp=args.elmo_tp)
     print(f"text features {feats.shape} -> {out}")
 
 
@@ -662,6 +663,11 @@ def build_parser():
                     "state carried across calls) instead of the default "
                     "deterministic zero-state mode; slower — one device "
                     "round-trip per speaker")
+    sp.add_argument("--elmo-tp", type=int, default=0,
+                    help="run the LSTMP biLM tensor-parallel over the "
+                    "first N devices (model-axis mesh, "
+                    "parallel/elmo_tp.py); results match serial up to "
+                    "collective reduction order. 0/1 = serial")
     sp.add_argument("--segmenter", default="auto",
                     help="Chinese word segmenter: auto (jieba when "
                     "importable, else the CJK fallback), jieba, fallback, "

@@ -151,16 +151,21 @@ def tokenize(text: str, use_jieba: bool = True,
 
 def embed_sentences(params, sentences: Sequence[List[str]],
                     cfg=elmo.ElmoConfig(),
-                    batch_size: int = 512) -> np.ndarray:
+                    batch_size: int = 512, encode=None) -> np.ndarray:
     """Tokenised sentences -> [N, 1024] mean-pooled embeddings, batched and
     padded to a shared token length per batch.
 
     ``cfg`` selects the encoder: :class:`..models.elmo.ElmoConfig` (plain
     BiLSTM) or :class:`..models.elmo.ElmoLstmpConfig` (the ELMo-faithful
     stacked LSTMP biLM, required when loading ELMoForManyLangs weights).
+    ``encode`` overrides the encoder callable (same signature as
+    ``elmo.encode_jit``) — used by the tensor-parallel path
+    (``parallel/elmo_tp.py::make_tp_encode``).
     """
-    encode = (elmo.encode_lstmp_jit
-              if isinstance(cfg, elmo.ElmoLstmpConfig) else elmo.encode_jit)
+    if encode is None:
+        encode = (elmo.encode_lstmp_jit
+                  if isinstance(cfg, elmo.ElmoLstmpConfig)
+                  else elmo.encode_jit)
     n = len(sentences)
     pooled_chunks = []
     for start in range(0, n, batch_size):
@@ -189,7 +194,8 @@ def embed_sentences(params, sentences: Sequence[List[str]],
 
 def make_embedder(params=None, cfg=None, seed: int = 0,
                   elmo_weights: Optional[str] = "auto",
-                  with_id: bool = False, elmo_stateful: bool = False):
+                  with_id: bool = False, elmo_stateful: bool = False,
+                  elmo_tp: int = 0):
     """Resolve the sentence embedder once -> ``(embed_fn, output_dim)``
     (plus a provenance id string with ``with_id``, recorded in extraction
     sidecars so downstream consumers can detect embedder mismatches).
@@ -204,6 +210,12 @@ def make_embedder(params=None, cfg=None, seed: int = 0,
     ``ElmobiLm``'s cross-batch statefulness instead of the default
     deterministic zero-state mode — see
     :class:`..models.elmo_pretrained.PretrainedElmo`.
+
+    ``elmo_tp`` (N > 1): run the LSTMP biLM tensor-parallel over a pure
+    model-axis mesh of the first N devices (``parallel/elmo_tp.py``) —
+    results match the serial encoder up to collective reduction order.
+    Applies to the pretrained bundle and to explicit/PRNG LSTMP encoders;
+    the plain ``ElmoConfig`` BiLSTM has no TP layout and raises.
     """
     from icassp2022_depression_tpu.models import elmo_pretrained
 
@@ -212,11 +224,32 @@ def make_embedder(params=None, cfg=None, seed: int = 0,
 
     if cfg is None:
         cfg = elmo.ElmoConfig()
+    tp_mesh = None
+    if elmo_tp and elmo_tp > 1:
+        from icassp2022_depression_tpu.parallel import elmo_tp as tp_mod
+
+        tp_mesh = tp_mod.model_mesh(elmo_tp)
+
+    def lstmp_tp_encode(lstmp_params, lstmp_cfg):
+        from icassp2022_depression_tpu.parallel import elmo_tp as tp_mod
+
+        if not isinstance(lstmp_cfg, elmo.ElmoLstmpConfig):
+            raise ValueError(
+                "--elmo-tp shards the stacked LSTMP biLM; the plain "
+                "ElmoConfig BiLSTM has no tensor-parallel layout (use "
+                "ElmoLstmpConfig or a converted bundle)")
+        return tp_mod.make_tp_encode(tp_mesh, lstmp_params, lstmp_cfg)
+
     if params is not None:
         if elmo_stateful:
             raise ValueError("elmo_stateful requires a converted "
                              "ELMoForManyLangs bundle (explicit params "
                              "use the stateless encoder)")
+        if tp_mesh is not None:
+            encode = lstmp_tp_encode(params, cfg)
+            return ret(lambda s: embed_sentences(params, s, cfg,
+                                                 encode=encode),
+                       cfg.output_dim, f"explicit-params:tp={elmo_tp}")
         return ret(lambda s: embed_sentences(params, s, cfg),
                    cfg.output_dim, "explicit-params")
     found = None
@@ -237,6 +270,9 @@ def make_embedder(params=None, cfg=None, seed: int = 0,
         ident = f"elmo_bundle:{Path(found).name}:{Path(found).stat().st_size}"
         if elmo_stateful:
             ident += ":stateful"
+        if tp_mesh is not None:
+            pretrained.enable_tp(tp_mesh)
+            ident += f":tp={elmo_tp}"
         return ret(pretrained.embed_sentences, pretrained.output_dim, ident)
     if isinstance(cfg, elmo.ElmoLstmpConfig):
         params = elmo.init_lstmp_encoder(jax.random.PRNGKey(seed), cfg)
@@ -245,6 +281,10 @@ def make_embedder(params=None, cfg=None, seed: int = 0,
         params = elmo.init(jax.random.PRNGKey(seed), cfg)
         kind = "prng"
     warn_standin_encoder()
+    if tp_mesh is not None:
+        encode = lstmp_tp_encode(params, cfg)
+        return ret(lambda s: embed_sentences(params, s, cfg, encode=encode),
+                   cfg.output_dim, f"{kind}:seed={seed}:tp={elmo_tp}")
     return ret(lambda s: embed_sentences(params, s, cfg), cfg.output_dim,
                f"{kind}:seed={seed}")
 
@@ -286,7 +326,7 @@ def extract_eatd(root: Path, params=None,
                  sds_threshold: float = 53.0,
                  elmo_weights: Optional[str] = "auto",
                  elmo_stateful: bool = False,
-                 segmenter: str = "auto"):
+                 segmenter: str = "auto", elmo_tp: int = 0):
     """Full EATD text pass -> ([N, 3, 1024] features, sds, clf labels).
 
     ``elmo_weights``: path to a converted ELMoForManyLangs bundle
@@ -299,7 +339,8 @@ def extract_eatd(root: Path, params=None,
     """
     embed, dim, embedder_id = make_embedder(params, cfg, seed,
                                             elmo_weights, with_id=True,
-                                            elmo_stateful=elmo_stateful)
+                                            elmo_stateful=elmo_stateful,
+                                            elmo_tp=elmo_tp)
     sentences: List[List[str]] = []
     sds: List[float] = []
     for sp in eatd.iter_speakers(root, max_id=max_id, read_text=True):

@@ -191,6 +191,9 @@ class PretrainedElmo:
     stateful: bool = False
     _states: Optional[tuple] = dataclasses.field(
         default=None, init=False, repr=False, compare=False)
+    #: (mesh, axis, sharded encoder params) once :meth:`enable_tp` ran
+    _tp: Optional[tuple] = dataclasses.field(
+        default=None, init=False, repr=False, compare=False)
 
     @property
     def output_dim(self) -> int:
@@ -199,6 +202,22 @@ class PretrainedElmo:
     def reset_states(self) -> None:
         """Forget carried biLM states (fresh-process behaviour)."""
         self._states = None
+
+    def enable_tp(self, mesh, axis: str = "model") -> None:
+        """Run the biLM tensor-parallel over ``mesh``'s ``axis``
+        (``parallel/elmo_tp.py``): encoder weights are sharded once here;
+        subsequent :meth:`embed_sentences` calls use the TP program
+        (stateless mode only — the stateful emulation's cross-batch state
+        carry is inherently serial)."""
+        if self.stateful:
+            raise ValueError("tensor-parallel biLM is stateless-only "
+                             "(--elmo-stateful carries cross-batch state "
+                             "serially); drop one of the two flags")
+        from icassp2022_depression_tpu.parallel import elmo_tp
+
+        self._tp = (mesh, axis,
+                    elmo_tp.shard_encoder_params(mesh, self.enc_params,
+                                                 axis))
 
     def embed_sentences(self, sentences: Sequence[Sequence[str]],
                         batch_size: Optional[int] = None) -> np.ndarray:
@@ -233,10 +252,20 @@ class PretrainedElmo:
             char_ids, word_ids, lengths = build_batch(
                 chunk, self.char_lexicon, self.word_lexicon,
                 self.char_cfg.max_chars, pad_to=pad_to)
-            _, pooled = _encode_pooled_jit(
-                self.cc_params, self.enc_params, jnp.asarray(char_ids),
-                None if word_ids is None else jnp.asarray(word_ids),
-                jnp.asarray(lengths), self.char_cfg, self.lstmp_cfg)
+            if self._tp is not None:
+                from icassp2022_depression_tpu.parallel import elmo_tp
+
+                mesh, axis, enc_tp = self._tp
+                pooled = elmo_tp.encode_pooled_tp(
+                    mesh, self.cc_params, enc_tp, jnp.asarray(char_ids),
+                    None if word_ids is None else jnp.asarray(word_ids),
+                    jnp.asarray(lengths), self.char_cfg, self.lstmp_cfg,
+                    axis)
+            else:
+                _, pooled = _encode_pooled_jit(
+                    self.cc_params, self.enc_params, jnp.asarray(char_ids),
+                    None if word_ids is None else jnp.asarray(word_ids),
+                    jnp.asarray(lengths), self.char_cfg, self.lstmp_cfg)
             pooled_chunks.append(pooled[:real])
         # dispatch all chunks, read back once (relay-latency-bound)
         return hostio.gather_chunks(pooled_chunks, n, self.output_dim)

@@ -148,3 +148,74 @@ def encode_lstmp_from_reps_tp(mesh: Mesh, params_tp: dict,
     rep, pooled, _ = elmo_mod.bilm_stack(params_tp["layers"], token_reps,
                                          lengths, direction)
     return rep, pooled
+
+
+# ---------------------------------------------------------------------------
+# Product-path entry points (`extract-text --elmo-tp N`)
+# ---------------------------------------------------------------------------
+
+
+def model_mesh(n_devices: int, devices=None) -> Mesh:
+    """A pure model-parallel ``(data=1, model=n)`` mesh over the first
+    ``n_devices`` available devices — the mesh `extract-text --elmo-tp N`
+    builds (on a virtual CPU mesh under tests/dry-runs, real chips on a
+    pod)."""
+    from icassp2022_depression_tpu.parallel import mesh as mesh_mod
+
+    return mesh_mod.make_mesh(n_devices, model_parallel=n_devices,
+                              devices=devices)
+
+
+@functools.lru_cache(maxsize=16)
+def _pooled_tp_runner(mesh: Mesh, axis: str, char_cfg, lstmp_cfg):
+    """Jitted (once per mesh/axis/geometry) full pretrained-text TP
+    program: replicated char-CNN token embedder -> TP biLM -> interior
+    (BOS/EOS-stripped) token mean — the tensor-parallel twin of
+    ``models/elmo_pretrained.py::encode_pooled``."""
+    from icassp2022_depression_tpu.models import char_cnn, elmo_pretrained
+
+    def fn(cc_params, enc_tp, char_ids, word_ids, lengths):
+        reps = char_cnn.embed_tokens(cc_params, char_ids, char_cfg,
+                                     word_ids)
+        rep, _ = encode_lstmp_from_reps_tp(mesh, enc_tp, reps, lengths,
+                                           lstmp_cfg, axis)
+        return elmo_pretrained._interior_mean(rep, lengths)
+
+    return jax.jit(fn)
+
+
+def encode_pooled_tp(mesh: Mesh, cc_params, enc_tp, char_ids, word_ids,
+                     lengths, char_cfg, lstmp_cfg, axis: str = "model"):
+    """ids -> pooled [B, 2P] through the TP biLM (see _pooled_tp_runner)."""
+    run = _pooled_tp_runner(mesh, axis, char_cfg, lstmp_cfg)
+    return run(cc_params, enc_tp, char_ids, word_ids, lengths)
+
+
+@functools.lru_cache(maxsize=16)
+def _hashed_tp_runner(mesh: Mesh, axis: str, cfg):
+    """Jitted TP twin of ``models/elmo.py::encode_lstmp`` (hashed-token
+    embedding path — the PRNG stand-in / explicit-params encoders)."""
+
+    def fn(embed, enc_tp, token_ids, lengths):
+        reps = embed[token_ids]
+        return encode_lstmp_from_reps_tp(mesh, enc_tp, reps, lengths, cfg,
+                                         axis)
+
+    return jax.jit(fn)
+
+
+def make_tp_encode(mesh: Mesh, params: dict, cfg, axis: str = "model"):
+    """Build an ``encode(params, ids, lengths, cfg) -> (rep?, pooled)``
+    drop-in for ``frontend.text.embed_sentences`` that runs the biLM
+    tensor-parallel over ``axis``.  ``params`` is a serial
+    ``models/elmo.py`` LSTMP param tree (with its ``embed`` table); the
+    encoder weights are sharded ONCE here."""
+    enc_tp = shard_encoder_params(mesh, params, axis)
+    embed = params["embed"]
+    run = _hashed_tp_runner(mesh, axis, cfg)
+
+    def encode(_params, token_ids, lengths, _cfg):
+        rep, pooled = run(embed, enc_tp, token_ids, lengths)
+        return rep, pooled
+
+    return encode

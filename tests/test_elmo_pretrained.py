@@ -348,6 +348,32 @@ def test_extract_eatd_autoloads_bundle(model_dir, tmp_path, monkeypatch):
     assert feats_stub.shape[2] == 1024
 
 
+def test_extract_eatd_elmo_tp_matches_serial(model_dir, tmp_path,
+                                             monkeypatch):
+    """`extract-text --elmo-tp N` with a converted bundle: the TP biLM
+    produces the same features as the serial encoder (CELL=32 shards 4-way
+    on the virtual mesh)."""
+    import jax
+
+    from icassp2022_depression_tpu.data import eatd
+    from icassp2022_depression_tpu.frontend import text as text_fe
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    root, *_ = model_dir
+    pe = elmo_pretrained.convert_model_dir(root)
+    bundle = tmp_path / "elmo_small.npz"
+    elmo_pretrained.save_npz(bundle, pe)
+
+    corpus = tmp_path / "corpus"
+    eatd.make_synthetic_corpus(corpus, n_data=2, n_validation=1,
+                               seconds=0.2)
+    monkeypatch.setenv("ICASSP_ELMO_WEIGHTS", str(bundle))
+    want, *_ = text_fe.extract_eatd(corpus)
+    got, *_ = text_fe.extract_eatd(corpus, elmo_tp=4)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_extract_eatd_stateful_mode(model_dir, tmp_path, monkeypatch):
     """--elmo-stateful: one embed call per speaker with carried state —
     later speakers' embeddings shift (corpus-order dependence), the first
