@@ -845,6 +845,78 @@ def main():
           f"{elmo_torch_sps:.1f} sent/s", file=sys.stderr)
 
 
+def scaling_child(epochs: int = 40, n_speakers: int = 486) -> None:
+    """``--scaling``: virtual-mesh scaling evidence for the sharded
+    whole-fold programs (SURVEY §5 distributed backend, *performance*).
+
+    Forces CPU + 8 virtual XLA devices (the same substitute for a pod the
+    tests use), inflates the synthetic corpus 3x, and times the SAME
+    3-fold audio-clf workload four ways: serial folds, vmapped folds
+    (1 device), fold-parallel (3 devices), fold x DP (3x2 = 6 devices).
+    Each config is warmed (compile) then timed on a second full run.
+
+    Interpretation depends on the host: with >= 3 real cores the
+    fold-parallel wall-clock should approach 1/3 of serial (the sharded
+    program runs folds concurrently); on a 1-core host (this sandbox) all
+    virtual devices timeshare one core, so the expected signal is
+    *parity* — equal wall-clock proves the sharded programs add no
+    serialization or collective overhead beyond the compute itself.  The
+    emitted lines carry ``host_cores`` so readers can tell which regime
+    produced them.
+    """
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    import dataclasses
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) >= 8
+
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu.data import folds
+    from icassp2022_depression_tpu.train import trainers
+
+    cores = os.cpu_count() or 1
+    tcfg = dataclasses.replace(C.AUDIO_CLF, epochs=epochs)
+    features, targets = make_data(
+        n=n_speakers, n_dep=int(n_speakers * N_DEP / N_SPEAKERS))
+    tf = folds.generate_clf_folds(targets, 3, seed=0)
+
+    def timed(**kw):
+        trainers.train_audio_clf(features, targets, tf, tcfg, seed=0,
+                                 **kw)   # warm: trace + compile
+        t0 = time.time()
+        trainers.train_audio_clf(features, targets, tf, tcfg, seed=0,
+                                 **kw)
+        return time.time() - t0
+
+    serial_s = timed()
+    configs = [
+        ("fold_scaling_vmap", {"vmap_folds": True}, 1),
+        ("fold_scaling_fold_parallel", {"fold_parallel": True}, 3),
+        ("fold_scaling_fold_dp",
+         {"fold_parallel": True, "data_parallel": 2}, 6),
+    ]
+    print(json.dumps({"metric": "fold_scaling_serial",
+                      "value": round(serial_s, 2), "unit": "s",
+                      "vs_baseline": 1.0, "devices": 1,
+                      "host_cores": cores, "epochs": epochs,
+                      "n_speakers": n_speakers}), flush=True)
+    for name, kw, devices in configs:
+        dt = timed(**kw)
+        print(json.dumps({"metric": name, "value": round(dt, 2),
+                          "unit": "s",
+                          "vs_baseline": round(serial_s / dt, 2),
+                          "devices": devices, "host_cores": cores}),
+              flush=True)
+
+
 def tf_baseline_child(n_utts: int) -> None:
     """Child mode (``--tf-baseline N``): run the reference-TF extraction
     baseline in this fresh process and print per-utterance times as the
@@ -861,5 +933,9 @@ if __name__ == "__main__":
         if len(sys.argv) < 3 or not sys.argv[2].isdigit():
             sys.exit("usage: bench.py --tf-baseline N   (N = sample count)")
         tf_baseline_child(int(sys.argv[2]))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--scaling":
+        if len(sys.argv) >= 3 and not sys.argv[2].isdigit():
+            sys.exit("usage: bench.py --scaling [EPOCHS]")
+        scaling_child(*([int(sys.argv[2])] if len(sys.argv) >= 3 else []))
     else:
         main()
