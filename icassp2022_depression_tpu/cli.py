@@ -453,10 +453,69 @@ def check_parity_bands(report: dict):
     return rc, rows
 
 
+#: BASELINE.md table rows: (report key, metric label, reference fold
+#: values per published checkpoint set, source file:line under
+#: /root/reference/DepressionCollected/).  fuse_mae has no published
+#: per-fold values — only the save floor — so it reports informationally.
+PARITY_TABLE_ROWS = (
+    ("audio_f1", "Audio GRU clf F1, 3 folds",
+     ((0.67, 0.67, 0.63), (0.63, 0.65, 0.60)),
+     "Classification/fuse_net_whole.py:525; FuseModelChecking.py:11"),
+    ("text_f1", "Text BiLSTM clf F1, 3 folds",
+     ((0.64, 0.66, 0.62), (0.67, 0.66, 0.66)),
+     "Classification/fuse_net_whole.py:524; FuseModelChecking.py:10"),
+    ("fuse_f1", "Fusion clf F1, 3 folds", ((0.69, 0.68, 0.62),),
+     "Classification/FuseModelChecking.py:12"),
+    ("audio_mae", "Audio reg SDS MAE, 3 folds", ((7.60, 8.38, 8.25),),
+     "Regression/fuse_net.py:34"),
+    ("text_mae", "Text reg SDS MAE, 3 folds", ((7.75, 8.46, 8.01),),
+     "Regression/fuse_net.py:33"),
+    ("fuse_mae", "Fusion reg SDS MAE (save floor < 8.2)", None,
+     "Regression/fuse_net.py:448"),
+)
+
+
+def _fmt_folds(vals) -> str:
+    """BASELINE.md value style: ``0.69 / 0.68 / 0.62 (mean ~ 0.663)``."""
+    mean = sum(vals) / len(vals)
+    return (" / ".join(f"{v:.2f}" for v in vals)
+            + f" (mean ≈ {mean:.3f})")
+
+
+def parity_report_markdown(report: dict) -> str:
+    """Render a fold-metric report as the BASELINE.md-format acceptance
+    table: one row per published reference metric with this build's
+    per-fold values + mean side-by-side with the reference's, and a
+    PASS/FLAG status from :func:`check_parity_bands`'s rules (rows
+    without a band — fuse_mae — report ``info``).  Missing report keys
+    render as ``(not measured)`` so a partial run still yields the full
+    checklist."""
+    _, band_rows = check_parity_bands(report)
+    status_by_key = {key: in_band for key, *_r, in_band in band_rows}
+    lines = [
+        "| Metric | This build | Reference | Source (file:line) | Status |",
+        "|---|---|---|---|---|",
+    ]
+    for key, label, ref_sets, source in PARITY_TABLE_ROWS:
+        vals = report.get(key)
+        ours = _fmt_folds(vals) if vals else "(not measured)"
+        ref = ("; ".join(_fmt_folds(rs) for rs in ref_sets)
+               if ref_sets else "save floor < 8.2, no published folds")
+        if not vals:
+            status = "—"
+        elif key in status_by_key:
+            status = "PASS" if status_by_key[key] else "FLAG"
+        else:
+            status = "info"
+        lines.append(f"| {label} | {ours} | {ref} | {source} | {status} |")
+    return "\n".join(lines)
+
+
 def cmd_parity(args):
     """Real-corpus parity report: run both tracks with the reference
     configurations unchanged and print per-fold + mean metrics against
-    BASELINE.md's bands.  Everything else (idx files, pretrained ELMo
+    BASELINE.md's bands, as the BASELINE.md-format markdown acceptance
+    table.  Everything else (idx files, pretrained ELMo
     bundle) is picked up automatically when present.  ``--from-report``
     skips training and re-checks the bands on a saved report JSON (the
     first line this command prints)."""
@@ -475,12 +534,8 @@ def cmd_parity(args):
                                     fold_parallel=False, data_parallel=1)
             report.update(_pipeline_summary(ns))
     print(json.dumps(report))
-    rc, rows = check_parity_bands(report)
-    print(f"{'metric':<10} {'folds':<28} {'mean':>7}  reference band")
-    for key, vals, mean, (lo, hi), in_band in rows:
-        flag = "" if in_band else "  <-- outside band"
-        print(f"{key:<10} {str([round(v, 3) for v in vals]):<28} "
-              f"{mean:7.3f}  [{lo}, {hi}]{flag}")
+    rc, _rows = check_parity_bands(report)
+    print(parity_report_markdown(report))
     print("PARITY: " + ("PASS" if rc == 0 else "FAIL"))
     return rc
 

@@ -104,7 +104,7 @@ def test_parity_from_report_cli_both_exit_codes(tmp_path, capsys):
     rc = cli.main(["parity", "--from-report", str(good)])
     out = capsys.readouterr().out
     assert rc == 0
-    assert "PARITY: PASS" in out and "outside band" not in out
+    assert "PARITY: PASS" in out and "FLAG" not in out
 
     bad = tmp_path / "bad.json"
     bad.write_text(json.dumps(dict(_in_band_report(),
@@ -112,7 +112,44 @@ def test_parity_from_report_cli_both_exit_codes(tmp_path, capsys):
     rc = cli.main(["parity", "--from-report", str(bad)])
     out = capsys.readouterr().out
     assert rc == 1
-    assert "PARITY: FAIL" in out and out.count("outside band") == 1
+    assert "PARITY: FAIL" in out and out.count("| FLAG |") == 1
+
+
+def test_parity_report_markdown_golden():
+    """Golden format check: the acceptance table is the BASELINE.md
+    markdown layout row-for-row — per-fold values + mean in the
+    reference's own style, source citations, PASS/FLAG per banded row,
+    info/— for floor-only and unmeasured rows."""
+    report = dict(_in_band_report(), audio_f1=[0.30, 0.35, 0.32],
+                  fuse_mae=[8.0, 8.1, 7.9])
+    del report["text_mae"]
+    got = cli.parity_report_markdown(report)
+    want = "\n".join([
+        "| Metric | This build | Reference | Source (file:line) | Status |",
+        "|---|---|---|---|---|",
+        "| Audio GRU clf F1, 3 folds | 0.30 / 0.35 / 0.32 (mean ≈ 0.323) "
+        "| 0.67 / 0.67 / 0.63 (mean ≈ 0.657); 0.63 / 0.65 / 0.60 "
+        "(mean ≈ 0.627) | Classification/fuse_net_whole.py:525; "
+        "FuseModelChecking.py:11 | FLAG |",
+        "| Text BiLSTM clf F1, 3 folds | 0.62 / 0.64 / 0.66 "
+        "(mean ≈ 0.640) | 0.64 / 0.66 / 0.62 (mean ≈ 0.640); "
+        "0.67 / 0.66 / 0.66 (mean ≈ 0.663) | "
+        "Classification/fuse_net_whole.py:524; FuseModelChecking.py:10 "
+        "| PASS |",
+        "| Fusion clf F1, 3 folds | 0.64 / 0.66 / 0.68 (mean ≈ 0.660) "
+        "| 0.69 / 0.68 / 0.62 (mean ≈ 0.663) | "
+        "Classification/FuseModelChecking.py:12 | PASS |",
+        "| Audio reg SDS MAE, 3 folds | 7.90 / 8.10 / 8.00 "
+        "(mean ≈ 8.000) | 7.60 / 8.38 / 8.25 (mean ≈ 8.077) | "
+        "Regression/fuse_net.py:34 | PASS |",
+        "| Text reg SDS MAE, 3 folds | (not measured) | "
+        "7.75 / 8.46 / 8.01 (mean ≈ 8.073) | Regression/fuse_net.py:33 "
+        "| — |",
+        "| Fusion reg SDS MAE (save floor < 8.2) | 8.00 / 8.10 / 7.90 "
+        "(mean ≈ 8.000) | save floor < 8.2, no published folds | "
+        "Regression/fuse_net.py:448 | info |",
+    ])
+    assert got == want
 
 
 def test_parity_requires_root_or_report():
