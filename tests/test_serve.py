@@ -838,3 +838,17 @@ def test_empty_speaker_batch_is_valid():
     p = serve.Predictor(params, "audio_clf")
     assert p.predict_batch([], []) == []
     assert p.audio_features([], []).shape == (0, 3, 256)
+
+
+def test_serve_facade_reexports_full_surface():
+    """serve.py is a thin re-export over serving/{predictors,transport} —
+    every public (and test-used private) name must resolve to the split
+    modules so the facade cannot silently drift from the implementation."""
+    from icassp2022_depression_tpu.serving import predictors, transport
+
+    for name in ("TASKS", "Predictor", "DaicPredictor", "_FeatureCache",
+                 "_format_outputs", "_model_for", "_pow2"):
+        assert getattr(serve, name) is getattr(predictors, name)
+    for name in ("ServerOverloaded", "LatencyHistogram", "_MicroBatcher",
+                 "_DaicMicroBatcher", "make_http_server", "serve_http"):
+        assert getattr(serve, name) is getattr(transport, name)
