@@ -441,7 +441,10 @@ def bench_lstmp_hbm_utilization(b=64, t_short=64, t_long=512, reps=4,
     return bw / peak_bytes_s, bw / 1e9, step_s * 1e6
 
 
-def bench_serving(batch=32, seconds=4.0, repeats=8, passes=3):
+SERVE_BATCH = 32
+
+
+def bench_serving(batch=SERVE_BATCH, seconds=4.0, repeats=8, passes=3):
     """End-to-end serving: raw wav -> features -> model forward through
     the public Predictor, plus the content-addressed cache-hit path.
 
@@ -806,8 +809,8 @@ def main():
          serve_sps / ref_serve_sps, floor=2.0,
          meets_floor=bool(serve_sps >= 2.0),
          passes=serve_stats["passes"],
-         sps_min=round(32 / serve_stats["max_s"], 2),
-         sps_max=round(32 / serve_stats["min_s"], 2),
+         sps_min=round(SERVE_BATCH / serve_stats["max_s"], 2),
+         sps_max=round(SERVE_BATCH / serve_stats["min_s"], 2),
          repeat_speaker_ms=round(repeat_ms, 1))
 
     # headline: end-to-end pipeline (extraction + 3x169-epoch audio clf)

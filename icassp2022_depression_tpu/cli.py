@@ -179,7 +179,10 @@ def _text_meta(text_dir: Path):
     p = text_dir / "extraction_meta.json"
     if p.exists():
         meta = json.loads(p.read_text())
-        return {"text_embedder": meta.get("embedder")}
+        extras = {"text_embedder": meta.get("embedder")}
+        if meta.get("segmenter"):
+            extras["text_segmenter"] = meta["segmenter"]
+        return extras
     return None
 
 
@@ -482,15 +485,18 @@ def _fmt_folds(vals) -> str:
             + f" (mean ≈ {mean:.3f})")
 
 
-def parity_report_markdown(report: dict) -> str:
+def parity_report_markdown(report: dict, band_rows=None) -> str:
     """Render a fold-metric report as the BASELINE.md-format acceptance
     table: one row per published reference metric with this build's
     per-fold values + mean side-by-side with the reference's, and a
     PASS/FLAG status from :func:`check_parity_bands`'s rules (rows
     without a band — fuse_mae — report ``info``).  Missing report keys
     render as ``(not measured)`` so a partial run still yields the full
-    checklist."""
-    _, band_rows = check_parity_bands(report)
+    checklist.  ``band_rows`` passes a precomputed
+    :func:`check_parity_bands` result so callers evaluate the bands
+    exactly once."""
+    if band_rows is None:
+        _, band_rows = check_parity_bands(report)
     status_by_key = {key: in_band for key, *_r, in_band in band_rows}
     lines = [
         "| Metric | This build | Reference | Source (file:line) | Status |",
@@ -534,8 +540,8 @@ def cmd_parity(args):
                                     fold_parallel=False, data_parallel=1)
             report.update(_pipeline_summary(ns))
     print(json.dumps(report))
-    rc, _rows = check_parity_bands(report)
-    print(parity_report_markdown(report))
+    rc, rows = check_parity_bands(report)
+    print(parity_report_markdown(report, rows))
     print("PARITY: " + ("PASS" if rc == 0 else "FAIL"))
     return rc
 
@@ -591,6 +597,10 @@ def _embedder_kw(args) -> dict:
         if getattr(args, "pca_params", None):
             kw["vggish_postprocessor"] = vggish.load_pca_params(
                 args.pca_params)
+    # explicit segmenter override (default: from_checkpoint adopts the
+    # one recorded in the checkpoint's text_segmenter sidecar field)
+    if getattr(args, "segmenter", None):
+        kw["segmenter"] = args.segmenter
     return kw
 
 
@@ -841,6 +851,10 @@ def build_parser():
     sp.add_argument("--pca-params",
                     help="with --audio-embedder vggish: the SAME PCA "
                          "postprocessor extraction used")
+    sp.add_argument("--segmenter", default=None,
+                    help="override the text segmenter (default: adopt "
+                         "the one recorded by the checkpoint's training "
+                         "features)")
     sp.set_defaults(fn=cmd_predict)
 
     sp = sub.add_parser("predict-daic",
@@ -909,6 +923,10 @@ def build_parser():
     sp.add_argument("--pca-params",
                     help="with --audio-embedder vggish: the SAME PCA "
                          "postprocessor extraction used")
+    sp.add_argument("--segmenter", default=None,
+                    help="override the text segmenter (default: adopt "
+                         "the one recorded by the checkpoint's training "
+                         "features)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("baselines", help="sklearn baselines")

@@ -246,10 +246,15 @@ def make_embedder(params=None, cfg=None, seed: int = 0,
                              "ELMoForManyLangs bundle (explicit params "
                              "use the stateless encoder)")
         if tp_mesh is not None:
+            # NOTE: the provenance id stays byte-identical to the serial
+            # encoder's — TP is an execution strategy, not a semantic
+            # change (results match serial; tests/test_elmo_tp.py), and
+            # serving compares ids byte-for-byte against extraction
+            # sidecars to detect feature mismatches.
             encode = lstmp_tp_encode(params, cfg)
             return ret(lambda s: embed_sentences(params, s, cfg,
                                                  encode=encode),
-                       cfg.output_dim, f"explicit-params:tp={elmo_tp}")
+                       cfg.output_dim, "explicit-params")
         return ret(lambda s: embed_sentences(params, s, cfg),
                    cfg.output_dim, "explicit-params")
     found = None
@@ -271,8 +276,7 @@ def make_embedder(params=None, cfg=None, seed: int = 0,
         if elmo_stateful:
             ident += ":stateful"
         if tp_mesh is not None:
-            pretrained.enable_tp(tp_mesh)
-            ident += f":tp={elmo_tp}"
+            pretrained.enable_tp(tp_mesh)   # id unchanged: TP == serial
         return ret(pretrained.embed_sentences, pretrained.output_dim, ident)
     if isinstance(cfg, elmo.ElmoLstmpConfig):
         params = elmo.init_lstmp_encoder(jax.random.PRNGKey(seed), cfg)
@@ -284,7 +288,7 @@ def make_embedder(params=None, cfg=None, seed: int = 0,
     if tp_mesh is not None:
         encode = lstmp_tp_encode(params, cfg)
         return ret(lambda s: embed_sentences(params, s, cfg, encode=encode),
-                   cfg.output_dim, f"{kind}:seed={seed}:tp={elmo_tp}")
+                   cfg.output_dim, f"{kind}:seed={seed}")
     return ret(lambda s: embed_sentences(params, s, cfg), cfg.output_dim,
                f"{kind}:seed={seed}")
 
@@ -374,7 +378,8 @@ def extract_eatd(root: Path, params=None,
         # (models trained on them are only servable with the same one)
         (out_dir / "extraction_meta.json").write_text(json.dumps(
             {"embedder": embedder_id, "output_dim": int(flat.shape[1]),
-             "seed": seed, "n_speakers": n, "segmenter": segmenter}))
+             "seed": seed, "n_speakers": n, "segmenter": segmenter,
+             "elmo_tp": elmo_tp}))
     return features, sds_targets, clf_targets
 
 

@@ -162,6 +162,14 @@ def model_mesh(n_devices: int, devices=None) -> Mesh:
     pod)."""
     from icassp2022_depression_tpu.parallel import mesh as mesh_mod
 
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"--elmo-tp {n_devices} needs >= {n_devices} devices but only "
+            f"{len(devices)} are available (on a single-chip host use the "
+            "serial encoder; virtual-mesh tests force "
+            "xla_force_host_platform_device_count)")
     return mesh_mod.make_mesh(n_devices, model_parallel=n_devices,
                               devices=devices)
 

@@ -119,7 +119,8 @@ class Predictor:
                  feature_cache_entries: int = 256,
                  elmo_weights: Optional[str] = "auto",
                  audio_embedder: str = "netvlad", vggish_params=None,
-                 vggish_postprocessor=None, model_cfg=None):
+                 vggish_postprocessor=None, model_cfg=None,
+                 segmenter: str = "auto"):
         """``elmo_weights`` controls the text embedder like extract-text:
         a bundle path, ``"auto"`` (pick up ``ICASSP_ELMO_WEIGHTS``/the
         cache — announced on stderr, since the checkpoint being served
@@ -135,9 +136,20 @@ class Predictor:
         ``--pca-params`` (same distribution at serve time as at
         training time).  ``model_cfg`` overrides the task's preset model
         config (e.g. a ``--audio-dim``-widened input layer).
+
+        ``segmenter`` must match the one extraction used
+        (``extract-text --segmenter``, recorded in the extraction
+        sidecar and propagated to the checkpoint sidecar as
+        ``text_segmenter``); :meth:`from_checkpoint` adopts the
+        checkpoint's value automatically.
         """
         assert task in TASKS, f"task must be one of {TASKS}"
         assert audio_embedder in ("netvlad", "vggish")
+        # resolve eagerly so an unknown name fails at construction, not
+        # on the first text request
+        self.segmenter = segmenter
+        if not task.startswith("audio"):
+            text_fe.get_segmenter(segmenter)
         self.task = task
         self.params = params
         self.frontend_cfg = frontend_cfg
@@ -187,10 +199,13 @@ class Predictor:
     def from_checkpoint(cls, path, task: str, **kw):
         """Load a gated-best checkpoint written by the trainers.
 
-        When the checkpoint's sidecar records which text embedder produced
-        its training features (``text_embedder``, written by the CLI
-        trainers from the extraction sidecar), the resolved serving
-        embedder is checked against it and a mismatch warns loudly."""
+        When the checkpoint's sidecar records which text embedder /
+        segmenter produced its training features (``text_embedder`` /
+        ``text_segmenter``, written by the CLI trainers from the
+        extraction sidecar), the resolved serving embedder is checked
+        against it and a mismatch warns loudly; the segmenter is ADOPTED
+        automatically unless the caller passed one explicitly (then a
+        mismatch warns)."""
         module, mcfg = _model_for(task)
         if kw.get("model_cfg") is not None:
             mcfg = kw["model_cfg"]
@@ -199,11 +214,21 @@ class Predictor:
         else:
             template = module.init(jax.random.PRNGKey(0), mcfg)
         params = checkpoints.load(path, like=template)
-        predictor = cls(params, task, **kw)
         try:
-            expected = checkpoints.load_meta(path).get("text_embedder")
+            meta = checkpoints.load_meta(path)
         except (FileNotFoundError, ValueError):
-            expected = None
+            meta = {}
+        expected = meta.get("text_embedder")
+        trained_seg = meta.get("text_segmenter")
+        if trained_seg and "segmenter" not in kw:
+            kw = dict(kw, segmenter=trained_seg)
+            if trained_seg != "auto":
+                import sys
+
+                print(f"Predictor: adopting segmenter '{trained_seg}' "
+                      f"recorded by the checkpoint's training features",
+                      file=sys.stderr)
+        predictor = cls(params, task, **kw)
         if (expected and predictor.embedder_id
                 and expected != predictor.embedder_id):
             import sys
@@ -213,6 +238,14 @@ class Predictor:
                   f"'{predictor.embedder_id}' — predictions will be "
                   "meaningless; pass matching elmo_weights",
                   file=sys.stderr)
+        if (trained_seg and predictor.segmenter != trained_seg
+                and not task.startswith("audio")):
+            import sys
+
+            print(f"WARNING: checkpoint {path} was trained on features "
+                  f"segmented by '{trained_seg}' but serving uses "
+                  f"'{predictor.segmenter}' — text features will not "
+                  "match training", file=sys.stderr)
         return predictor
 
     @classmethod
@@ -397,7 +430,8 @@ class Predictor:
             else:
                 todo.append(i)
         if todo:
-            sentences = [text_fe.tokenize(t) for i in todo
+            sentences = [text_fe.tokenize(t, segmenter=self.segmenter)
+                         for i in todo
                          for t in texts_per_speaker[i]]
             flat = self._text_embed(sentences).reshape(len(todo), 3, -1)
             for row, i in enumerate(todo):

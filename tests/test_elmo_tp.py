@@ -150,7 +150,10 @@ def test_make_embedder_elmo_tp_matches_serial():
     emb_t, dim_t, id_t = text_fe.make_embedder(cfg=cfg, elmo_weights=None,
                                                with_id=True, elmo_tp=4)
     assert dim_s == dim_t == cfg.output_dim
-    assert id_t == id_s + ":tp=4"
+    # ids stay byte-identical: TP is an execution strategy, not a
+    # semantic change, and serving compares ids against extraction
+    # sidecars byte-for-byte
+    assert id_t == id_s
     np.testing.assert_allclose(emb_t(sents), emb_s(sents), atol=1e-5)
 
 
@@ -164,3 +167,8 @@ def test_make_embedder_elmo_tp_rejects_plain_bilstm():
                                                   embed_dim=8, hidden=8,
                                                   layers=1),
                               elmo_weights=None, elmo_tp=2)
+
+
+def test_model_mesh_clear_error_when_too_few_devices():
+    with pytest.raises(ValueError, match="needs >= 100 devices"):
+        elmo_tp.model_mesh(100)

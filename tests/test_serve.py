@@ -319,6 +319,49 @@ def test_from_checkpoint_warns_on_embedder_mismatch(tmp_path, capsys):
     assert "trained on features" not in capsys.readouterr().err
 
 
+def test_from_checkpoint_adopts_training_segmenter(tmp_path, capsys):
+    """Train/serve tokenisation must not skew: from_checkpoint adopts the
+    segmenter recorded in the checkpoint's text_segmenter sidecar field
+    (written from the extraction sidecar), and an explicit override that
+    mismatches warns loudly."""
+    from icassp2022_depression_tpu.frontend import text as text_fe
+
+    params = text_net.init(jax.random.PRNGKey(11), C.TEXT_CLF.model)
+    path = tmp_path / "BiLSTM_128_0.71_1"
+    checkpoints.save(path, params, {"text_embedder": "prng:seed=0",
+                                    "text_segmenter": "fallback"})
+    p = serve.Predictor.from_checkpoint(path, "text_clf",
+                                        elmo_weights=None, seed=0)
+    assert p.segmenter == "fallback"
+    err = capsys.readouterr().err
+    assert "adopting segmenter 'fallback'" in err
+    # the adopted segmenter actually drives serve-time tokenisation
+    sr = 16000
+    waves = [np.zeros(sr // 4, np.int16)] * 3
+    calls = []
+
+    def spy(text):
+        calls.append(text)
+        return text_fe.fallback_segment(text)
+
+    real = text_fe.SEGMENTERS["fallback"]
+    text_fe.SEGMENTERS["fallback"] = spy
+    try:
+        p.predict_speaker(waveforms=waves, sample_rates=[sr] * 3,
+                          texts=["我 今天", "还 好", "再见"])
+    finally:
+        text_fe.SEGMENTERS["fallback"] = real
+    assert len(calls) == 3
+    # explicit mismatching override: loud warning
+    serve.Predictor.from_checkpoint(path, "text_clf", elmo_weights=None,
+                                    seed=0, segmenter="auto")
+    assert "segmented by 'fallback'" in capsys.readouterr().err
+    # unknown segmenter names fail at construction
+    with pytest.raises(ValueError, match="unknown segmenter"):
+        serve.Predictor(params, "text_clf", elmo_weights=None,
+                        segmenter="nope")
+
+
 def test_micro_batcher_sustained_overload_sheds_and_drains():
     """Requests arriving faster than max_batch per window: admission is
     bounded (excess sheds with ServerOverloaded), every ADMITTED request
