@@ -86,7 +86,8 @@ def cmd_extract_daic(args):
                 Path(args.daic_dir), Path(args.split_csv),
                 queries, out_prefix=Path(args.out),
                 split_name=args.split_name, seed=args.seed,
-                elmo_weights=args.elmo_weights)
+                elmo_weights=args.elmo_weights,
+                segmenter=args.segmenter, elmo_tp=args.elmo_tp)
     else:
         features, clabels, rlabels = daic.extract_split(
             Path(args.daic_dir), Path(args.split_csv), queries,
@@ -755,6 +756,12 @@ def build_parser():
                          "(the reference drops it)")
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--elmo-weights", default="auto")
+    sp.add_argument("--segmenter", default="auto",
+                    help="text-modality segmenter (--multimodal only; "
+                         "see extract-text --segmenter)")
+    sp.add_argument("--elmo-tp", type=int, default=0,
+                    help="tensor-parallel biLM for the text modality "
+                         "(--multimodal only; see extract-text --elmo-tp)")
     sp.set_defaults(fn=cmd_extract_daic)
 
     sp = sub.add_parser("train-daic", help="DAIC-WOZ downstream training")

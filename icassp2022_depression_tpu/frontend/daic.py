@@ -175,7 +175,8 @@ def extract_split_multimodal(daic_dir: Path, split_csv: Path,
                              elmo_params=None, elmo_cfg=None, seed: int = 0,
                              elmo_weights: str | None = "auto",
                              out_prefix: Optional[Path] = None,
-                             split_name: str = "train"):
+                             split_name: str = "train",
+                             segmenter: str = "auto", elmo_tp: int = 0):
     """Full split pass over BOTH modalities — the DAIC text branch the
     reference drops (it extracts audio only,
     ``DAICFeatureExtarction/feature_extraction.py:83-100``).  One session
@@ -187,7 +188,7 @@ def extract_split_multimodal(daic_dir: Path, split_csv: Path,
     from icassp2022_depression_tpu.frontend import text as text_fe
 
     embed, _ = text_fe.make_embedder(elmo_params, elmo_cfg, seed,
-                                     elmo_weights)
+                                     elmo_weights, elmo_tp=elmo_tp)
     queries = load_queries(queries_path)
     ids, clabels, rlabels = read_split_csv(split_csv)
     audio_features, text_features = [], []
@@ -195,7 +196,7 @@ def extract_split_multimodal(daic_dir: Path, split_csv: Path,
     for pid in ids:
         af, tf = extract_participant_multimodal(
             daic_dir, pid, queries, None, None, cfg,
-            start_ordinal=ordinal, embed_fn=embed)
+            start_ordinal=ordinal, embed_fn=embed, segmenter=segmenter)
         ordinal += len(af)
         audio_features.append(af)
         text_features.append(tf)
@@ -236,7 +237,8 @@ def extract_participant_multimodal(daic_dir: Path, number: int,
                                    queries: Sequence[str], elmo_params,
                                    elmo_cfg,
                                    cfg: FrontendConfig = FrontendConfig(),
-                                   start_ordinal: int = 0, embed_fn=None):
+                                   start_ordinal: int = 0, embed_fn=None,
+                                   segmenter: str = "auto"):
     """One participant, ONE session decode -> ([n, 1, Da] audio features,
     [n, Dt] text embeddings).  Reads the (large) session wav and transcript
     once for both modalities.  ``embed_fn`` (from
@@ -262,7 +264,8 @@ def extract_participant_multimodal(daic_dir: Path, number: int,
                 np.zeros((0, tdim), np.float32))
     audio_feats = audio_frontend_.extract_batch(
         signals, [sr] * len(signals), cfg, start_ordinal=start_ordinal)
-    text_feats = embed_fn([text_fe.tokenize(t) for t in texts])
+    text_feats = embed_fn([text_fe.tokenize(t, segmenter=segmenter)
+                           for t in texts])
     return audio_feats[:, None, :], text_feats
 
 
