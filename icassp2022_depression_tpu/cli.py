@@ -555,6 +555,11 @@ def cmd_serve(args):
     if args.task.startswith("daic"):
         predictor = serve.DaicPredictor.from_checkpoint(args.ckpt,
                                                         args.task)
+        if predictor.multimodal:
+            raise SystemExit(
+                "HTTP DAIC serving is audio-only (the request schema "
+                "carries signals, not per-response transcripts); serve "
+                "multimodal checkpoints with `predict-daic --multimodal`")
         if args.warmup:
             print("note: --warmup is a no-op for DAIC serving (shapes "
                   "depend on per-session response counts)",
@@ -651,7 +656,14 @@ def cmd_predict_daic(args):
     model family)."""
     from icassp2022_depression_tpu import serve
 
-    p = serve.DaicPredictor.from_checkpoint(args.ckpt, args.task)
+    kw = {}
+    if args.multimodal:
+        kw["multimodal"] = True
+    if args.elmo_weights != "auto":
+        kw["elmo_weights"] = args.elmo_weights or None
+    if args.segmenter:
+        kw["segmenter"] = args.segmenter
+    p = serve.DaicPredictor.from_checkpoint(args.ckpt, args.task, **kw)
     result = p.predict_participant(Path(args.daic_dir), args.participant,
                                    queries_path=(Path(args.queries)
                                                  if args.queries else None),
@@ -879,6 +891,18 @@ def build_parser():
                     help="cumulative utterance ordinal of this "
                          "participant in its split (reproduces "
                          "training-time NetVLAD features)")
+    sp.add_argument("--multimodal", action="store_true",
+                    help="force multimodal serving (audio + per-response "
+                         "text); checkpoints written by current trainers "
+                         "are auto-detected from their recorded "
+                         "embedding_size")
+    sp.add_argument("--elmo-weights", default="auto",
+                    help="multimodal text embedder bundle (as "
+                         "extract-daic --elmo-weights; '' = PRNG "
+                         "stand-in)")
+    sp.add_argument("--segmenter", default=None,
+                    help="multimodal text segmenter (as extract-daic "
+                         "--segmenter)")
     sp.set_defaults(fn=cmd_predict_daic)
 
     sp = sub.add_parser("parity", help="real-corpus parity report vs "

@@ -551,7 +551,17 @@ class DaicPredictor:
     TASKS = ("daic_clf", "daic_reg")
 
     def __init__(self, params, task: str, tcfg=None,
-                 frontend_cfg: C.FrontendConfig = C.FrontendConfig()):
+                 frontend_cfg: C.FrontendConfig = C.FrontendConfig(),
+                 multimodal: bool = False, elmo_cfg=None, elmo_params=None,
+                 seed: int = 0, elmo_weights: Optional[str] = "auto",
+                 segmenter: str = "auto"):
+        """``multimodal=True`` serves ``train-daic --multimodal``
+        checkpoints: per-response text embeddings (resolved exactly like
+        ``extract-daic --multimodal``, see
+        ``frontend.text.make_embedder``) are concatenated onto the audio
+        features; the model's ``embedding_size`` must equal
+        audio_dim + text_dim (``from_checkpoint`` resizes from the
+        checkpoint's recorded ``embedding_size``)."""
         assert task in self.TASKS, f"task must be one of {self.TASKS}"
         from icassp2022_depression_tpu.train import daic as daic_train
 
@@ -561,6 +571,22 @@ class DaicPredictor:
             daic_train.DAIC_CLF if task == "daic_clf"
             else daic_train.DAIC_REG)
         self.frontend_cfg = frontend_cfg
+        self.multimodal = multimodal
+        self.segmenter = segmenter
+        self._text_embed = None
+        if multimodal:
+            text_fe.get_segmenter(segmenter)   # fail fast on bad names
+            self._text_embed, text_dim = text_fe.make_embedder(
+                params=elmo_params, cfg=elmo_cfg, seed=seed,
+                elmo_weights=elmo_weights)
+            expect = frontend_cfg.netvlad_output_dim + text_dim
+            if self.tcfg.model.embedding_size != expect:
+                raise ValueError(
+                    f"multimodal DAIC model expects embedding_size "
+                    f"{self.tcfg.model.embedding_size} but audio+text "
+                    f"features are {expect}-d "
+                    f"({frontend_cfg.netvlad_output_dim}+{text_dim}) — "
+                    "pass the elmo_cfg/elmo_weights used at extraction")
         mcfg = self.tcfg.model
         self._apply = jax.jit(
             lambda p, x, m: audio_net.apply(p, mcfg, x, train=False,
@@ -568,11 +594,33 @@ class DaicPredictor:
 
     @classmethod
     def from_checkpoint(cls, path, task: str, tcfg=None, **kw):
+        """Load a ``train-daic`` checkpoint.  The sidecar's recorded
+        ``embedding_size`` (written by the trainer) resizes the model
+        config automatically, and a non-default size implies a
+        ``--multimodal`` checkpoint unless the caller says otherwise."""
         from icassp2022_depression_tpu.train import daic as daic_train
 
         resolved = tcfg if tcfg is not None else (
             daic_train.DAIC_CLF if task == "daic_clf"
             else daic_train.DAIC_REG)
+        try:
+            meta = checkpoints.load_meta(path)
+        except (FileNotFoundError, ValueError):
+            meta = {}
+        emb = meta.get("embedding_size")
+        if emb and int(emb) != resolved.model.embedding_size:
+            resolved = C.replace(resolved, model=C.replace(
+                resolved.model, embedding_size=int(emb)))
+        audio_dim = kw.get("frontend_cfg",
+                           C.FrontendConfig()).netvlad_output_dim
+        if "multimodal" not in kw and emb and int(emb) != audio_dim:
+            import sys
+
+            kw = dict(kw, multimodal=True)
+            print(f"DaicPredictor: checkpoint records embedding_size "
+                  f"{emb} != audio dim {audio_dim} — serving it as a "
+                  "--multimodal model (audio + per-response text)",
+                  file=sys.stderr)
         template = audio_net.init(jax.random.PRNGKey(0), resolved.model)
         params = checkpoints.load(path, like=template)
         return cls(params, task, tcfg=resolved, **kw)
@@ -635,6 +683,11 @@ class DaicPredictor:
 
     def predict_signals(self, signals_per_participant, sample_rates,
                         start_ordinals=None) -> List[dict]:
+        if self.multimodal:
+            raise ValueError(
+                "multimodal DAIC models need per-response transcripts; "
+                "the signals-only path (HTTP serving, predict_signals) is "
+                "audio-only — use predict_participant on a raw session")
         return self.predict_features(self.response_features(
             signals_per_participant, sample_rates, start_ordinals))
 
@@ -643,13 +696,24 @@ class DaicPredictor:
                             ) -> dict:
         """Raw ``<daic_dir>/<number>_P`` session -> one result dict
         (reads/segments/embeds via the extraction-side
-        ``extract_participant`` — one definition of the session
-        pipeline)."""
+        ``extract_participant``/``extract_participant_multimodal`` — one
+        definition of the session pipeline per modality set)."""
         from icassp2022_depression_tpu.frontend import daic as daic_fe
 
-        feats = daic_fe.extract_participant(
-            Path(daic_dir), number, daic_fe.load_queries(queries_path),
-            self.frontend_cfg, start_ordinal)
+        if self.multimodal:
+            from icassp2022_depression_tpu.train.daic import (
+                concat_multimodal,
+            )
+
+            af, tf = daic_fe.extract_participant_multimodal(
+                Path(daic_dir), number, daic_fe.load_queries(queries_path),
+                None, None, self.frontend_cfg, start_ordinal,
+                embed_fn=self._text_embed, segmenter=self.segmenter)
+            feats = concat_multimodal([af], [tf])[0]
+        else:
+            feats = daic_fe.extract_participant(
+                Path(daic_dir), number, daic_fe.load_queries(queries_path),
+                self.frontend_cfg, start_ordinal)
         return self.predict_features([feats])[0]
 
 

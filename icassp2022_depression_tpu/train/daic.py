@@ -155,7 +155,14 @@ def train_daic(train_features: List[np.ndarray], train_labels,
     result = {"best": best, "logs": jax.device_get(logs)}
     if out_dir is not None and best["epoch"] >= 0:
         metric = best.get("f1", best.get("mae"))
-        name = f"daic_{tcfg.track[:3]}_{metric:.2f}"
-        checkpoints.save(Path(out_dir) / name, best["params"],
-                         {k: v for k, v in best.items() if k != "params"})
+        # "classification"/"regression" -> the documented daic_clf/daic_reg
+        # prefixes (track[:3] would give the nonsensical "daic_cla")
+        kind = "clf" if tcfg.track == "classification" else "reg"
+        name = f"daic_{kind}_{metric:.2f}"
+        # embedding_size lets DaicPredictor.from_checkpoint rebuild the
+        # exact model config (and detect --multimodal checkpoints, whose
+        # input is audio_dim + text_dim)
+        meta = {k: v for k, v in best.items() if k != "params"}
+        meta["embedding_size"] = tcfg.model.embedding_size
+        checkpoints.save(Path(out_dir) / name, best["params"], meta)
     return result

@@ -376,7 +376,7 @@ def test_check_daic_reproduces_training_best(tmp_path):
     result = daic.train_daic(tr_f, tr_y, te_f, te_y, tcfg,
                              out_dir=tmp_path)
     assert result["best"]["epoch"] >= 0
-    ckpts = sorted(tmp_path.glob("daic_cla_*.npz"))
+    ckpts = sorted(tmp_path.glob("daic_clf_*.npz"))
     assert ckpts, list(tmp_path.iterdir())
     out = daic.check_daic(te_f, te_y, ckpts[0].with_suffix(""), tcfg)
     np.testing.assert_allclose(out["f1"], result["best"]["f1"], atol=1e-6)
@@ -411,7 +411,7 @@ def test_check_daic_cli(tmp_path, capsys):
         assert cli.main(["train-daic", "--track", "clf", "--features",
                          str(feats), "--model-dir", str(tmp_path / "M")
                          ]) == 0
-        ckpts = list((tmp_path / "M").glob("daic_cla_*.npz"))
+        ckpts = list((tmp_path / "M").glob("daic_clf_*.npz"))
         assert ckpts
         rc = cli.main(["check-daic", "--track", "clf", "--features",
                        str(feats), "--ckpt",
@@ -465,3 +465,66 @@ def test_daic_http_auth_gate():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_daic_predictor_multimodal_end_to_end(tmp_path, capsys):
+    """train-daic --multimodal -> checkpoint -> DaicPredictor: the
+    checkpoint's recorded embedding_size auto-enables multimodal serving,
+    predict_participant concatenates audio + per-response text features
+    exactly like extraction, and the audio-only signals path refuses."""
+    import jax
+
+    from icassp2022_depression_tpu import config as C, serve
+    from icassp2022_depression_tpu.frontend import daic as daic_fe
+    from icassp2022_depression_tpu.models import elmo
+
+    queries, train_csv, test_csv = _make_daic_corpus(tmp_path)
+    # depressed eval participant: the gate needs depressed-positive
+    # f1 > 0, which a CE model fit on an all-depressed train split
+    # reaches within a few epochs
+    test_csv.write_text("Participant_ID,PHQ8_Binary,PHQ8_Score\n"
+                        "301,1,14\n")
+    ecfg = elmo.ElmoConfig(vocab_size=64, embed_dim=8, hidden=4, layers=1,
+                           output_dim=8)
+    feats = tmp_path / "Features"
+    for name, csv_path in (("train", train_csv), ("test", test_csv)):
+        daic_fe.extract_split_multimodal(
+            tmp_path, csv_path, queries, elmo_cfg=ecfg, elmo_weights=None,
+            out_prefix=feats, split_name=name)
+    xa_tr, xt_tr, y_tr = daic_fe.load_features(feats, "train", "clf", True)
+    xa_te, xt_te, y_te = daic_fe.load_features(feats, "test", "clf", True)
+    x_tr = daic.concat_multimodal(xa_tr, xt_tr)
+    x_te = daic.concat_multimodal(xa_te, xt_te)
+    tcfg = C.replace(
+        daic.DAIC_CLF, epochs=20, batch_size=2,
+        # high lr overfits the single all-depressed train example fast,
+        # so the depressed-positive f1 gate opens within a few epochs
+        optimizer=C.replace(daic.DAIC_CLF.optimizer, learning_rate=1e-2),
+        model=C.replace(daic.DAIC_CLF.model, embedding_size=264,
+                        hidden_dims=16))
+    daic.train_daic(x_tr, y_tr, x_te, y_te, tcfg,
+                    out_dir=tmp_path / "Model")
+    ckpts = list((tmp_path / "Model").glob("daic_clf_*.npz"))
+    assert ckpts, "gated checkpoint expected on the separable toy corpus"
+    ckpt = str(ckpts[0])[: -len(".npz")]
+
+    p = serve.DaicPredictor.from_checkpoint(
+        ckpt, "daic_clf", elmo_cfg=ecfg, elmo_weights=None)
+    assert p.multimodal   # auto-detected from recorded embedding_size
+    assert "serving it as a --multimodal model" in capsys.readouterr().err
+    r = p.predict_participant(tmp_path, 300, queries_path=queries)
+    assert set(r) == {"label", "depressed", "probs"}
+
+    # serving features == training features: same model applied to the
+    # extraction-side block must give the same probs
+    want = p.predict_features([x_tr[0]])[0]
+    np.testing.assert_allclose(r["probs"], want["probs"], atol=1e-5)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="audio-only"):
+        p.predict_signals([[np.zeros(8000, np.float32)]], [16000])
+
+    # mismatched text embedder dims fail loudly at construction
+    with _pytest.raises(ValueError, match="embedding_size"):
+        serve.DaicPredictor.from_checkpoint(ckpt, "daic_clf",
+                                            elmo_weights=None)
