@@ -553,13 +553,17 @@ def cmd_serve(args):
 
     kw = _embedder_kw(args)   # rejects --audio-embedder vggish off-audio
     if args.task.startswith("daic"):
+        dkw = {}
+        if getattr(args, "elmo_weights", "auto") != "auto":
+            dkw["elmo_weights"] = args.elmo_weights or None
+        if getattr(args, "segmenter", None):
+            dkw["segmenter"] = args.segmenter
         predictor = serve.DaicPredictor.from_checkpoint(args.ckpt,
-                                                        args.task)
+                                                        args.task, **dkw)
         if predictor.multimodal:
-            raise SystemExit(
-                "HTTP DAIC serving is audio-only (the request schema "
-                "carries signals, not per-response transcripts); serve "
-                "multimodal checkpoints with `predict-daic --multimodal`")
+            print("serve: multimodal DAIC model — requests must carry "
+                  "per-response 'texts' aligned with responses_b64",
+                  file=sys.stderr)
         if args.warmup:
             print("note: --warmup is a no-op for DAIC serving (shapes "
                   "depend on per-session response counts)",
@@ -958,6 +962,10 @@ def build_parser():
                     help="override the text segmenter (default: adopt "
                          "the one recorded by the checkpoint's training "
                          "features)")
+    sp.add_argument("--elmo-weights", default="auto",
+                    help="text embedder bundle for multimodal DAIC "
+                         "serving ('' = PRNG stand-in; EATD tasks "
+                         "auto-load as always)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("baselines", help="sklearn baselines")

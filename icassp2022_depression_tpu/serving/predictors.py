@@ -574,11 +574,13 @@ class DaicPredictor:
         self.multimodal = multimodal
         self.segmenter = segmenter
         self._text_embed = None
+        self._text_dim = 0
         if multimodal:
             text_fe.get_segmenter(segmenter)   # fail fast on bad names
             self._text_embed, text_dim = text_fe.make_embedder(
                 params=elmo_params, cfg=elmo_cfg, seed=seed,
                 elmo_weights=elmo_weights)
+            self._text_dim = text_dim
             expect = frontend_cfg.netvlad_output_dim + text_dim
             if self.tcfg.model.embedding_size != expect:
                 raise ValueError(
@@ -682,12 +684,37 @@ class DaicPredictor:
                                "phq8_score")
 
     def predict_signals(self, signals_per_participant, sample_rates,
-                        start_ordinals=None) -> List[dict]:
+                        start_ordinals=None,
+                        texts_per_participant=None) -> List[dict]:
+        """Pre-segmented response signals (+ aligned per-response
+        transcripts for multimodal models) -> result dicts."""
         if self.multimodal:
-            raise ValueError(
-                "multimodal DAIC models need per-response transcripts; "
-                "the signals-only path (HTTP serving, predict_signals) is "
-                "audio-only — use predict_participant on a raw session")
+            if texts_per_participant is None:
+                raise ValueError(
+                    "multimodal DAIC model: per-response transcripts are "
+                    "required (one texts list per participant, aligned "
+                    "1:1 with its response signals)")
+            if len(texts_per_participant) != len(signals_per_participant) \
+                    or any(len(t) != len(s) for t, s in
+                           zip(texts_per_participant,
+                               signals_per_participant)):
+                raise ValueError("per-participant texts must align 1:1 "
+                                 "with response signals")
+            from icassp2022_depression_tpu.train.daic import (
+                concat_multimodal,
+            )
+
+            audio = self.response_features(signals_per_participant,
+                                           sample_rates, start_ordinals)
+            flat = [text_fe.tokenize(t, segmenter=self.segmenter)
+                    for ts in texts_per_participant for t in ts]
+            emb = (self._text_embed(flat) if flat
+                   else np.zeros((0, self._text_dim), np.float32))
+            tblocks, pos = [], 0
+            for ts in texts_per_participant:
+                tblocks.append(emb[pos:pos + len(ts)])
+                pos += len(ts)
+            return self.predict_features(concat_multimodal(audio, tblocks))
         return self.predict_features(self.response_features(
             signals_per_participant, sample_rates, start_ordinals))
 

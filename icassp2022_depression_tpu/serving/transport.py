@@ -269,12 +269,14 @@ class _DaicMicroBatcher(_MicroBatcher):
     (ragged response lists) coalesce into ONE ``predict_signals`` call —
     padded to the round's max response count on device.  Request shape:
     ``{"signals": [[resp, ...], ...], "srs": [...], "starts": [...]|None,
-    "n": k}``."""
+    "texts": [[str, ...], ...]|None (multimodal models), "n": k}``."""
 
     def _predict_merged(self, batch) -> List[dict]:
+        texts = (self._cat(batch, "texts")
+                 if self.predictor.multimodal else None)
         return self.predictor.predict_signals(
             self._cat(batch, "signals"), self._cat(batch, "srs"),
-            self._cat(batch, "starts", fill=0))
+            self._cat(batch, "starts", fill=0), texts)
 
 
 def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
@@ -450,10 +452,12 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
         def _post_daic(self):
             """DAIC request shape: {"participants": [{"responses_b64":
             ["<base64 int16 LE PCM>", ...], "sr": 16000,
-            "start_ordinal": 0 (optional)}, ...]} — one ragged response
-            list per participant, answered like /predict.  With
-            ``--batch-window-ms`` concurrent requests coalesce into one
-            padded ragged device batch (admission bounded in
+            "start_ordinal": 0 (optional),
+            "texts": ["<response transcript>", ...] (required by
+            multimodal models, aligned 1:1 with responses)}, ...]} — one
+            ragged response list per participant, answered like /predict.
+            With ``--batch-window-ms`` concurrent requests coalesce into
+            one padded ragged device batch (admission bounded in
             participants; overload sheds 503)."""
             if self.path != "/predict":
                 self._send(404, {"error": "DAIC serving exposes /predict "
@@ -470,13 +474,16 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
                 starts = ([int(sp.get("start_ordinal", 0)) for sp in parts]
                           if any("start_ordinal" in sp for sp in parts)
                           else None)
+                texts = None
+                if predictor.multimodal:
+                    texts = [sp["texts"] for sp in parts]  # KeyError->400
                 if batcher is not None:
                     results = batcher.submit(
                         {"signals": signals, "srs": srs, "starts": starts,
-                         "n": len(parts)})
+                         "texts": texts, "n": len(parts)})
                 else:
                     results = predictor.predict_signals(signals, srs,
-                                                        starts)
+                                                        starts, texts)
                 request_latency.observe(_time.monotonic() - t0)
                 self._send(200, {"results": results})
             except ServerOverloaded as exc:

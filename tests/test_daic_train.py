@@ -521,10 +521,128 @@ def test_daic_predictor_multimodal_end_to_end(tmp_path, capsys):
     np.testing.assert_allclose(r["probs"], want["probs"], atol=1e-5)
 
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="audio-only"):
+    with _pytest.raises(ValueError, match="transcripts are required"):
         p.predict_signals([[np.zeros(8000, np.float32)]], [16000])
+    with _pytest.raises(ValueError, match="align 1:1"):
+        p.predict_signals([[np.zeros(8000, np.float32)]], [16000],
+                          texts_per_participant=[["a", "b"]])
+
+    # the signals+texts path == the raw-session path for the same session
+    transcript = daic_fe.read_transcript(
+        tmp_path / "300_P" / "300_TRANSCRIPT.csv")
+    wave, sr = daic_fe.read_wav(tmp_path / "300_P" / "300_AUDIO.wav")
+    signals, texts = daic_fe.segment_responses(
+        transcript, wave, sr, daic_fe.load_queries(queries),
+        with_text=True)
+    via_signals = p.predict_signals([signals], [sr],
+                                    texts_per_participant=[texts])[0]
+    np.testing.assert_allclose(via_signals["probs"], r["probs"],
+                               atol=1e-5)
 
     # mismatched text embedder dims fail loudly at construction
     with _pytest.raises(ValueError, match="embedding_size"):
         serve.DaicPredictor.from_checkpoint(ckpt, "daic_clf",
                                             elmo_weights=None)
+
+
+def test_daic_multimodal_http_serving(tmp_path):
+    """Multimodal DAIC over HTTP: participants carry per-response texts;
+    missing texts is a clear 400."""
+    import base64
+    import http.client
+    import json
+    import threading
+
+    import jax
+
+    from icassp2022_depression_tpu import config as C, serve
+    from icassp2022_depression_tpu.models import audio_net, elmo
+
+    ecfg = elmo.ElmoConfig(vocab_size=64, embed_dim=8, hidden=4, layers=1,
+                           output_dim=8)
+    tcfg = C.replace(
+        daic.DAIC_CLF,
+        model=C.replace(daic.DAIC_CLF.model, embedding_size=264,
+                        hidden_dims=16))
+    params = audio_net.init(jax.random.PRNGKey(5), tcfg.model)
+    p = serve.DaicPredictor(params, "daic_clf", tcfg=tcfg,
+                            multimodal=True, elmo_cfg=ecfg,
+                            elmo_weights=None)
+    server = serve.make_http_server(p, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    rng = np.random.default_rng(6)
+
+    def resp_b64(n):
+        return base64.b64encode(np.round(
+            rng.standard_normal(n) * 2000).astype(np.int16).tobytes()
+        ).decode()
+
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        body = json.dumps({"participants": [
+            {"responses_b64": [resp_b64(8000), resp_b64(12000)],
+             "sr": 16000, "texts": ["pretty good", "not great honestly"]},
+        ]})
+        conn.request("POST", "/predict", body)
+        r = conn.getresponse()
+        assert r.status == 200
+        results = json.loads(r.read())["results"]
+        assert len(results) == 1 and results[0]["label"] in (0, 1)
+        # texts missing -> 400 (KeyError surfaces as a client error)
+        conn.request("POST", "/predict", json.dumps({"participants": [
+            {"responses_b64": [resp_b64(4000)], "sr": 16000}]}))
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_daic_multimodal_micro_batching(tmp_path):
+    """Concurrent multimodal DAIC requests coalesce with their texts
+    carried through the merge (results match the unbatched path)."""
+    import threading
+
+    import jax
+
+    from icassp2022_depression_tpu import config as C, serve
+    from icassp2022_depression_tpu.models import audio_net, elmo
+
+    ecfg = elmo.ElmoConfig(vocab_size=64, embed_dim=8, hidden=4, layers=1,
+                           output_dim=8)
+    tcfg = C.replace(
+        daic.DAIC_CLF,
+        model=C.replace(daic.DAIC_CLF.model, embedding_size=264,
+                        hidden_dims=16))
+    params = audio_net.init(jax.random.PRNGKey(7), tcfg.model)
+    p = serve.DaicPredictor(params, "daic_clf", tcfg=tcfg,
+                            multimodal=True, elmo_cfg=ecfg,
+                            elmo_weights=None)
+    rng = np.random.default_rng(8)
+    reqs = []
+    for i in range(3):
+        n = int(rng.integers(1, 4))
+        sigs = [np.round(rng.standard_normal(8000) * 2000).astype(np.int16)
+                for _ in range(n)]
+        texts = [f"response {i} {k}" for k in range(n)]
+        reqs.append({"signals": [sigs], "srs": [16000], "starts": None,
+                     "texts": [texts], "n": 1})
+    want = [p.predict_signals(r["signals"], r["srs"], None, r["texts"])[0]
+            for r in reqs]
+
+    b = serve._DaicMicroBatcher(p, window_s=0.3, max_batch=8, max_queue=8)
+    got = [None] * 3
+
+    def worker(i):
+        got[i] = b.submit(reqs[i])[0]
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g["probs"], w["probs"], atol=1e-5)
