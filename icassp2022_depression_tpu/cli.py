@@ -123,8 +123,20 @@ def cmd_train_daic(args):
             else daic_train.DAIC_REG)
     tcfg = C.replace(base, model=C.replace(base.model, embedding_size=dim))
     out_dir = Path(args.model_dir) if args.model_dir else None
+    meta_extras = None
+    if args.multimodal:
+        # text-modality provenance from extract-daic's sidecar ->
+        # checkpoint sidecar (DaicPredictor adopts segmenter/seed and
+        # checks the embedder id, like the EATD text tasks)
+        meta_p = prefix / "extraction_meta.json"
+        if meta_p.exists():
+            m = json.loads(meta_p.read_text())
+            meta_extras = {"text_embedder": m.get("embedder"),
+                           "text_segmenter": m.get("segmenter"),
+                           "text_seed": m.get("seed")}
     result = daic_train.train_daic(x_tr, y_tr, x_te, y_te, tcfg,
-                                   out_dir=out_dir, seed=args.seed)
+                                   out_dir=out_dir, seed=args.seed,
+                                   meta_extras=meta_extras)
     best = {k: round(v, 4) for k, v in result["best"].items()
             if k != "params"}
     print(json.dumps(best))
@@ -553,13 +565,8 @@ def cmd_serve(args):
 
     kw = _embedder_kw(args)   # rejects --audio-embedder vggish off-audio
     if args.task.startswith("daic"):
-        dkw = {}
-        if getattr(args, "elmo_weights", "auto") != "auto":
-            dkw["elmo_weights"] = args.elmo_weights or None
-        if getattr(args, "segmenter", None):
-            dkw["segmenter"] = args.segmenter
-        predictor = serve.DaicPredictor.from_checkpoint(args.ckpt,
-                                                        args.task, **dkw)
+        predictor = serve.DaicPredictor.from_checkpoint(
+            args.ckpt, args.task, **_daic_embedder_kw(args))
         if predictor.multimodal:
             print("serve: multimodal DAIC model — requests must carry "
                   "per-response 'texts' aligned with responses_b64",
@@ -607,10 +614,30 @@ def _embedder_kw(args) -> dict:
         if getattr(args, "pca_params", None):
             kw["vggish_postprocessor"] = vggish.load_pca_params(
                 args.pca_params)
-    # explicit segmenter override (default: from_checkpoint adopts the
-    # one recorded in the checkpoint's text_segmenter sidecar field)
+    # explicit segmenter/seed overrides (default: from_checkpoint adopts
+    # the values recorded in the checkpoint's sidecar)
     if getattr(args, "segmenter", None):
         kw["segmenter"] = args.segmenter
+    if getattr(args, "embed_seed", None) is not None:
+        kw["seed"] = args.embed_seed
+    return kw
+
+
+def _daic_embedder_kw(args) -> dict:
+    """serve/predict-daic: map the multimodal text-embedder flags onto
+    DaicPredictor kwargs.  'auto'/None values are OMITTED so
+    ``from_checkpoint``'s sidecar adoption (segmenter, seed, embedder
+    mismatch check) stays in charge; ONE definition shared by both
+    commands."""
+    kw = {}
+    if getattr(args, "multimodal", False):
+        kw["multimodal"] = True
+    if getattr(args, "elmo_weights", "auto") != "auto":
+        kw["elmo_weights"] = args.elmo_weights or None
+    if getattr(args, "segmenter", None):
+        kw["segmenter"] = args.segmenter
+    if getattr(args, "embed_seed", None) is not None:
+        kw["seed"] = args.embed_seed
     return kw
 
 
@@ -660,14 +687,8 @@ def cmd_predict_daic(args):
     model family)."""
     from icassp2022_depression_tpu import serve
 
-    kw = {}
-    if args.multimodal:
-        kw["multimodal"] = True
-    if args.elmo_weights != "auto":
-        kw["elmo_weights"] = args.elmo_weights or None
-    if args.segmenter:
-        kw["segmenter"] = args.segmenter
-    p = serve.DaicPredictor.from_checkpoint(args.ckpt, args.task, **kw)
+    p = serve.DaicPredictor.from_checkpoint(args.ckpt, args.task,
+                                            **_daic_embedder_kw(args))
     result = p.predict_participant(Path(args.daic_dir), args.participant,
                                    queries_path=(Path(args.queries)
                                                  if args.queries else None),
@@ -878,6 +899,10 @@ def build_parser():
                     help="override the text segmenter (default: adopt "
                          "the one recorded by the checkpoint's training "
                          "features)")
+    sp.add_argument("--embed-seed", type=int, default=None,
+                    help="PRNG stand-in text-embedder seed override "
+                         "(default: adopt the checkpoint's recorded "
+                         "extraction seed)")
     sp.set_defaults(fn=cmd_predict)
 
     sp = sub.add_parser("predict-daic",
@@ -907,6 +932,10 @@ def build_parser():
     sp.add_argument("--segmenter", default=None,
                     help="multimodal text segmenter (as extract-daic "
                          "--segmenter)")
+    sp.add_argument("--embed-seed", type=int, default=None,
+                    help="PRNG stand-in text-embedder seed override "
+                         "(default: adopt the checkpoint's recorded "
+                         "extraction seed)")
     sp.set_defaults(fn=cmd_predict_daic)
 
     sp = sub.add_parser("parity", help="real-corpus parity report vs "
@@ -966,6 +995,10 @@ def build_parser():
                     help="text embedder bundle for multimodal DAIC "
                          "serving ('' = PRNG stand-in; EATD tasks "
                          "auto-load as always)")
+    sp.add_argument("--embed-seed", type=int, default=None,
+                    help="PRNG stand-in text-embedder seed override "
+                         "(default: adopt the checkpoint's recorded "
+                         "extraction seed)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("baselines", help="sklearn baselines")

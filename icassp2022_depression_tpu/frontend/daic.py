@@ -187,8 +187,9 @@ def extract_split_multimodal(daic_dir: Path, split_csv: Path,
     available, see :func:`..frontend.text.make_embedder`)."""
     from icassp2022_depression_tpu.frontend import text as text_fe
 
-    embed, _ = text_fe.make_embedder(elmo_params, elmo_cfg, seed,
-                                     elmo_weights, elmo_tp=elmo_tp)
+    embed, _tdim, embedder_id = text_fe.make_embedder(
+        elmo_params, elmo_cfg, seed, elmo_weights, with_id=True,
+        elmo_tp=elmo_tp)
     queries = load_queries(queries_path)
     ids, clabels, rlabels = read_split_csv(split_csv)
     audio_features, text_features = [], []
@@ -213,6 +214,15 @@ def extract_split_multimodal(daic_dir: Path, split_csv: Path,
                  np.asarray(clabels))
         np.savez(out_prefix / f"{split_name}_labels_reg.npz",
                  np.asarray(rlabels))
+        # text-modality provenance sidecar (same scheme as extract-text):
+        # train-daic copies it into checkpoint sidecars so serving can
+        # adopt the segmenter/seed and detect embedder mismatches
+        import json
+
+        (out_prefix / "extraction_meta.json").write_text(json.dumps(
+            {"embedder": embedder_id, "segmenter": segmenter,
+             "seed": seed, "elmo_tp": elmo_tp,
+             "text_dim": int(_tdim)}))
     return audio_features, text_features, clabels, rlabels
 
 

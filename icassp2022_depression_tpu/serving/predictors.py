@@ -575,11 +575,15 @@ class DaicPredictor:
         self.segmenter = segmenter
         self._text_embed = None
         self._text_dim = 0
+        #: provenance id of the resolved text embedder (multimodal only;
+        #: same id scheme as extraction sidecars — see Predictor)
+        self.embedder_id: Optional[str] = None
         if multimodal:
             text_fe.get_segmenter(segmenter)   # fail fast on bad names
-            self._text_embed, text_dim = text_fe.make_embedder(
-                params=elmo_params, cfg=elmo_cfg, seed=seed,
-                elmo_weights=elmo_weights)
+            self._text_embed, text_dim, self.embedder_id = \
+                text_fe.make_embedder(
+                    params=elmo_params, cfg=elmo_cfg, seed=seed,
+                    elmo_weights=elmo_weights, with_id=True)
             self._text_dim = text_dim
             expect = frontend_cfg.netvlad_output_dim + text_dim
             if self.tcfg.model.embedding_size != expect:
@@ -597,9 +601,17 @@ class DaicPredictor:
     @classmethod
     def from_checkpoint(cls, path, task: str, tcfg=None, **kw):
         """Load a ``train-daic`` checkpoint.  The sidecar's recorded
-        ``embedding_size`` (written by the trainer) resizes the model
-        config automatically, and a non-default size implies a
-        ``--multimodal`` checkpoint unless the caller says otherwise."""
+        ``embedding_size`` (written by the trainer; inferred from the
+        stored gate-weight shapes for older checkpoints) resizes the
+        model config automatically, and a non-default size implies a
+        ``--multimodal`` checkpoint unless the caller says otherwise.
+        Text provenance recorded by the trainer (``text_embedder`` /
+        ``text_segmenter`` / ``text_seed``, from the extraction sidecar)
+        is adopted: segmenter and seed feed the serving embedder unless
+        the caller passed their own, and an embedder-id mismatch warns
+        loudly (same contract as :meth:`Predictor.from_checkpoint`)."""
+        import sys
+
         from icassp2022_depression_tpu.train import daic as daic_train
 
         resolved = tcfg if tcfg is not None else (
@@ -610,22 +622,46 @@ class DaicPredictor:
         except (FileNotFoundError, ValueError):
             meta = {}
         emb = meta.get("embedding_size")
-        if emb and int(emb) != resolved.model.embedding_size:
+        if not emb:
+            # pre-meta checkpoint: the stored first-layer gate weight is
+            # [3H, embedding], so the true input width is recoverable
+            npz = str(path)
+            if not npz.endswith(".npz"):
+                npz += ".npz"
+            with np.load(npz) as z:
+                emb = int(z["rnn/0/fwd/w_ih"].shape[1])
+        if int(emb) != resolved.model.embedding_size:
             resolved = C.replace(resolved, model=C.replace(
                 resolved.model, embedding_size=int(emb)))
         audio_dim = kw.get("frontend_cfg",
                            C.FrontendConfig()).netvlad_output_dim
-        if "multimodal" not in kw and emb and int(emb) != audio_dim:
-            import sys
-
+        if "multimodal" not in kw and int(emb) != audio_dim:
             kw = dict(kw, multimodal=True)
             print(f"DaicPredictor: checkpoint records embedding_size "
                   f"{emb} != audio dim {audio_dim} — serving it as a "
                   "--multimodal model (audio + per-response text)",
                   file=sys.stderr)
+        trained_seg = meta.get("text_segmenter")
+        if trained_seg and "segmenter" not in kw:
+            kw = dict(kw, segmenter=trained_seg)
+            if trained_seg != "auto":
+                print(f"DaicPredictor: adopting segmenter "
+                      f"'{trained_seg}' recorded by the checkpoint's "
+                      "training features", file=sys.stderr)
+        if meta.get("text_seed") is not None and "seed" not in kw:
+            kw = dict(kw, seed=int(meta["text_seed"]))
         template = audio_net.init(jax.random.PRNGKey(0), resolved.model)
         params = checkpoints.load(path, like=template)
-        return cls(params, task, tcfg=resolved, **kw)
+        predictor = cls(params, task, tcfg=resolved, **kw)
+        expected = meta.get("text_embedder")
+        if (expected and predictor.embedder_id
+                and expected != predictor.embedder_id):
+            print(f"WARNING: checkpoint {path} was trained on text "
+                  f"features from embedder '{expected}' but serving "
+                  f"resolved '{predictor.embedder_id}' — predictions "
+                  "will be meaningless; pass matching elmo_weights",
+                  file=sys.stderr)
+        return predictor
 
     def response_features(self, signals_per_participant,
                           sample_rates: Sequence[int],

@@ -11,7 +11,7 @@ admission (:class:`ServerOverloaded` -> 503 + Retry-After).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 

@@ -126,7 +126,8 @@ def check_daic(features: List[np.ndarray], labels, ckpt_path,
 def train_daic(train_features: List[np.ndarray], train_labels,
                test_features: List[np.ndarray], test_labels,
                tcfg: C.TrainerConfig = DAIC_CLF,
-               out_dir: Optional[Path] = None, seed: int = 0):
+               out_dir: Optional[Path] = None, seed: int = 0,
+               meta_extras: Optional[dict] = None):
     """Train on the AVEC2017 train split, gate on the dev split.
 
     ``*_features``: ragged per-participant ``[n_i, 1, D]`` blocks from
@@ -164,5 +165,7 @@ def train_daic(train_features: List[np.ndarray], train_labels,
         # input is audio_dim + text_dim)
         meta = {k: v for k, v in best.items() if k != "params"}
         meta["embedding_size"] = tcfg.model.embedding_size
+        if meta_extras:
+            meta.update(meta_extras)
         checkpoints.save(Path(out_dir) / name, best["params"], meta)
     return result

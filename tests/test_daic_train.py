@@ -646,3 +646,94 @@ def test_daic_multimodal_micro_batching(tmp_path):
         t.join()
     for g, w in zip(got, want):
         np.testing.assert_allclose(g["probs"], w["probs"], atol=1e-5)
+
+
+def test_daic_text_provenance_flows_to_serving(tmp_path, capsys):
+    """extract-daic --multimodal records the text embedder/segmenter/seed;
+    cli train-daic copies them into the checkpoint sidecar; from_checkpoint
+    adopts segmenter+seed and warns loudly on an embedder-id mismatch."""
+    import json
+
+    from icassp2022_depression_tpu import cli, serve
+    from icassp2022_depression_tpu.frontend import daic as daic_fe
+    from icassp2022_depression_tpu.models import elmo
+    from icassp2022_depression_tpu.train import checkpoints
+
+    queries, train_csv, test_csv = _make_daic_corpus(tmp_path)
+    feats = tmp_path / "F"
+    ecfg = elmo.ElmoConfig(vocab_size=64, embed_dim=8, hidden=4, layers=1,
+                           output_dim=8)
+    daic_fe.extract_split_multimodal(
+        tmp_path, train_csv, queries, elmo_cfg=ecfg, elmo_weights=None,
+        seed=5, segmenter="fallback", out_prefix=feats, split_name="train")
+    side = json.loads((feats / "extraction_meta.json").read_text())
+    assert side["embedder"] == "prng:seed=5"
+    assert side["segmenter"] == "fallback" and side["seed"] == 5
+
+    # the cli trainer path copies the sidecar into checkpoint meta
+    # (simulate the gated save with the same meta_extras mapping)
+    params_meta = {"embedding_size": 264,
+                   "text_embedder": "prng:seed=5",
+                   "text_segmenter": "fallback", "text_seed": 5}
+    import jax
+
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu.models import audio_net
+
+    tcfg = C.replace(daic.DAIC_CLF,
+                     model=C.replace(daic.DAIC_CLF.model,
+                                     embedding_size=264, hidden_dims=16))
+    params = audio_net.init(jax.random.PRNGKey(0), tcfg.model)
+    ckpt = tmp_path / "daic_clf_0.90"
+    checkpoints.save(ckpt, params, params_meta)
+
+    # matching embedder resolves silently; segmenter + seed adopted.
+    # text dim must be 8 to make 264, so pass the extraction elmo_cfg
+    p = serve.DaicPredictor.from_checkpoint(ckpt, "daic_clf",
+                                            elmo_cfg=ecfg,
+                                            elmo_weights=None)
+    err = capsys.readouterr().err
+    assert p.segmenter == "fallback" and p.embedder_id == "prng:seed=5"
+    assert "WARNING" not in err and "adopting segmenter" in err
+
+    # explicit mismatching seed -> embedder-id mismatch warns loudly
+    p2 = serve.DaicPredictor.from_checkpoint(ckpt, "daic_clf",
+                                             elmo_cfg=ecfg,
+                                             elmo_weights=None, seed=0)
+    err = capsys.readouterr().err
+    assert p2.embedder_id == "prng:seed=0"
+    assert "predictions will be meaningless" in err
+
+    # cli flags map through the shared helper
+    import argparse
+
+    ns = argparse.Namespace(multimodal=True, elmo_weights="",
+                            segmenter="fallback", embed_seed=7)
+    kw = cli._daic_embedder_kw(ns)
+    assert kw == {"multimodal": True, "elmo_weights": None,
+                  "segmenter": "fallback", "seed": 7}
+
+
+def test_daic_from_checkpoint_infers_dims_for_premeta(tmp_path, capsys):
+    """Checkpoints saved before embedding_size meta existed: the input
+    width is recovered from the stored [3H, emb] gate weights, so old
+    multimodal checkpoints still serve."""
+    import jax
+
+    from icassp2022_depression_tpu import config as C, serve
+    from icassp2022_depression_tpu.models import audio_net, elmo
+    from icassp2022_depression_tpu.train import checkpoints
+
+    ecfg = elmo.ElmoConfig(vocab_size=64, embed_dim=8, hidden=4, layers=1,
+                           output_dim=8)
+    tcfg = C.replace(daic.DAIC_CLF,
+                     model=C.replace(daic.DAIC_CLF.model,
+                                     embedding_size=264, hidden_dims=16))
+    params = audio_net.init(jax.random.PRNGKey(1), tcfg.model)
+    ckpt = tmp_path / "daic_clf_0.70"
+    checkpoints.save(ckpt, params)  # NO meta sidecar at all
+    p = serve.DaicPredictor.from_checkpoint(ckpt, "daic_clf",
+                                            elmo_cfg=ecfg,
+                                            elmo_weights=None)
+    assert p.multimodal and p.tcfg.model.embedding_size == 264
+    assert "serving it as a --multimodal model" in capsys.readouterr().err
