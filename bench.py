@@ -929,6 +929,60 @@ def tf_baseline_child(n_utts: int) -> None:
     print(json.dumps({"per_utt_s": per_utt}), flush=True)
 
 
+def run_with_stall_watchdog(cmd=None) -> int:
+    """Run the full benchmark in a CHILD process, restarting it (fresh
+    process = fresh relay connection) if it stops producing output.
+
+    The axon relay occasionally wedges a connection indefinitely (observed
+    2026-08-17: a blocking device call slept >20 min at ~0% CPU while the
+    identical command succeeded in minutes on retry).  A stalled attempt
+    cannot be unblocked from inside the process, so the parent watches
+    line output: no line for ``ICASSP_BENCH_STALL_S`` (default 900 s —
+    cold compiles through the remote service legitimately take minutes)
+    kills the child and retries up to ``ICASSP_BENCH_ATTEMPTS`` (2).
+    Every child line streams through immediately, so the last stdout line
+    stays the machine-checked ``end_to_end_pipeline`` JSON."""
+    import os
+    import selectors
+    import subprocess
+
+    attempts = int(os.environ.get("ICASSP_BENCH_ATTEMPTS", "2"))
+    stall_s = float(os.environ.get("ICASSP_BENCH_STALL_S", "900"))
+    if cmd is None:
+        cmd = [sys.executable, __file__, "--inner"]
+    for attempt in range(1, attempts + 1):
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True,
+                                bufsize=1)
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
+        last_line = time.time()
+        stalled = False
+        while True:
+            if sel.select(timeout=10):
+                line = proc.stdout.readline()
+                if line:
+                    print(line, end="", flush=True)
+                    last_line = time.time()
+                elif proc.poll() is not None:
+                    break
+            elif proc.poll() is not None:
+                break
+            if time.time() - last_line > stall_s:
+                stalled = True
+                proc.kill()
+                proc.wait()
+                break
+        if not stalled and proc.wait() == 0:
+            return 0
+        print(f"# bench attempt {attempt}/{attempts} "
+              + ("stalled (no output for "
+                 f"{stall_s:.0f}s — wedged relay connection?)" if stalled
+                 else f"failed rc={proc.returncode}")
+              + ("; retrying in a fresh process" if attempt < attempts
+                 else ""), file=sys.stderr, flush=True)
+    return 1
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--tf-baseline":
         # error loudly on a malformed count rather than silently falling
@@ -940,5 +994,7 @@ if __name__ == "__main__":
         if len(sys.argv) >= 3 and not sys.argv[2].isdigit():
             sys.exit("usage: bench.py --scaling [EPOCHS]")
         scaling_child(*([int(sys.argv[2])] if len(sys.argv) >= 3 else []))
-    else:
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--inner":
         main()
+    else:
+        sys.exit(run_with_stall_watchdog())
