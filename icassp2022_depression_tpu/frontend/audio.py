@@ -41,9 +41,11 @@ def _bucket_length(n: int, min_len: int = 16384) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("blen", "sr", "n_fft", "hop", "n_mels"))
-def _bucket_pipeline_flat(flat, offsets, written, lengths, nv_params, blen,
-                          sr, n_fft, hop, n_mels, log_floor=1e-6):
+                   static_argnames=("blen", "sr", "n_fft", "hop", "n_mels",
+                                    "nv_seed", "nv_clusters", "nv_dim"))
+def _bucket_pipeline_flat(flat, offsets, written, lengths, ordinals, blen,
+                          sr, n_fft, hop, n_mels, log_floor, nv_seed,
+                          nv_clusters, nv_dim):
     """Flat-packed bucket -> [B, output_dim] features.
 
     ``flat`` is every utterance's true samples (plus its host-computed
@@ -67,6 +69,13 @@ def _bucket_pipeline_flat(flat, offsets, written, lengths, nv_params, blen,
     wavs = jnp.where(j < written[:, None], rows, 0).astype(jnp.float32)
     lm = mel.batched_log_mel(wavs, sr, n_fft, hop, n_mels, log_floor, True)
     fmask = mel.frame_mask(lengths, lm.shape[1], hop)
+    # per-utterance NetVLAD params derive INSIDE the same program (the
+    # ordinal-keyed threefry stream is bit-deterministic regardless of
+    # where it is traced), so each bucket is exactly ONE compiled
+    # program and one dispatch — this matters on the serving cold path,
+    # where every dispatch rides the latency-bound relay
+    nv_params = netvlad.batched_per_utterance_params(
+        nv_seed, ordinals, n_mels, nv_clusters, nv_dim)
     return jax.vmap(netvlad.netvlad)(nv_params, lm, fmask)
 
 
@@ -189,13 +198,13 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
     for (blen, sr, idxs, flat_d, offsets_d, written_d, lengths_d,
          ordinals_d) in staged:
         with profiling.annotate(f"wav2vlad/bucket{blen}"):
-            nv_stacked = netvlad.batched_per_utterance_params(
-                cfg.netvlad_seed, ordinals_d, cfg.n_mels,
-                cfg.netvlad_clusters, cfg.netvlad_output_dim)
             feats = _bucket_pipeline_flat(flat_d, offsets_d, written_d,
-                                          lengths_d, nv_stacked, blen, sr,
+                                          lengths_d, ordinals_d, blen, sr,
                                           cfg.n_fft, cfg.hop_length,
-                                          cfg.n_mels, cfg.log_floor)
+                                          cfg.n_mels, cfg.log_floor,
+                                          cfg.netvlad_seed,
+                                          cfg.netvlad_clusters,
+                                          cfg.netvlad_output_dim)
             computed.append((idxs, feats[:len(idxs)]))
     if device:
         n_utts = len(waveforms)   # the staging loop shadows `n`
@@ -236,9 +245,26 @@ def extract_eatd(root: Path, cfg: FrontendConfig = FrontendConfig(),
     ``incremental`` (requires ``out_dir``): reuse a per-speaker feature
     cache from a previous pass — only speakers absent from the cache are
     re-embedded, so an interrupted or extended corpus pass resumes instead
-    of recomputing.  (Per-utterance NetVLAD ordinals are keyed by the
-    speaker's corpus position, which is stable for a fixed corpus layout.)
+    of recomputing.  Cache entries are keyed by (speaker, corpus
+    position, frontend-config fingerprint): a changed config OR a layout
+    change that shifts a speaker's position (per-utterance NetVLAD
+    ordinals are ``3*position+k``) invalidates exactly the affected
+    entries instead of silently reusing features computed under different
+    parameters.
     """
+    import hashlib
+    import json as _json
+
+    # every field that changes the computed features participates in the
+    # cache key; ordinal position is appended per speaker below
+    fp = hashlib.md5(_json.dumps([
+        cfg.netvlad_seed, cfg.n_mels, cfg.netvlad_clusters,
+        cfg.netvlad_output_dim, cfg.n_fft, cfg.hop_length, cfg.log_floor,
+    ]).encode()).hexdigest()[:10]
+
+    def cache_key(sp, idx: int) -> str:
+        return f"{sp.split}/{sp.number}@{idx}|{fp}"
+
     cache: dict = {}
     cache_path = (Path(out_dir) / "speaker_cache.npz"
                   if out_dir is not None else None)
@@ -256,8 +282,7 @@ def extract_eatd(root: Path, cfg: FrontendConfig = FrontendConfig(),
                                                 read_text=False)):
         speakers.append(sp)
         sds.append(sp.sds)
-        key = f"{sp.split}/{sp.number}"
-        cached = incremental and key in cache
+        cached = incremental and cache_key(sp, idx) in cache
         manifest.append({"split": sp.split, "number": sp.number,
                          "status": "cached" if cached else "ok"})
         if cached:
@@ -277,12 +302,12 @@ def extract_eatd(root: Path, cfg: FrontendConfig = FrontendConfig(),
         for j, idx in enumerate(todo_ordinals):
             features[idx] = flat[3 * j: 3 * j + 3, None, :]
     for idx, sp in enumerate(speakers):
-        key = f"{sp.split}/{sp.number}"
+        key = cache_key(sp, idx)
         if incremental and key in cache:
             features[idx] = cache[key]
     if incremental and cache_path is not None:
         cache_path.parent.mkdir(parents=True, exist_ok=True)
-        np.savez(cache_path, **{f"{sp.split}/{sp.number}": features[idx]
+        np.savez(cache_path, **{cache_key(sp, idx): features[idx]
                                 for idx, sp in enumerate(speakers)})
     sds_targets = np.asarray(sds, np.float32)
     clf_targets = (sds_targets >= sds_threshold).astype(np.int64)

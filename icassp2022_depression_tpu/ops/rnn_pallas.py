@@ -35,33 +35,6 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _gru_fwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_ref, h_scratch):
-    t_steps = xp_ref.shape[0]
-    hidden = whh_t_ref.shape[0]
-    h_scratch[...] = jnp.zeros_like(h_scratch)
-
-    def step(t, _):
-        h = h_scratch[...]
-        hp = jnp.dot(h, whh_t_ref[...],
-                     preferred_element_type=jnp.float32) + bhh_ref[...]
-        xp_t = xp_ref[t]
-        xr = xp_t[:, :hidden]
-        xz = xp_t[:, hidden:2 * hidden]
-        xn = xp_t[:, 2 * hidden:]
-        hr = hp[:, :hidden]
-        hz = hp[:, hidden:2 * hidden]
-        hn = hp[:, 2 * hidden:]
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h_new = (1.0 - z) * n + z * h
-        h_scratch[...] = h_new
-        ys_ref[t] = h_new
-        return 0
-
-    jax.lax.fori_loop(0, t_steps, step, 0)
-
-
 def _gru_bwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_ref, dys_ref,
                     dxp_ref, dwhh_ref, dbhh_ref, dh_scratch):
     t_steps = xp_ref.shape[0]
@@ -121,18 +94,10 @@ def gru_sequence(xp: jnp.ndarray, w_hh_t: jnp.ndarray,
 
 
 def _gru_fwd(xp, w_hh_t, b_hh):
-    t_steps, b, g = xp.shape
-    hidden = g // 3
-    return pl.pallas_call(
-        _gru_fwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((t_steps, b, hidden), xp.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
-        interpret=_interpret(),
-    )(xp, w_hh_t, b_hh)
+    # one statement of the load-bearing torch-parity gate math: the
+    # single-block forward IS the streamed kernel at chunk == t_steps
+    # (grid of one; the program_id-0 scratch init always fires)
+    return _gru_stream_fwd(xp, w_hh_t, b_hh, xp.shape[0])
 
 
 def _fwd_rule(xp, w_hh_t, b_hh):
@@ -900,34 +865,6 @@ def lstmp_layer_streamed(p: dict, x: jnp.ndarray, reverse: bool = False,
 # ---------------------------------------------------------------------------
 
 
-def _lstm_fwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_ref, cs_ref,
-                     h_scratch, c_scratch):
-    t_steps = xp_ref.shape[0]
-    hidden = whh_t_ref.shape[0]
-    h_scratch[...] = jnp.zeros_like(h_scratch)
-    c_scratch[...] = jnp.zeros_like(c_scratch)
-
-    def step(t, _):
-        h = h_scratch[...]
-        c = c_scratch[...]
-        gp = xp_ref[t] + jnp.dot(h, whh_t_ref[...],
-                                 preferred_element_type=jnp.float32) + \
-            bhh_ref[...]
-        i = jax.nn.sigmoid(gp[:, :hidden])
-        f = jax.nn.sigmoid(gp[:, hidden:2 * hidden])
-        g = jnp.tanh(gp[:, 2 * hidden:3 * hidden])
-        o = jax.nn.sigmoid(gp[:, 3 * hidden:])
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
-        h_scratch[...] = h_new
-        c_scratch[...] = c_new
-        ys_ref[t] = h_new
-        cs_ref[t] = c_new
-        return 0
-
-    jax.lax.fori_loop(0, t_steps, step, 0)
-
-
 def _lstm_bwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_ref, cs_ref, dys_ref,
                      dcs_ref, dxp_ref, dwhh_ref, dbhh_ref,
                      dh_scratch, dc_scratch):
@@ -977,21 +914,9 @@ def _lstm_bwd_kernel(xp_ref, whh_t_ref, bhh_ref, ys_ref, cs_ref, dys_ref,
 
 
 def _lstm_fwd(xp, w_hh_t, b_hh):
-    t_steps, b, g = xp.shape
-    hidden = g // 4
-    return pl.pallas_call(
-        _lstm_fwd_kernel,
-        out_shape=(jax.ShapeDtypeStruct((t_steps, b, hidden), xp.dtype),
-                   jax.ShapeDtypeStruct((t_steps, b, hidden), xp.dtype)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
-                        pltpu.VMEM((b, hidden), jnp.float32)],
-        interpret=_interpret(),
-    )(xp, w_hh_t, b_hh)
+    # see _gru_fwd: the streamed kernel at chunk == t_steps IS the
+    # single-block forward — one copy of the gate math per cell
+    return _lstm_stream_fwd(xp, w_hh_t, b_hh, xp.shape[0])
 
 
 @jax.custom_vjp

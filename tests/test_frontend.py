@@ -88,6 +88,44 @@ def test_incremental_extraction_resumes(tmp_path):
     np.testing.assert_allclose(f2, f3, atol=1e-5)
 
 
+def test_incremental_cache_invalidates_on_cfg_and_position(tmp_path):
+    """Cache entries are fingerprinted: a changed frontend config or a
+    corpus-layout change that shifts speaker positions (= NetVLAD
+    ordinals) recomputes instead of silently reusing stale features."""
+    import dataclasses
+    import shutil
+
+    eatd.make_synthetic_corpus(tmp_path, n_data=3, n_validation=0,
+                               seconds=0.3, seed=6)
+    out = tmp_path / "Features" / "AudioWhole"
+    f1, _, _, m1 = audio_fe.extract_eatd(tmp_path, CFG, out_dir=out,
+                                         incremental=True)
+    assert all(e["status"] == "ok" for e in m1)
+
+    # config change (different NetVLAD seed, same shapes): full recompute
+    cfg2 = dataclasses.replace(CFG, netvlad_seed=CFG.netvlad_seed + 1)
+    f2, _, _, m2 = audio_fe.extract_eatd(tmp_path, cfg2, out_dir=out,
+                                         incremental=True)
+    assert all(e["status"] == "ok" for e in m2)
+    assert not np.allclose(f1, f2)
+    # re-run under cfg2: now cached, identical
+    f2b, _, _, m2b = audio_fe.extract_eatd(tmp_path, cfg2, out_dir=out,
+                                           incremental=True)
+    assert all(e["status"] == "cached" for e in m2b)
+    np.testing.assert_array_equal(f2, f2b)
+
+    # remove the FIRST speaker: every later speaker's position (and so
+    # its utterance ordinals 3*position+k) shifts down -> shifted entries
+    # recompute, matching a from-scratch pass over the new layout
+    shutil.rmtree(tmp_path / "Data" / "1")
+    f3, _, _, m3 = audio_fe.extract_eatd(tmp_path, cfg2, out_dir=out,
+                                         incremental=True)
+    assert len(m3) == 2
+    assert all(e["status"] == "ok" for e in m3)  # all shifted -> recompute
+    f4, _, _, _ = audio_fe.extract_eatd(tmp_path, cfg2)
+    np.testing.assert_allclose(f3, f4, atol=1e-5)
+
+
 def test_tokenize_fallback():
     toks = text_fe.fallback_segment("我今天 feels good 123")
     assert "我" in toks and "feels" in toks and "123" in toks
