@@ -24,6 +24,26 @@ from icassp2022_depression_tpu.data import augment, folds
 from icassp2022_depression_tpu.eval import metrics
 from icassp2022_depression_tpu.models import audio_net, fusion, text_net
 from icassp2022_depression_tpu.train import checkpoints
+from icassp2022_depression_tpu.utils import shapes
+
+
+def _padded_apply(apply_fn, params, *arrays) -> np.ndarray:
+    """Apply with the batch padded to a power-of-two bucket, sliced back.
+
+    The clf folds' augmented test sets differ in size (each fold's
+    depressed count differs), so unpadded shapes would compile one
+    program per fold through the volatile remote compile service; pow2
+    bucketing shares one compile across folds (the same policy the
+    frontends use, utils/shapes.py).  Padding rows are zeros and are
+    sliced away before any metric sees them."""
+    n = len(arrays[0])
+    bucket = shapes.next_pow2(n)
+    if bucket > n:
+        arrays = tuple(
+            np.concatenate([a, np.zeros((bucket - n,) + a.shape[1:],
+                                        a.dtype)]) for a in arrays)
+    out = np.asarray(apply_fn(params, *(jnp.asarray(a) for a in arrays)))
+    return out[:n]
 
 
 def _clf_fold_eval(pred_probs: np.ndarray, y: np.ndarray) -> dict:
@@ -59,7 +79,7 @@ def check_branch_clf(model_module, mcfg: C.RNNConfig, features, targets,
             test_perm_ids=fold_cfg.test_perm_ids)
         params = ckpt if isinstance(ckpt, dict) else \
             checkpoints.load(ckpt, like=template)
-        probs = np.asarray(apply_fn(params, jnp.asarray(xte[0])))
+        probs = _padded_apply(apply_fn, params, xte[0])
         m = _clf_fold_eval(probs, yte)
         m["fold"] = fold
         results.append(m)
@@ -103,7 +123,7 @@ def check_fuse_clf(audio_features, text_features, targets, train_folds_idx,
             test_perm_ids=fold_cfg.test_perm_ids)
         params = ckpt if isinstance(ckpt, dict) else \
             checkpoints.load(ckpt, like=template)
-        probs = np.asarray(apply_fn(params, jnp.asarray(xa), jnp.asarray(xt)))
+        probs = _padded_apply(apply_fn, params, xa, xt)
         m = _clf_fold_eval(probs, yte)
         m["fold"] = fold
         results.append(m)

@@ -17,6 +17,7 @@ from typing import List, Sequence
 import numpy as np
 
 from icassp2022_depression_tpu.data import augment
+from icassp2022_depression_tpu.data import folds as folds_lib
 from icassp2022_depression_tpu.eval import metrics
 
 
@@ -93,9 +94,6 @@ def regress(features: np.ndarray, targets: np.ndarray,
     ``KFold`` and scores against a commented-out validation set — an
     internally inconsistent fragment — so evaluation here uses the
     trainer's own unaugmented per-fold test split instead."""
-    from icassp2022_depression_tpu.data import augment
-    from icassp2022_depression_tpu.data import folds as folds_lib
-
     results: List[dict] = []
     for fold in range(n_folds):
         tr_d, tr_n, te_d, te_n = folds_lib.reg_fold_split(

@@ -57,17 +57,43 @@ def resample(x: np.ndarray, sr: int, target_sr: int = SAMPLE_RATE) -> np.ndarray
     return np.interp(t_out, t_in, x).astype(x.dtype)
 
 
+def _is_pcm_scaled(x: np.ndarray) -> bool:
+    """True when the waveform carries raw int16-scale samples (integer
+    dtype, or integral-valued floats bounded by 32767 — what the wav
+    readers produce).  Amplitude alone cannot decide this: a quiet PCM
+    clip peaking at |1| is indistinguishable from full-scale normalised
+    audio by range, and a max>1 test creates a ~16384x feature-scale
+    cliff between two audibly identical near-silent clips."""
+    if np.issubdtype(x.dtype, np.integer):
+        return True
+    if len(x) == 0 or float(np.max(np.abs(x), initial=0.0)) > 32767:
+        return False
+    probe = x[:: max(1, len(x) // 64)]
+    if not np.all(probe == np.round(probe)):
+        return False
+    return bool(np.all(x == np.round(x)))
+
+
 def waveform_to_examples(x: np.ndarray, sr: int) -> np.ndarray:
-    """[T] waveform (any rate, float) -> [N, 96, 64] log-mel examples."""
+    """[T] waveform (any rate) -> [N, 96, 64] log-mel examples.
+
+    Raw int16-scale PCM (what the corpus readers and serving requests
+    carry) is normalised by 32768 like upstream ``wavfile_to_examples``;
+    already-normalised float audio passes through.  The frame window is
+    upstream ``mel_features``'s SYMMETRIC Hann (``np.hanning``), not the
+    periodic Hann the librosa-convention EATD frontend uses — the
+    released vggish_model.ckpt was trained on symmetric-windowed frames.
+    """
+    x = np.asarray(x)
+    if _is_pcm_scaled(x):
+        x = np.asarray(x, np.float32) / 32768.0  # int16 scale -> [-1, 1]
     x = np.asarray(x, np.float32)
-    if x.max(initial=1.0) > 1.0 or x.min(initial=-1.0) < -1.0:
-        x = x / 32768.0  # int16-scaled input -> [-1, 1]
     x = resample(x, sr)
     n_frames = 1 + (len(x) - STFT_WINDOW) // STFT_HOP if len(x) >= STFT_WINDOW else 0
     if n_frames <= 0:
         return np.zeros((0, EXAMPLE_FRAMES, NUM_MEL_BINS), np.float32)
     idx = np.arange(n_frames)[:, None] * STFT_HOP + np.arange(STFT_WINDOW)
-    window = mel_ops.hann_window(STFT_WINDOW)
+    window = np.hanning(STFT_WINDOW).astype(np.float32)
     frames = x[idx] * window
     spec = np.abs(np.fft.rfft(frames, n=512, axis=-1))  # magnitude, fft 512
     log_mel = np.log(spec @ _vggish_mel_matrix().T + LOG_OFFSET)

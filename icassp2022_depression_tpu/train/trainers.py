@@ -47,9 +47,15 @@ def _dead_paths(model_module):
 def _branch_fns(model_module, mcfg: C.RNNConfig, trainer_cfg: C.TrainerConfig):
     track = trainer_cfg.track
 
-    if trainer_cfg.loss not in ("ce", "l1", "smooth_l1"):
-        raise ValueError(f"unknown branch loss {trainer_cfg.loss!r} "
-                         "(expected 'ce', 'l1' or 'smooth_l1')")
+    # per-track validation: acceptance must match dispatch exactly, or a
+    # misconfigured loss silently trains with a different one (the same
+    # no-silent-typos policy optim.build follows)
+    allowed = (("ce",) if track == "classification"
+               else ("l1", "smooth_l1"))
+    if trainer_cfg.loss not in allowed:
+        raise ValueError(
+            f"loss {trainer_cfg.loss!r} is not valid for track "
+            f"{track!r} (expected one of {allowed})")
 
     def train_loss(params, xs, y, mask, key):
         pred = model_module.apply(params, mcfg, xs[0], train=True, key=key)

@@ -170,3 +170,42 @@ def test_vggish_bundle_autoload(tmp_path, monkeypatch):
     sp = eatd.load_speaker(tmp_path / "corpus", "Data", 1, read_text=False)
     got = p.audio_features([sp.waveforms], [sp.sample_rates])
     np.testing.assert_allclose(got[0], want[0, :, 0, :], atol=2e-5)
+
+
+def test_waveform_to_examples_scaling_continuity_and_window():
+    """Upstream conventions: raw int16-scale PCM always normalises by
+    32768 (no amplitude cliff between near-silent clips peaking at 1 vs
+    2), already-normalised float audio passes through, and frames use
+    the SYMMETRIC Hann (np.hanning) the released checkpoint was trained
+    on."""
+    sr = 16000
+    # integral near-silent PCM: 1-peak and 2-peak clips must produce
+    # comparable (same-scale) examples, not a ~16384x cliff
+    base = np.zeros(sr, np.float32)
+    a = base.copy(); a[::50] = 1.0
+    b = base.copy(); b[::50] = 2.0
+    ea = vggish.waveform_to_examples(a, sr)
+    eb = vggish.waveform_to_examples(b, sr)
+    # log-mel of b sits ~log(4) above a (power ratio 4), far from the
+    # ~log(32768^2) gap the old range heuristic produced
+    assert abs(float(np.mean(eb) - np.mean(ea))) < 3.0
+    # int dtype always scales
+    ec = vggish.waveform_to_examples((a * 1).astype(np.int16), sr)
+    np.testing.assert_allclose(ec, ea, atol=1e-5)
+    # normalised float audio (non-integral) passes through unscaled:
+    # identical to the same PCM clip divided by 32768 manually
+    rng = np.random.default_rng(0)
+    pcm = np.round(rng.standard_normal(sr) * 2000).astype(np.float32)
+    np.testing.assert_allclose(
+        vggish.waveform_to_examples(pcm, sr),
+        vggish.waveform_to_examples(pcm / 32768.0, sr), atol=1e-4)
+
+    # window convention: reimplement one frame with np.hanning directly
+    x = (pcm / 32768.0).astype(np.float32)
+    frames = x[np.arange(vggish.STFT_WINDOW)] * np.hanning(
+        vggish.STFT_WINDOW)
+    spec = np.abs(np.fft.rfft(frames, n=512))
+    want0 = np.log(spec @ vggish._vggish_mel_matrix().T
+                   + vggish.LOG_OFFSET)
+    got = vggish.waveform_to_examples(x, sr)
+    np.testing.assert_allclose(got[0, 0], want0, atol=1e-4)
