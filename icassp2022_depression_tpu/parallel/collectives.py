@@ -44,8 +44,17 @@ def dp_train_step(train_loss_fn, optimizer, mesh: Mesh):
         (loss, pred), grads = jax.value_and_grad(local_loss, has_aux=True)(params)
         grads = jax.lax.psum(grads, "data")
         loss = jax.lax.psum(loss, "data")
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        # same exact-no-op guard as train/loop.py's batch_step: a
+        # fully-masked (padding) batch must not advance the Adam step
+        # count or apply decoupled weight decay
+        has_valid = jax.lax.psum(jnp.sum(mask), "data") > 0
+        sel = lambda a, b: jax.tree_util.tree_map(  # noqa: E731
+            lambda x, y: jnp.where(has_valid, x, y), a, b)
+        params = sel(new_params, params)
+        opt_state = sel(new_opt_state, opt_state)
+        loss = jnp.where(has_valid, loss, 0.0)
         return params, opt_state, loss, pred
 
     xs_spec = P("data")

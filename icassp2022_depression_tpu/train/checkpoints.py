@@ -53,8 +53,15 @@ def _flatten(tree, prefix=""):
 
 
 def save(path, params, meta: dict | None = None) -> Path:
-    """Write params pytree to ``<path>.npz`` (+ ``<path>.json`` metadata)."""
+    """Write params pytree to ``<path>.npz`` (+ ``<path>.json`` metadata).
+
+    A path already ending in ``.npz`` is accepted as-is (mirroring
+    :func:`load`'s suffix handling) — without this,
+    ``save('x.npz')``/``load('x.npz')`` would silently target different
+    files (``x.npz.npz`` vs ``x.npz``)."""
     path = Path(path)
+    if path.suffix == ".npz":
+        path = path.with_suffix("")
     path.parent.mkdir(parents=True, exist_ok=True)
     flat = _flatten(params)
     atomic_savez(str(path) + ".npz", **flat)

@@ -159,9 +159,24 @@ def make_fold_runner(train_loss_fn: Callable, eval_fn: Callable,
             tp, fp, fn, tn = M.confusion_counts(data.test_y, yp, data.test_mask)
             acc, prec, rec, f1 = M.f1_from_counts(tp, fp, fn, tn)
             improve = (f1 >= best["f1"]) if gate.f1_tie_update else (f1 > best["f1"])
-            acc_ok = (train_correct > gate.train_acc_frac * n_train
+            # EXACT boundary semantics: the reference computes
+            # `train_acc > len(train_idxs) * 0.9` in Python f64
+            # (audio_gru_whole.py:233), where f64(0.9) is slightly ABOVE
+            # 9/10, so `correct == 0.9*n` exactly does NOT gate.  Under
+            # f32 tracing 0.9 rounds slightly BELOW, flipping that
+            # boundary.  Both counts are small integers, so compare as
+            # the exact rational `correct * den > num * n` instead
+            # (0.9 -> 9/10; host-side, trace-constant).
+            from fractions import Fraction
+
+            frac = Fraction(gate.train_acc_frac).limit_denominator(10000)
+            num = jnp.int32(frac.numerator)
+            den = jnp.int32(frac.denominator)
+            corr_i = train_correct.astype(jnp.int32)
+            n_i = n_train.astype(jnp.int32)
+            acc_ok = (corr_i * den > num * n_i
                       if gate.train_acc_strict
-                      else train_correct >= gate.train_acc_frac * n_train)
+                      else corr_i * den >= num * n_i)
             should = improve & acc_ok & (f1 > gate.f1_floor)
             new_best = {"params": params, "f1": f1, "accuracy": acc,
                         "precision": prec, "recall": rec,

@@ -21,6 +21,10 @@ def gather_chunks(chunks, n: int, dim: int = 0) -> np.ndarray:
     bookkeeping (e.g. the extraction sidecar's ``output_dim``)."""
     if not chunks:
         return np.zeros((0, dim), np.float32)
+    # slice ON DEVICE before the transfer: callers pad their last chunk
+    # (batch-row buckets), and shipping those rows would break the
+    # never-transfer-padding-bytes invariant on the bandwidth-volatile
+    # relay
     if len(chunks) == 1:
-        return np.asarray(chunks[0], np.float32)[:n]
-    return np.asarray(jnp.concatenate(chunks, axis=0), np.float32)[:n]
+        return np.asarray(chunks[0][:n], np.float32)
+    return np.asarray(jnp.concatenate(chunks, axis=0)[:n], np.float32)

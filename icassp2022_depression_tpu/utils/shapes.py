@@ -11,8 +11,11 @@ from __future__ import annotations
 
 
 def next_pow2(n: int, minimum: int = 1) -> int:
-    """Smallest power-of-two multiple of nothing — the smallest
-    ``minimum * 2**k`` that is >= ``n`` (``minimum`` itself for n <= it)."""
+    """Smallest ``minimum * 2**k`` that is >= ``n`` (``minimum`` itself
+    for ``n <= minimum``)."""
+    if minimum <= 0:
+        raise ValueError(f"minimum must be positive, got {minimum} "
+                         "(a non-positive base can never reach n)")
     b = minimum
     while b < n:
         b *= 2

@@ -162,3 +162,40 @@ def test_param_shardings_tp_spec():
     placed = jax.tree_util.tree_map(jax.device_put, params, shardings)
     out = audio_net.apply(placed, CFG, jnp.zeros((8, 3, 16)))
     assert out.shape == (8, 2)
+
+
+def test_dp_train_step_fully_masked_batch_is_noop():
+    """The exact-no-op invariant holds in the DP shard_map step too: a
+    fully-masked (padding) batch must not move params, advance the Adam
+    step count, or apply decoupled weight decay."""
+    import optax
+
+    from icassp2022_depression_tpu.parallel import collectives, mesh as mesh_mod
+
+    m = mesh_mod.make_mesh(4, model_parallel=1)
+
+    def loss_fn(p, xs, y, mask, key):
+        pred = xs @ p["w"]
+        per = (pred.squeeze(-1) - y) ** 2
+        return jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1.0), pred
+
+    opt = optax.adamw(1e-2, weight_decay=1e-2)
+    params = {"w": jnp.ones((8, 1))}
+    opt_state = opt.init(params)
+    step = collectives.dp_train_step(loss_fn, opt, m)
+    xs = jnp.ones((8, 8))
+    y = jnp.zeros((8,))
+    key = jax.random.PRNGKey(0)
+
+    p2, os2, loss, _ = step(params, opt_state, key, xs, y,
+                            jnp.zeros((8,)))   # all-masked
+    np.testing.assert_array_equal(np.asarray(p2["w"]),
+                                  np.asarray(params["w"]))
+    assert int(jax.tree_util.tree_leaves(
+        [s for s in jax.tree_util.tree_leaves(os2)
+         if np.asarray(s).ndim == 0])[0]) == 0  # Adam count unmoved
+    assert float(loss) == 0.0
+    # a real batch does move them
+    p3, os3, loss3, _ = step(params, opt_state, key, xs, y,
+                             jnp.ones((8,)))
+    assert not np.array_equal(np.asarray(p3["w"]), np.asarray(params["w"]))

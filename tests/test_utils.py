@@ -110,3 +110,27 @@ def test_optimizer_unknown_name_raises():
         optim.build(C.OptimizerConfig(name="sgd"), params)
     with pytest.raises(ValueError, match="unknown optimizer"):
         optim.build(C.OptimizerConfig(name="adamW"), params)
+
+
+def test_checkpoint_save_accepts_npz_suffixed_path(tmp_path):
+    """save('x.npz') and load('x.npz') target the SAME file (mirrored
+    suffix handling), instead of silently writing x.npz.npz."""
+    import jax.numpy as jnp
+
+    from icassp2022_depression_tpu.train import checkpoints
+
+    params = {"w": jnp.arange(4.0)}
+    out = checkpoints.save(tmp_path / "ck.npz", params, {"k": 1})
+    assert out == tmp_path / "ck.npz"
+    assert not (tmp_path / "ck.npz.npz").exists()
+    back = checkpoints.load(tmp_path / "ck.npz", like=params)
+    np.testing.assert_array_equal(np.asarray(back["w"]),
+                                  np.asarray(params["w"]))
+    assert checkpoints.load_meta(tmp_path / "ck") == {"k": 1}
+
+
+def test_next_pow2_rejects_nonpositive_minimum():
+    from icassp2022_depression_tpu.utils import shapes
+
+    with pytest.raises(ValueError, match="positive"):
+        shapes.next_pow2(5, minimum=0)
