@@ -103,7 +103,9 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
     # raw request waveforms straight in, so apply the SAME fallback here
     # — a zero-length signal would otherwise pool one junk log-floor
     # frame into a confident nonsense feature
-    waveforms = [np.asarray(w) if len(w) else eatd.silence_fallback(sr)
+    waveforms = [np.asarray(w) if len(w)
+                 else eatd.silence_fallback(sr, cfg.silence_amplitude,
+                                            cfg.silence_seconds)
                  for w, sr in zip(waveforms, sample_rates)]
     out = np.zeros((n, cfg.netvlad_output_dim), np.float32)
     buckets: dict = {}
@@ -260,6 +262,7 @@ def extract_eatd(root: Path, cfg: FrontendConfig = FrontendConfig(),
     fp = hashlib.md5(_json.dumps([
         cfg.netvlad_seed, cfg.n_mels, cfg.netvlad_clusters,
         cfg.netvlad_output_dim, cfg.n_fft, cfg.hop_length, cfg.log_floor,
+        cfg.silence_amplitude, cfg.silence_seconds,
     ]).encode()).hexdigest()[:10]
 
     def cache_key(sp, idx: int) -> str:
@@ -414,6 +417,7 @@ def extract_eatd_vggish(root: Path, params=None, postprocessor=None,
     from icassp2022_depression_tpu.models import vggish
 
     if params is None:
+        vggish.warn_standin_weights()
         params = vggish.init(jax.random.PRNGKey(seed))
 
     waveforms: List[np.ndarray] = []

@@ -59,7 +59,15 @@ def is_topic_question(sentence: str, queries: Sequence[str]) -> bool:
 
 def read_transcript(path: Path) -> List[dict]:
     """TRANSCRIPT.csv rows (tab-separated: start_time, stop_time, speaker,
-    value), NaNs as empty strings."""
+    value), NaNs as empty strings.
+
+    Documented parity deviation: the speaker field is whitespace-STRIPPED
+    before the downstream 'Ellie'/'Participant' comparisons.  The
+    reference compares the raw pandas value (``feature_extraction.py``),
+    so a malformed row like ``'Ellie '`` (trailing whitespace occurs in
+    some raw DAIC-WOZ sessions) matches neither speaker there and shifts
+    that participant's response boundaries; stripping is the robust
+    reading and affects only rows the reference mishandles."""
     rows = []
     with open(path, newline="") as f:
         for row in csv.DictReader(f, delimiter="\t"):

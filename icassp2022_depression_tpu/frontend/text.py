@@ -151,7 +151,8 @@ def tokenize(text: str, use_jieba: bool = True,
 
 def embed_sentences(params, sentences: Sequence[List[str]],
                     cfg=elmo.ElmoConfig(),
-                    batch_size: int = 512, encode=None) -> np.ndarray:
+                    batch_size: int = 512, encode=None,
+                    device: bool = False):
     """Tokenised sentences -> [N, 1024] mean-pooled embeddings, batched and
     padded to a shared token length per batch.
 
@@ -161,6 +162,8 @@ def embed_sentences(params, sentences: Sequence[List[str]],
     ``encode`` overrides the encoder callable (same signature as
     ``elmo.encode_jit``) — used by the tensor-parallel path
     (``parallel/elmo_tp.py::make_tp_encode``).
+    ``device=True`` returns a DEVICE-resident array (no host readback) —
+    the serving path feeds embeddings straight into the model forward.
     """
     if encode is None:
         encode = (elmo.encode_lstmp_jit
@@ -187,6 +190,8 @@ def embed_sentences(params, sentences: Sequence[List[str]],
         _, pooled = encode(params, jnp.asarray(ids), jnp.asarray(lengths),
                            cfg)
         pooled_chunks.append(pooled[:len(chunk)])
+    if device:
+        return hostio.concat_device(pooled_chunks, n, cfg.output_dim)
     # single device->host readback: dispatch is async, and the relay's
     # per-round-trip latency dwarfs the payload (utils/hostio.py)
     return hostio.gather_chunks(pooled_chunks, n, cfg.output_dim)
@@ -252,10 +257,10 @@ def make_embedder(params=None, cfg=None, seed: int = 0,
             # serving compares ids byte-for-byte against extraction
             # sidecars to detect feature mismatches.
             encode = lstmp_tp_encode(params, cfg)
-            return ret(lambda s: embed_sentences(params, s, cfg,
-                                                 encode=encode),
+            return ret(lambda s, **kw: embed_sentences(params, s, cfg,
+                                                       encode=encode, **kw),
                        cfg.output_dim, "explicit-params")
-        return ret(lambda s: embed_sentences(params, s, cfg),
+        return ret(lambda s, **kw: embed_sentences(params, s, cfg, **kw),
                    cfg.output_dim, "explicit-params")
     found = None
     if elmo_weights == "auto":
@@ -287,10 +292,11 @@ def make_embedder(params=None, cfg=None, seed: int = 0,
     warn_standin_encoder()
     if tp_mesh is not None:
         encode = lstmp_tp_encode(params, cfg)
-        return ret(lambda s: embed_sentences(params, s, cfg, encode=encode),
+        return ret(lambda s, **kw: embed_sentences(params, s, cfg,
+                                                   encode=encode, **kw),
                    cfg.output_dim, f"{kind}:seed={seed}")
-    return ret(lambda s: embed_sentences(params, s, cfg), cfg.output_dim,
-               f"{kind}:seed={seed}")
+    return ret(lambda s, **kw: embed_sentences(params, s, cfg, **kw),
+               cfg.output_dim, f"{kind}:seed={seed}")
 
 
 def warn_standin_encoder() -> None:
@@ -357,8 +363,12 @@ def extract_eatd(root: Path, params=None,
         # answers), biLM state carried across calls by the persistent
         # Embedder (``text_features_whole.py:16,40``) — batch composition
         # changes the carried states, so it must match call-for-call.
-        flat = np.concatenate([embed(sentences[i:i + 3])
-                               for i in range(0, len(sentences), 3)])
+        # Outputs stay DEVICE-resident per call and are gathered in ONE
+        # readback at the end: a blocking fetch per speaker would pay the
+        # relay's ~0.45 s round-trip ~n_speakers times.
+        chunks = [embed(sentences[i:i + 3], device=True)
+                  for i in range(0, len(sentences), 3)]
+        flat = hostio.gather_chunks(chunks, len(sentences), dim)
     else:
         flat = embed(sentences)
     n = len(sds)

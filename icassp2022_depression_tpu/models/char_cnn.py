@@ -132,26 +132,6 @@ def embed_tokens(params, char_ids: jnp.ndarray, cfg: CharCnnConfig,
     return out.reshape(b, t, cfg.output_dim)
 
 
-def build_char_ids(tokens: Sequence[str], char_vocab: Mapping[str, int],
-                   max_chars: int = 50, bow: Optional[int] = None,
-                   eow: Optional[int] = None, pad: int = 0,
-                   oov: Optional[int] = None) -> np.ndarray:
-    """[T] tokens -> [T, max_chars] char ids with optional begin/end-of-word
-    markers (ELMo convention); unknown chars map to ``oov`` (or pad).
-
-    An over-long token is truncated to leave room for BOTH markers
-    (upstream's rule, shared with ``elmo_pretrained.build_batch``) — a
-    naive tail cut would silently drop the end-of-word marker."""
-    out = np.full((len(tokens), max_chars), pad, np.int32)
-    n_markers = (bow is not None) + (eow is not None)
-    for i, tok in enumerate(tokens):
-        chars = list(tok)[:max_chars - n_markers]
-        ids = ([] if bow is None else [bow]) +             [char_vocab.get(ch, oov if oov is not None else pad)
-             for ch in chars] + ([] if eow is None else [eow])
-        out[i, :len(ids)] = ids
-    return out
-
-
 def from_elmoformanylangs_token_embedder(sd: Mapping,
                                          cfg: CharCnnConfig):
     """Map ELMoForManyLangs ``token_embedder.*`` tensors onto this param

@@ -220,7 +220,8 @@ class PretrainedElmo:
                                                  axis))
 
     def embed_sentences(self, sentences: Sequence[Sequence[str]],
-                        batch_size: Optional[int] = None) -> np.ndarray:
+                        batch_size: Optional[int] = None,
+                        device: bool = False):
         """sents2elmo(output_layer=-1) + per-sentence token mean ->
         [N, 1024]; batches padded to multiples of 16 tokens so the whole
         corpus reuses a handful of compiled programs.
@@ -237,7 +238,8 @@ class PretrainedElmo:
 
         if self.stateful:
             return self._embed_sentences_stateful(sentences,
-                                                  batch_size or 64)
+                                                  batch_size or 64,
+                                                  device=device)
         batch_size = batch_size or 128
         n = len(sentences)
         pooled_chunks = []
@@ -267,6 +269,11 @@ class PretrainedElmo:
                     None if word_ids is None else jnp.asarray(word_ids),
                     jnp.asarray(lengths), self.char_cfg, self.lstmp_cfg)
             pooled_chunks.append(pooled[:real])
+        if device:
+            # DEVICE-resident result: callers that keep embedding (or
+            # accumulate across calls — the stateful extraction loop)
+            # defer the blocking relay readback to ONE final gather
+            return hostio.concat_device(pooled_chunks, n, self.output_dim)
         # dispatch all chunks, read back once (relay-latency-bound)
         return hostio.gather_chunks(pooled_chunks, n, self.output_dim)
 
@@ -315,7 +322,8 @@ class PretrainedElmo:
                             jnp.where(used_c, c_n, old_c))
 
     def _embed_sentences_stateful(self, sentences: Sequence[Sequence[str]],
-                                  batch_size: int = 64) -> np.ndarray:
+                                  batch_size: int = 64,
+                                  device: bool = False):
         """Upstream ``sents2elmo`` batch-for-batch: stable length-sorted
         descending order (``create_batches(..., sort=True)`` — ties keep
         corpus order), no batch-row padding (phantom rows would perturb
@@ -327,6 +335,8 @@ class PretrainedElmo:
 
         n = len(sentences)
         if n == 0:
+            if device:
+                return jnp.zeros((0, self.output_dim), jnp.float32)
             return np.zeros((0, self.output_dim), np.float32)
         order = sorted(range(n), key=lambda i: -len(sentences[i]))
         pooled_chunks = []
@@ -346,10 +356,14 @@ class PretrainedElmo:
                 self.lstmp_cfg)
             self._update_states(h_n, c_n)
             pooled_chunks.append(pooled)
+        # inv[i] = this call's output row for input sentence i
+        inv = np.empty(n, np.int64)
+        inv[np.asarray(order)] = np.arange(n)
+        if device:
+            flat_d = hostio.concat_device(pooled_chunks, n, self.output_dim)
+            return flat_d[jnp.asarray(inv)]   # on-device reorder
         flat = hostio.gather_chunks(pooled_chunks, n, self.output_dim)
-        out = np.empty_like(flat)
-        out[np.asarray(order)] = flat
-        return out
+        return flat[inv]
 
 
 # ---------------------------------------------------------------------------

@@ -128,6 +128,34 @@ def _vggish_mel_matrix() -> np.ndarray:
     return fb
 
 
+def warn_standin_weights() -> None:
+    """Unmissable stderr notice that PRNG-initialised VGGish weights are
+    in use instead of the released checkpoint — the audio twin of
+    ``frontend.text.warn_standin_encoder`` (the reference's
+    ``to_vggish_embedds`` always loads ``vggish_model.ckpt``,
+    ``audio_features_whole.py:31,44``).  Suppress with
+    ``ICASSP_SUPPRESS_STANDIN_WARNING=1`` (tests)."""
+    import os
+    import sys
+
+    if os.environ.get("ICASSP_SUPPRESS_STANDIN_WARNING"):
+        return
+    print(
+        "\n".join([
+            "=" * 72,
+            "WARNING: no converted VGGish bundle found - using PRNG",
+            "stand-in conv weights.  VGGish features will be deterministic",
+            "and self-consistent but NOT comparable to features from the",
+            "released vggish_model.ckpt the reference uses.  Convert real",
+            "weights with scripts/convert_vggish.py and set",
+            "ICASSP_VGGISH_WEIGHTS (or pass --vggish-ckpt).",
+            "=" * 72,
+        ]),
+        file=sys.stderr,
+        flush=True,
+    )
+
+
 def init(key):
     params = {"convs": [], "fcs": []}
     keys = jax.random.split(key, len(_CONV_CHANNELS) + 3)

@@ -387,6 +387,7 @@ class Predictor:
                       "features from this embedder", file=sys.stderr)
             else:
                 # same deterministic default as extract_eatd_vggish(seed=)
+                vggish.warn_standin_weights()
                 self._vggish_params = vggish.init(
                     jax.random.PRNGKey(self._seed))
         n = len(waveforms_per_speaker)

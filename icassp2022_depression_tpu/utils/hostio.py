@@ -28,3 +28,15 @@ def gather_chunks(chunks, n: int, dim: int = 0) -> np.ndarray:
     if len(chunks) == 1:
         return np.asarray(chunks[0][:n], np.float32)
     return np.asarray(jnp.concatenate(chunks, axis=0)[:n], np.float32)
+
+
+def concat_device(chunks, n: int, dim: int) -> jnp.ndarray:
+    """``gather_chunks``'s DEVICE-resident twin: same on-device concat +
+    padding-row slice, but NO host readback — the result stays a device
+    array for callers that keep computing (serving model forwards,
+    cross-call accumulation).  ``dim`` shapes the empty result."""
+    if not chunks:
+        return jnp.zeros((0, dim), jnp.float32)
+    if len(chunks) == 1:
+        return chunks[0][:n]
+    return jnp.concatenate(chunks, axis=0)[:n]

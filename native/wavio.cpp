@@ -4,9 +4,10 @@
 // The reference decodes wavs one-by-one with Python's `wave` module on the
 // training path (Classification/audio_features_whole.py:78-94).  This
 // library is the framework's host-side IO component: it parses 16-bit PCM
-// RIFF files directly, converts to float32, applies the reference's
-// silence-fallback rule for empty files, and fans a whole corpus read out
-// over a thread pool so wav decode overlaps with TPU compute.
+// RIFF files directly, converts to float32, and fans a whole corpus read
+// out over a thread pool so wav decode overlaps with TPU compute.  (The
+// reference's empty-file silence fallback is applied by the PYTHON caller
+// — data/eatd.py::_apply_silence_fallback — for both decode paths.)
 //
 // Exposed C ABI (used from Python via ctypes — see
 // icassp2022_depression_tpu/utils/native.py):
@@ -62,7 +63,11 @@ int parse_header(FILE* f, WavInfo* info) {
       FmtChunk fmt;
       uint32_t take = ch.size < sizeof(fmt) ? ch.size : sizeof(fmt);
       if (fread(&fmt, take, 1, f) != 1) return -4;
+      // skip any fmt extension AND the RIFF word-alignment pad byte for
+      // odd-sized chunks (legal, if unusual) — omitting the pad would
+      // misalign the next ChunkHeader read by one byte
       if (ch.size > take) fseek(f, ch.size - take, SEEK_CUR);
+      if (ch.size & 1) fseek(f, 1, SEEK_CUR);
       info->sample_rate = fmt.sample_rate;
       info->channels = fmt.channels;
       info->bits = fmt.bits;

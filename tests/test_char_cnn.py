@@ -48,13 +48,33 @@ def test_char_cnn_matches_oracle():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
-def test_build_char_ids():
-    vocab = {"a": 3, "b": 4, "好": 5}
-    ids = char_cnn.build_char_ids(["ab", "好", "zzz"], vocab, max_chars=5,
-                                  bow=1, eow=2, pad=0, oov=9)
-    np.testing.assert_array_equal(ids[0], [1, 3, 4, 2, 0])
-    np.testing.assert_array_equal(ids[1], [1, 5, 2, 0, 0])
-    np.testing.assert_array_equal(ids[2], [1, 9, 9, 9, 2])
+def _lexicon(extra):
+    """Minimal char lexicon with the special markers build_batch needs."""
+    from icassp2022_depression_tpu.models import elmo_pretrained as ep
+
+    lex = {ep.PAD: 0, ep.BOW: 10, ep.EOW: 11, ep.OOV: 9,
+           ep.BOS: 12, ep.EOS: 13}
+    lex.update(extra)
+    return lex
+
+
+def test_build_batch_char_ids():
+    """Marker placement and OOV mapping (the char-id builder is defined
+    ONCE, in elmo_pretrained.build_batch — upstream conventions incl. the
+    bow/eow key swap)."""
+    from icassp2022_depression_tpu.models import elmo_pretrained as ep
+
+    lex = _lexicon({"a": 3, "b": 4, "好": 5})
+    bow, eow = (lex[ep.EOW], lex[ep.BOW]) if ep.SWAP_BOW_EOW else \
+               (lex[ep.BOW], lex[ep.EOW])
+    ids, word_ids, lengths = ep.build_batch([["ab", "好", "zzz"]], lex,
+                                            None, max_chars=5)
+    assert word_ids is None
+    # wrapped: <S> ab 好 zzz </S> -> length 5
+    np.testing.assert_array_equal(lengths, [5])
+    np.testing.assert_array_equal(ids[0, 1], [bow, 3, 4, eow, 0])
+    np.testing.assert_array_equal(ids[0, 2], [bow, 5, eow, 0, 0])
+    np.testing.assert_array_equal(ids[0, 3], [bow, 9, 9, 9, eow])
 
 
 def test_from_elmoformanylangs_mapping_and_word_branch():
@@ -95,10 +115,13 @@ def test_from_elmoformanylangs_mapping_and_word_branch():
         sd["token_embedder.word_emb_layer.embedding.weight"])
 
 
-def test_build_char_ids_long_token_keeps_markers():
+def test_build_batch_long_token_keeps_markers():
     """Over-long tokens truncate the TOKEN, not the end-of-word marker
-    (upstream's rule, matching elmo_pretrained.build_batch)."""
-    vocab = {c: 3 + i for i, c in enumerate("abcdefg")}
-    ids = char_cnn.build_char_ids(["abcdefg"], vocab, max_chars=5,
-                                  bow=1, eow=2, pad=0, oov=9)
-    np.testing.assert_array_equal(ids[0], [1, 3, 4, 5, 2])
+    (upstream's rule: leave room for BOTH markers)."""
+    from icassp2022_depression_tpu.models import elmo_pretrained as ep
+
+    lex = _lexicon({c: 3 + i for i, c in enumerate("abcdefg")})
+    bow, eow = (lex[ep.EOW], lex[ep.BOW]) if ep.SWAP_BOW_EOW else \
+               (lex[ep.BOW], lex[ep.EOW])
+    ids, _, _ = ep.build_batch([["abcdefg"]], lex, None, max_chars=5)
+    np.testing.assert_array_equal(ids[0, 1], [bow, 3, 4, 5, eow])
