@@ -307,12 +307,13 @@ class Predictor:
         return np.asarray(self._stack_rows(self._audio_feature_rows(
             waveforms_per_speaker, sample_rates, ordinal_bases, keys)))
 
-    def _stack_rows(self, rows) -> jnp.ndarray:
+    def _stack_rows(self, rows, dim: Optional[int] = None) -> jnp.ndarray:
         """[3, D] rows -> [N, 3, D] device array (empty-safe: zero
         speakers is a valid request answered with zero results)."""
         if not rows:
-            return jnp.zeros((0, 3, self.frontend_cfg.netvlad_output_dim),
-                             jnp.float32)
+            return jnp.zeros(
+                (0, 3, self.frontend_cfg.netvlad_output_dim
+                 if dim is None else dim), jnp.float32)
         return jnp.stack(rows)
 
     def _audio_keys(self, waveforms_per_speaker, sample_rates,
@@ -413,7 +414,20 @@ class Predictor:
 
     def text_features(self, texts_per_speaker: Sequence[Sequence[str]]
                       ) -> np.ndarray:
-        """[[pos, neu, neg], ...] transcripts -> [N, 3, 1024] embeddings."""
+        """[[pos, neu, neg], ...] transcripts -> [N, 3, 1024] embeddings.
+
+        ONE readback for API compatibility; the predict path uses the
+        device rows directly (no round-trip)."""
+        return np.asarray(
+            self._stack_rows(self._text_feature_rows(texts_per_speaker),
+                             dim=self._text_dim))
+
+    def _text_feature_rows(self, texts_per_speaker):
+        """Cache-aware embedding -> list of per-speaker [3, D] DEVICE
+        arrays (the text twin of :meth:`_audio_feature_rows`): the
+        embedder's pooled chunks stay device-resident into the model
+        forward, saving the blocking relay readback per cold request, and
+        cache hits are device arrays."""
         if texts_per_speaker is None or any(
                 ts is None for ts in texts_per_speaker):
             raise ValueError(
@@ -422,25 +436,27 @@ class Predictor:
         n = len(texts_per_speaker)
         keys = [_FeatureCache.key(["text"] + list(ts))
                 for ts in texts_per_speaker]
-        out = np.zeros((n, 3, self._text_dim), np.float32)
+        rows: list = [None] * n
         todo = []
         for i, key in enumerate(keys):
             cached = self.feature_cache.get(key)
             if cached is not None:
-                out[i] = cached
+                rows[i] = cached
             else:
                 todo.append(i)
         if todo:
             sentences = [text_fe.tokenize(t, segmenter=self.segmenter)
                          for i in todo
                          for t in texts_per_speaker[i]]
-            flat = self._text_embed(sentences).reshape(len(todo), 3, -1)
+            flat = self._text_embed(sentences, device=True)
+            flat = flat.reshape(len(todo), 3, -1)
             for row, i in enumerate(todo):
-                out[i] = flat[row]
-                # copy: a slice view would pin the whole batch array in
-                # the LRU for the entry's lifetime
-                self.feature_cache.put(keys[i], flat[row].copy())
-        return out
+                # indexing a jax array materialises a NEW device buffer,
+                # so (unlike a NumPy slice view) caching it does not pin
+                # the whole batch array
+                rows[i] = flat[row]
+                self.feature_cache.put(keys[i], flat[row])
+        return rows
 
     # -- prediction ---------------------------------------------------------
 
@@ -497,7 +513,11 @@ class Predictor:
                     waveforms_per_speaker, sample_rates, ordinal_bases,
                     keys))
         if not self.task.startswith("audio"):
-            tf = self.text_features(texts_per_speaker)
+            # same device-resident fast path as audio: embedding chunks
+            # feed the model forward without a host round-trip
+            tf = self._stack_rows(
+                self._text_feature_rows(texts_per_speaker),
+                dim=self._text_dim)
         out = self.predict_features(af, tf)
         return _format_outputs(out, self.task.endswith("clf"), "sds_score")
 

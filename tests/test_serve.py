@@ -61,6 +61,29 @@ def test_text_predictor():
     assert r["label"] in (0, 1)
 
 
+def test_text_features_device_resident():
+    """The predict path's text features stay DEVICE arrays from embedding
+    into the model forward (cache entries included) — the text twin of
+    the audio fast path — and the public ``text_features`` readback
+    matches them exactly."""
+    params = text_net.init(jax.random.PRNGKey(3), C.TEXT_CLF.model)
+    p = serve.Predictor(params, "text_clf")
+    rng = np.random.default_rng(7)
+    _, _, texts = _speaker(rng)
+    rows = p._text_feature_rows([texts])
+    assert all(isinstance(r, jax.Array) for r in rows)
+    # cache hit returns the SAME device row (no transfer)
+    h0 = p.feature_cache.hits
+    rows2 = p._text_feature_rows([texts])
+    assert p.feature_cache.hits == h0 + 1
+    assert all(isinstance(r, jax.Array) for r in rows2)
+    np.testing.assert_array_equal(np.asarray(rows[0]),
+                                  np.asarray(rows2[0]))
+    feats = p.text_features([texts])
+    assert isinstance(feats, np.ndarray) and feats.shape == (1, 3, 1024)
+    np.testing.assert_array_equal(feats[0], np.asarray(rows[0]))
+
+
 def test_serving_features_reproduce_training_extraction(tmp_path):
     """With the speaker's corpus ordinal base, serving features must equal
     the training-time extract_eatd features; without it they are
