@@ -684,6 +684,22 @@ class DaicPredictor:
                   file=sys.stderr)
         return predictor
 
+    @staticmethod
+    def _flatten_signals(signals_per_participant, sample_rates,
+                         start_ordinals):
+        """Ragged per-participant response lists -> flat (waveforms, srs,
+        ordinals, counts) for ONE fused ``extract_batch`` dispatch."""
+        counts = [len(s) for s in signals_per_participant]
+        flat = [w for sig in signals_per_participant for w in sig]
+        srs = [sample_rates[i] for i, c in enumerate(counts)
+               for _ in range(c)]
+        if start_ordinals is None:
+            ords = [k for c in counts for k in range(c)]
+        else:
+            ords = [start_ordinals[i] + k
+                    for i, c in enumerate(counts) for k in range(c)]
+        return flat, srs, ords, counts
+
     def response_features(self, signals_per_participant,
                           sample_rates: Sequence[int],
                           start_ordinals: Optional[Sequence[int]] = None):
@@ -695,15 +711,8 @@ class DaicPredictor:
         numbers utterances cumulatively across the split —
         ``frontend.daic.extract_split``); default 0-based per participant
         (batch-position independent)."""
-        counts = [len(s) for s in signals_per_participant]
-        flat = [w for sig in signals_per_participant for w in sig]
-        srs = [sample_rates[i] for i, c in enumerate(counts)
-               for _ in range(c)]
-        if start_ordinals is None:
-            ords = [k for c in counts for k in range(c)]
-        else:
-            ords = [start_ordinals[i] + k
-                    for i, c in enumerate(counts) for k in range(c)]
+        flat, srs, ords, counts = self._flatten_signals(
+            signals_per_participant, sample_rates, start_ordinals)
         feats = (audio_fe.extract_batch(flat, srs, self.frontend_cfg,
                                         ordinals=ords)
                  if flat else np.zeros(
@@ -714,6 +723,31 @@ class DaicPredictor:
             out.append(feats[pos:pos + c][:, None, :])
             pos += c
         return out
+
+    def _predict_flat(self, flat: jnp.ndarray, counts) -> List[dict]:
+        """Flat [M, D] DEVICE response features + per-participant counts
+        -> result dicts, with the padded ragged batch built ON DEVICE by
+        an index gather (a zeros sentinel row fills the padding slots) —
+        the DAIC twin of the EATD device-resident fast path: no host
+        readback between extraction/embedding and the model forward."""
+        n = len(counts)
+        m = int(sum(counts))
+        bucket_r = _pow2(max(counts))
+        bucket_n = _pow2(n)
+        idx = np.full((bucket_n, bucket_r), m, np.int64)  # m -> zeros row
+        mask = np.ones((bucket_n, bucket_r), np.float32)  # pad rows: all
+        pos = 0                                           # ones, avoid 0/0
+        for i, c in enumerate(counts):
+            idx[i, :c] = np.arange(pos, pos + c)
+            mask[i, c:] = 0.0
+            pos += c
+        x = jnp.concatenate(
+            [flat, jnp.zeros((1, flat.shape[-1]), flat.dtype)]
+        )[jnp.asarray(idx)]
+        out = np.asarray(self._apply(self.params, x,
+                                     jnp.asarray(mask)))[:n]
+        return _format_outputs(out, self.task.endswith("clf"),
+                               "phq8_score")
 
     def predict_features(self, feature_blocks) -> List[dict]:
         """[n_i, 1, D] blocks (as the trainer consumes) -> result dicts."""
@@ -744,7 +778,12 @@ class DaicPredictor:
                         start_ordinals=None,
                         texts_per_participant=None) -> List[dict]:
         """Pre-segmented response signals (+ aligned per-response
-        transcripts for multimodal models) -> result dicts."""
+        transcripts for multimodal models) -> result dicts.
+
+        Device-resident fast path: audio features (and multimodal text
+        embeddings) stay ON DEVICE from extraction through the model
+        forward — one relay round-trip per request (the final output
+        readback), like the EATD ``predict_batch`` path."""
         if self.multimodal:
             if texts_per_participant is None:
                 raise ValueError(
@@ -757,23 +796,22 @@ class DaicPredictor:
                                signals_per_participant)):
                 raise ValueError("per-participant texts must align 1:1 "
                                  "with response signals")
-            from icassp2022_depression_tpu.train.daic import (
-                concat_multimodal,
-            )
-
-            audio = self.response_features(signals_per_participant,
-                                           sample_rates, start_ordinals)
-            flat = [text_fe.tokenize(t, segmenter=self.segmenter)
-                    for ts in texts_per_participant for t in ts]
-            emb = (self._text_embed(flat) if flat
-                   else np.zeros((0, self._text_dim), np.float32))
-            tblocks, pos = [], 0
-            for ts in texts_per_participant:
-                tblocks.append(emb[pos:pos + len(ts)])
-                pos += len(ts)
-            return self.predict_features(concat_multimodal(audio, tblocks))
-        return self.predict_features(self.response_features(
-            signals_per_participant, sample_rates, start_ordinals))
+        flat_w, srs, ords, counts = self._flatten_signals(
+            signals_per_participant, sample_rates, start_ordinals)
+        if not counts:
+            return []   # zero participants is a valid request
+        if any(c == 0 for c in counts):
+            raise ValueError("participant with zero segmented responses "
+                             "(no transcript line matched the question "
+                             "bank?) — nothing to pool over")
+        flat = audio_fe.extract_batch(flat_w, srs, self.frontend_cfg,
+                                      ordinals=ords, device=True)
+        if self.multimodal:
+            tokens = [text_fe.tokenize(t, segmenter=self.segmenter)
+                      for ts in texts_per_participant for t in ts]
+            emb = self._text_embed(tokens, device=True)
+            flat = jnp.concatenate([flat, emb], axis=-1)
+        return self._predict_flat(flat, counts)
 
     def predict_participant(self, daic_dir, number: int,
                             queries_path=None, start_ordinal: int = 0
