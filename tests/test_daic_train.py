@@ -216,10 +216,22 @@ def test_daic_predictor_end_to_end(tmp_path):
     assert len(out) == 2 and all("phq8_score" in r for r in out)
     assert out[0]["phq8_score"] >= 0.0
 
+    # the device-resident signals path == the host features path
+    via_features = preg.predict_features(
+        preg.response_features([signals, signals[:1]], [sr, sr]))
+    for a, b in zip(out, via_features):
+        np.testing.assert_allclose(a["phq8_score"], b["phq8_score"],
+                                   atol=1e-5)
+
+    # zero participants is a valid request (CLAUDE.md invariant)
+    assert preg.predict_signals([], []) == []
+
     # zero-response participant is a clear error, not a NaN
     import pytest as _pytest
     with _pytest.raises(ValueError, match="zero segmented responses"):
         preg.predict_features([np.zeros((0, 1, 256), np.float32)])
+    with _pytest.raises(ValueError, match="zero segmented responses"):
+        preg.predict_signals([signals, []], [sr, sr])
 
 
 def test_predict_daic_cli(tmp_path, capsys):
