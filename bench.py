@@ -919,6 +919,39 @@ def scaling_child(epochs: int = 40, n_speakers: int = 486) -> None:
                           "devices": devices, "host_cores": cores}),
               flush=True)
 
+    # TP biLM (parallel/elmo_tp.py) vs the serial LSTMP scan at a
+    # reduced zhs-like geometry (cell/proj ratio preserved; full 4096
+    # would take minutes per pass on one CPU core).  Same reading rule
+    # as above: >= 4 real cores -> speedup toward 1/4 serial; 1 core ->
+    # the gap over serial is the total TP price (per-step psum + copies).
+    from icassp2022_depression_tpu.ops import rnn as rnn_ops
+    from icassp2022_depression_tpu.parallel import elmo_tp
+    from icassp2022_depression_tpu.parallel import mesh as mesh_mod
+
+    cell, proj, din, b, t = 2048, 256, 256, 16, 32
+    p = rnn_ops.init_lstmp(jax.random.PRNGKey(0), din, cell, proj)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, din))
+    tp_mesh = mesh_mod.make_mesh(4, model_parallel=4)
+    p_tp = elmo_tp.shard_lstmp_params(tp_mesh, p)
+
+    def timed_lstmp(run):
+        jax.block_until_ready(run())   # warm: trace + compile
+        t0 = time.time()
+        jax.block_until_ready(run())
+        return time.time() - t0
+
+    ser_s = timed_lstmp(lambda: rnn_ops.lstmp_layer(p, x, backend="xla"))
+    tp_s = timed_lstmp(lambda: elmo_tp.lstmp_layer_tp(tp_mesh, p_tp, x))
+    print(json.dumps({"metric": "elmo_tp_scaling_serial",
+                      "value": round(ser_s, 3), "unit": "s",
+                      "vs_baseline": 1.0, "devices": 1,
+                      "host_cores": cores, "cell": cell, "proj": proj,
+                      "batch": b, "t_steps": t}), flush=True)
+    print(json.dumps({"metric": "elmo_tp_scaling_tp4",
+                      "value": round(tp_s, 3), "unit": "s",
+                      "vs_baseline": round(ser_s / tp_s, 2),
+                      "devices": 4, "host_cores": cores}), flush=True)
+
 
 def tf_baseline_child(n_utts: int) -> None:
     """Child mode (``--tf-baseline N``): run the reference-TF extraction

@@ -575,7 +575,8 @@ class DaicPredictor:
                  frontend_cfg: C.FrontendConfig = C.FrontendConfig(),
                  multimodal: bool = False, elmo_cfg=None, elmo_params=None,
                  seed: int = 0, elmo_weights: Optional[str] = "auto",
-                 segmenter: str = "auto"):
+                 segmenter: str = "auto",
+                 feature_cache_entries: int = 1024):
         """``multimodal=True`` serves ``train-daic --multimodal``
         checkpoints: per-response text embeddings (resolved exactly like
         ``extract-daic --multimodal``, see
@@ -592,6 +593,10 @@ class DaicPredictor:
             daic_train.DAIC_CLF if task == "daic_clf"
             else daic_train.DAIC_REG)
         self.frontend_cfg = frontend_cfg
+        # per-RESPONSE (not per-participant) LRU: repeat participants hit
+        # it fully, and sessions sharing responses hit partially; entries
+        # are device arrays, so hits also skip the relay upload
+        self.feature_cache = _FeatureCache(feature_cache_entries)
         self.multimodal = multimodal
         self.segmenter = segmenter
         self._text_embed = None
@@ -783,7 +788,9 @@ class DaicPredictor:
         Device-resident fast path: audio features (and multimodal text
         embeddings) stay ON DEVICE from extraction through the model
         forward — one relay round-trip per request (the final output
-        readback), like the EATD ``predict_batch`` path."""
+        readback), like the EATD ``predict_batch`` path.  Per-response
+        features are memoised in the content-addressed LRU, so repeat
+        participants skip extraction (and its relay transfer) entirely."""
         if self.multimodal:
             if texts_per_participant is None:
                 raise ValueError(
@@ -804,14 +811,40 @@ class DaicPredictor:
             raise ValueError("participant with zero segmented responses "
                              "(no transcript line matched the question "
                              "bank?) — nothing to pool over")
-        flat = audio_fe.extract_batch(flat_w, srs, self.frontend_cfg,
-                                      ordinals=ords, device=True)
-        if self.multimodal:
-            tokens = [text_fe.tokenize(t, segmenter=self.segmenter)
-                      for ts in texts_per_participant for t in ts]
-            emb = self._text_embed(tokens, device=True)
-            flat = jnp.concatenate([flat, emb], axis=-1)
-        return self._predict_flat(flat, counts)
+        texts_flat = ([t for ts in texts_per_participant for t in ts]
+                      if self.multimodal else None)
+        # default ordinals ARE 0-based per participant, so a repeat
+        # participant keys identically regardless of batch composition
+        keys = [_FeatureCache.key(
+                    ["daic", self.embedder_id or "", str(ords[i]),
+                     str(srs[i]), flat_w[i]]
+                    + ([texts_flat[i]] if texts_flat is not None else []))
+                for i in range(len(flat_w))]
+        rows: list = [None] * len(keys)
+        todo = []
+        for i, key in enumerate(keys):
+            cached = self.feature_cache.get(key)
+            if cached is not None:
+                rows[i] = cached
+            else:
+                todo.append(i)
+        if todo:
+            feats = audio_fe.extract_batch(
+                [flat_w[i] for i in todo], [srs[i] for i in todo],
+                self.frontend_cfg, ordinals=[ords[i] for i in todo],
+                device=True)
+            if self.multimodal:
+                tokens = [text_fe.tokenize(texts_flat[i],
+                                           segmenter=self.segmenter)
+                          for i in todo]
+                emb = self._text_embed(tokens, device=True)
+                feats = jnp.concatenate([feats, emb], axis=-1)
+            for row, i in enumerate(todo):
+                # indexing a jax array materialises a NEW device buffer,
+                # so caching it does not pin the whole batch array
+                rows[i] = feats[row]
+                self.feature_cache.put(keys[i], feats[row])
+        return self._predict_flat(jnp.stack(rows), counts)
 
     def predict_participant(self, daic_dir, number: int,
                             queries_path=None, start_ordinal: int = 0

@@ -372,10 +372,9 @@ def make_http_server(predictor: Predictor, host: str = "127.0.0.1",
                 payload = {
                     "ok": True, "task": predictor.task,
                     "latency": {"request": request_latency.snapshot()}}
-                if not is_daic:
-                    payload["cache"] = {
-                        "hits": predictor.feature_cache.hits,
-                        "misses": predictor.feature_cache.misses}
+                payload["cache"] = {
+                    "hits": predictor.feature_cache.hits,
+                    "misses": predictor.feature_cache.misses}
                 if batcher is not None:
                     payload["batcher"] = {
                         "batches_run": batcher.batches_run,

@@ -226,6 +226,16 @@ def test_daic_predictor_end_to_end(tmp_path):
     # zero participants is a valid request (CLAUDE.md invariant)
     assert preg.predict_signals([], []) == []
 
+    # repeat participants hit the per-response feature LRU entirely
+    # (keys are 0-based per participant, so batch position is irrelevant)
+    h0 = preg.feature_cache.hits
+    again = preg.predict_signals([signals[:1], signals], [sr, sr])
+    assert preg.feature_cache.hits >= h0 + len(signals) + 1
+    np.testing.assert_allclose(again[1]["phq8_score"],
+                               out[0]["phq8_score"], atol=1e-6)
+    np.testing.assert_allclose(again[0]["phq8_score"],
+                               out[1]["phq8_score"], atol=1e-6)
+
     # zero-response participant is a clear error, not a NaN
     import pytest as _pytest
     with _pytest.raises(ValueError, match="zero segmented responses"):
@@ -301,6 +311,7 @@ def test_daic_http_serving(tmp_path):
         h = json.loads(conn.getresponse().read())
         assert h["ok"] and h["task"] == "daic_clf"
         assert h["latency"]["request"]["count"] >= 1
+        assert h["cache"]["misses"] >= 1   # DAIC serving counts its LRU too
         conn.close()
     finally:
         server.shutdown()
