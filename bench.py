@@ -30,8 +30,12 @@ Stages and their baselines (all baselines measured on this machine):
   Predictor (batch 32), vs the extraction-bound ceiling of serving built
   on the reference's design; plus the cache-hit repeat-speaker latency.
 * end_to_end_pipeline — extraction + 3 folds x 169 epochs of audio-clf
-  training, wall-clock; the CPU side extrapolates the measured torch
-  epoch time to the reference's full 169-epoch, 3-fold schedule.
+  training as ONE measured wall clock of the fused product path
+  (device-resident features, ``bench_e2e_fused``); the CPU side
+  extrapolates the measured torch epoch time to the reference's full
+  169-epoch, 3-fold schedule.  ``end_to_end_pipeline_sum`` keeps the
+  round-2/3-comparable decomposed composition (extraction median +
+  training term, each stage timed separately with its own readback).
 
 The reference-TF extraction baseline runs as ``python bench.py
 --tf-baseline N`` in a fresh subprocess (>=12 samples, mean +- spread
@@ -296,6 +300,43 @@ def bench_fuse_clf_tpu(features, text_features, targets):
 
     return _steady_epoch_ms(lambda warm: run(warm),
                             C.FUSE_CLF_TRAINER.epochs - 1)
+
+
+def bench_e2e_fused(wavs, targets, passes=3):
+    """Measured wall-clock of the FUSED extract->train product path:
+    ``extract_batch(device=True)`` -> [162, 3, 256] device array ->
+    ``train_audio_clf`` (3 folds x 169 epochs, serial product config),
+    whose fold data is materialised by on-device gathers
+    (``train.loop.fold_data_from_plans``) — features never return to the
+    host between extraction and training, so the pipeline pays the relay
+    once for the PCM upload and once for the final metrics readback,
+    dropping the extraction readback + feature re-upload (~0.9 s of relay
+    latency) that the decomposed sum charges.  Results are identical to
+    the host-features path (tests/test_device_pipeline.py)."""
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu.data import folds
+    from icassp2022_depression_tpu.frontend import audio
+    from icassp2022_depression_tpu.train import trainers
+
+    cfg = audio.FrontendConfig()
+    tf = folds.generate_clf_folds(targets, 3, seed=0)
+
+    def run():
+        feats = audio.extract_batch(wavs, [SR] * len(wavs), cfg,
+                                    device=True)
+        feats3 = feats.reshape(len(targets), 3, -1)
+        # returns host-read best metrics: the timed region includes the
+        # one blocking readback a real user pays
+        return trainers.train_audio_clf(feats3, targets, tf, C.AUDIO_CLF,
+                                        seed=0)
+
+    run()                                    # warm: compiles are cached
+    dts = []
+    for _ in range(passes):
+        t0 = time.time()
+        run()
+        dts.append(time.time() - t0)
+    return _pass_stats(dts)
 
 
 def bench_audio_reg_tpu(features, scores):
@@ -828,15 +869,25 @@ def main():
     emit("end_to_end_pipeline_vmapped", tpu_e2e_vmap_s, "s",
          cpu_e2e_s / tpu_e2e_vmap_s)
     # spread: the training term is device-bound and stable; the relay-bound
-    # extraction term carries the weather, so the e2e min/max substitute the
-    # extraction pass extremes for its median
+    # extraction term carries the weather, so the sum's min/max substitute
+    # the extraction pass extremes for its median.  This decomposed SUM is
+    # the round-2/3-comparable number (same composition those rounds used
+    # for the headline).
     train_s = audio_ms / 1000.0 * n_epochs_total
-    speedup = cpu_e2e_s / tpu_e2e_s
-    emit("end_to_end_pipeline", tpu_e2e_s, "s", speedup,
-         target=5.0, meets_target=bool(speedup >= 5.0),
+    emit("end_to_end_pipeline_sum", tpu_e2e_s, "s", cpu_e2e_s / tpu_e2e_s,
          min_s=round(ext_stats["min_s"] + train_s, 2),
          max_s=round(ext_stats["max_s"] + train_s, 2),
          ext_median_s=round(tpu_ext_s, 2), train_s=round(train_s, 2))
+    # headline: the FUSED product path actually measured as one wall clock
+    # (extraction -> device-resident fold data -> 3x169-epoch training ->
+    # metrics readback); same workload as the sum, fewer relay round-trips
+    fused = bench_e2e_fused(wavs, targets)
+    speedup = cpu_e2e_s / fused["median_s"]
+    emit("end_to_end_pipeline", fused["median_s"], "s", speedup,
+         target=5.0, meets_target=bool(speedup >= 5.0),
+         fused=True, passes=fused["passes"],
+         min_s=round(fused["min_s"], 2), max_s=round(fused["max_s"], 2),
+         sum_path_s=round(tpu_e2e_s, 2), train_s=round(train_s, 2))
 
     print(f"# torch-cpu epochs ms: audio {audio_torch_ms:.0f}, "
           f"text {text_torch_ms:.0f}, fuse {fuse_torch_ms:.0f}, "

@@ -233,9 +233,19 @@ def cmd_train(args):
         resume_kw.update(vmap_folds=args.vmap_folds or args.fold_parallel,
                          fold_parallel=args.fold_parallel,
                          data_parallel=args.data_parallel)
-    _require_features(audio_dir if args.task.startswith("audio")
-                      else text_dir,
-                      "audio" if args.task.startswith("audio") else "text")
+    corpus = getattr(args, "corpus", None)
+    if corpus and not args.task.startswith("audio"):
+        raise SystemExit("--corpus (fused extract->train) supports audio "
+                         "tasks only — text features need the ELMo "
+                         "pipeline's own artifacts (extract-text first)")
+    if corpus and args.audio_dim != 256:
+        raise SystemExit("--corpus always extracts 256-d wav2vlad "
+                         "features; --audio-dim must stay 256")
+    if not corpus:
+        _require_features(audio_dir if args.task.startswith("audio")
+                          else text_dir,
+                          "audio" if args.task.startswith("audio")
+                          else "text")
     if args.task.startswith("audio") and args.audio_dim != 256:
         # alternative-embedder features (e.g. extract-audio --embedder
         # vggish writes 128-d rows): load the matching npz dim and widen/
@@ -244,9 +254,19 @@ def cmd_train(args):
         resume_kw["tcfg"] = C.replace(
             base, model=C.replace(base.model,
                                   embedding_size=args.audio_dim))
+    corpus_feats = None
+    if corpus:
+        # fused extract->train: device-resident features, no npz artifacts
+        # and no feature readback — one PCM upload, one metrics readback
+        corpus_feats, corpus_sds, corpus_clf = afe.extract_eatd_device(
+            Path(corpus))
     if args.task in ("audio_clf", "text_clf"):
         if args.task == "audio_clf":
-            x, y = afe.load_features(audio_dir, "clf", dim=args.audio_dim)
+            if corpus is not None:
+                x, y = corpus_feats, corpus_clf
+            else:
+                x, y = afe.load_features(audio_dir, "clf",
+                                         dim=args.audio_dim)
             fn, sub = trainers.train_audio_clf, "ClassificationWhole/Audio"
         else:
             x, y = tfe.load_features(text_dir, "clf")
@@ -258,7 +278,11 @@ def cmd_train(args):
                      **resume_kw)
     elif args.task in ("audio_reg", "text_reg"):
         if args.task == "audio_reg":
-            x, y = afe.load_features(audio_dir, "reg", dim=args.audio_dim)
+            if corpus is not None:
+                x, y = corpus_feats, corpus_sds
+            else:
+                x, y = afe.load_features(audio_dir, "reg",
+                                         dim=args.audio_dim)
             fn, sub = trainers.train_audio_reg, "Regression"
         else:
             x, y = tfe.load_features(text_dir, "reg")
@@ -844,6 +868,11 @@ def build_parser():
     sp.add_argument("--data-parallel", type=int, default=1,
                     help="with --fold-parallel: devices per fold for "
                          "in-fold batch parallelism (2D fold x data mesh)")
+    sp.add_argument("--corpus",
+                    help="FUSED extract->train (audio tasks): extract "
+                         "wav2vlad features from this EATD corpus dir and "
+                         "train on them DEVICE-RESIDENT — no features npz, "
+                         "no host readback between extraction and training")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("pipeline", help="full track incl. fusion")

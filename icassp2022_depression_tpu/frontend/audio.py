@@ -347,6 +347,38 @@ def extract_eatd(root: Path, cfg: FrontendConfig = FrontendConfig(),
     return features, sds_targets, clf_targets, manifest
 
 
+def extract_eatd_device(root: Path, cfg: FrontendConfig = FrontendConfig(),
+                        max_id: int = eatd.MAX_SPEAKER_ID,
+                        sds_threshold: float = 53.0):
+    """Fused-pipeline EATD audio pass: features stay DEVICE-resident.
+
+    The fused extract->train path (``cli train --corpus``, bench
+    ``bench_e2e_fused``): one corpus read, one flat-packed PCM upload, and
+    the [N, 3, output_dim] feature array is returned as a DEVICE array the
+    trainers consume directly (their fold data is then built by on-device
+    gathers — ``train.loop.fold_data_from_plans``), so features never
+    cross the relay back to the host.  Labels are host arrays (tiny).
+    Same math/ordinals as :func:`extract_eatd`; no npz/manifest artifacts
+    (use ``extract_eatd`` for the persisted reference-layout files).
+
+    Returns (device features [N, 3, output_dim], sds_targets [N] f32,
+    clf_targets [N] int64).
+    """
+    waveforms: List[np.ndarray] = []
+    rates: List[int] = []
+    sds: List[float] = []
+    for sp in eatd.load_speakers(root, max_id=max_id, read_text=False):
+        sds.append(sp.sds)
+        for w, sr in zip(sp.waveforms, sp.sample_rates):
+            waveforms.append(w)
+            rates.append(sr)
+    flat = extract_batch(waveforms, rates, cfg, device=True)
+    feats = flat.reshape(len(sds), 3, cfg.netvlad_output_dim)
+    sds_targets = np.asarray(sds, np.float32)
+    clf_targets = (sds_targets >= sds_threshold).astype(np.int64)
+    return feats, sds_targets, clf_targets
+
+
 def vggish_embed_waveforms(params, waveforms: Sequence[np.ndarray],
                            sample_rates: Sequence[int],
                            postprocessor=None) -> np.ndarray:

@@ -99,6 +99,74 @@ def make_fold_data(train_xs, train_y, test_xs, test_y, batch_size,
                     jnp.asarray(ty), jnp.asarray(tm))
 
 
+def _gather_plan_rows(arr, spk, perm, n_valid, total_rows):
+    """Materialise ``total_rows`` split rows from a pristine [N, 3, ...]
+    array by on-device gathers: row r = ``arr[spk[r]][PERMS[perm[r]]]``,
+    zeroed beyond ``n_valid`` to match the host path's zero padding
+    bit-for-bit.  ``spk``/``perm`` are host int arrays already padded to
+    ``total_rows``."""
+    from icassp2022_depression_tpu.data.augment import PERM_TABLE
+
+    arr = jnp.asarray(arr)
+    sel = jnp.take(arr, jnp.asarray(spk), axis=0)            # [R, 3, ...]
+    order = jnp.asarray(PERM_TABLE)[jnp.asarray(perm)]       # [R, 3]
+    order = order.reshape(order.shape + (1,) * (arr.ndim - 2))
+    rows = jnp.take_along_axis(sel, order, axis=1)
+    valid = (jnp.arange(total_rows) < n_valid)
+    valid = valid.reshape((total_rows,) + (1,) * (arr.ndim - 1))
+    return jnp.where(valid, rows, jnp.zeros((), arr.dtype))
+
+
+def _pad_plan(plan, total_rows):
+    pad = total_rows - len(plan.targets)
+    assert pad >= 0
+    spk = np.concatenate([plan.spk, np.zeros(pad, plan.spk.dtype)])
+    perm = np.concatenate([plan.perm, np.zeros(pad, plan.perm.dtype)])
+    y = np.concatenate([plan.targets,
+                        np.zeros(pad, plan.targets.dtype)])
+    mask = np.concatenate([np.ones(len(plan.targets), np.float32),
+                           np.zeros(pad, np.float32)])
+    return spk, perm, y, mask
+
+
+def fold_data_from_plans(feature_arrays, train_plan, test_plan, batch_size,
+                         test_total=None, train_total=None) -> FoldData:
+    """Device-resident twin of :func:`make_fold_data`.
+
+    ``feature_arrays`` are the pristine [N, 3, ...] per-speaker arrays —
+    typically DEVICE arrays straight out of
+    ``frontend.audio.extract_batch(device=True)`` — and the augmented
+    train/test splits are described by ``data.augment.SplitPlan`` index
+    plans (host metadata).  All row materialisation (speaker gather +
+    answer permutation + batch padding) happens ON DEVICE, so the fused
+    extract->train pipeline never reads features back to the host; only
+    the tiny targets/masks/indices cross the relay.  Output is
+    bit-identical to ``make_fold_data`` over the host-materialised splits
+    (padding rows zeroed; pinned by ``tests/test_device_pipeline.py``).
+    """
+    n_train = len(train_plan.targets)
+    nb = -(-(train_total if train_total is not None else n_train)
+           // batch_size)
+    rows = nb * batch_size
+    spk, perm, y, mask = _pad_plan(train_plan, rows)
+    train_x = tuple(
+        _gather_plan_rows(a, spk, perm, n_train, rows)
+        .reshape((nb, batch_size) + tuple(a.shape[1:]))
+        for a in feature_arrays)
+    train_y = jnp.asarray(y.reshape(nb, batch_size))
+    train_mask = jnp.asarray(mask.reshape(nb, batch_size))
+
+    if test_total is None:
+        test_total = len(test_plan.targets)
+    tspk, tperm, ty, tmask = _pad_plan(test_plan, test_total)
+    test_x = tuple(
+        _gather_plan_rows(a, tspk, tperm, len(test_plan.targets),
+                          test_total)
+        for a in feature_arrays)
+    return FoldData(train_x, train_y, train_mask, test_x,
+                    jnp.asarray(ty), jnp.asarray(tmask))
+
+
 def _select(cond, new, old):
     return jax.tree_util.tree_map(
         lambda a, b: jnp.where(cond, a, b), new, old)

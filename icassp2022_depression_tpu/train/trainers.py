@@ -159,7 +159,12 @@ def _execute_fold(make_runner, runner_cache, params, optimizer, data,
         params, opt_state, key, best, logs = run(
             params, opt_state, data, key, best,
             jnp.asarray(epoch_done, jnp.int32))
-        logs_parts.append(jax.device_get(logs))
+        # only the resume path needs logs on host NOW (the per-chunk npz
+        # sidecar); otherwise stay device-side — the caller batches every
+        # fold's readback into ONE blocking fetch (the relay charges
+        # ~0.45 s per blocking round-trip regardless of payload)
+        logs_parts.append(jax.device_get(logs) if resume_path is not None
+                          else logs)
         epoch_done += n
         if resume_path is not None:
             # logs FIRST, then the state bundle whose epoch_done commits
@@ -172,9 +177,14 @@ def _execute_fold(make_runner, runner_cache, params, optimizer, data,
             checkpoints.save(resume_path, {
                 "params": params, "opt_state": opt_state, "key": key,
                 "best": best, "epoch_done": np.asarray(epoch_done, np.int64)})
-    if logs_parts:
-        logs = {k: np.concatenate([p[k] for p in logs_parts])
-                for k in logs_parts[0]}
+    if len(logs_parts) == 1:
+        logs = logs_parts[0]
+    elif logs_parts:
+        # multi-chunk: resume-path parts are host np (concatenate there);
+        # no-resume parts are device arrays (concatenate stays on device)
+        cat = (np.concatenate if resume_path is not None
+               else jnp.concatenate)
+        logs = {k: cat([p[k] for p in logs_parts]) for k in logs_parts[0]}
     else:
         # nothing executed and no prior logs recoverable (epochs <= 1, or a
         # completed resume bundle whose logs sidecar is missing)
@@ -356,9 +366,23 @@ def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
                                              fold_key, tcfg.track,
                                              tcfg.epochs - 1, chunk_epochs,
                                              resume_path)
-        results.append({"fold": fold_idx, "best": _host_best(best),
-                        "logs": logs})
-    return results
+        results.append({"fold": fold_idx, "best": best, "logs": logs})
+    return _folds_to_host(results)
+
+
+def _folds_to_host(results):
+    """ONE blocking readback for every fold's metrics/logs, applied after
+    the last fold is dispatched: the serial fold loop enqueues its
+    programs back-to-back and never syncs in between (behind the relay a
+    blocking fetch costs ~0.45 s regardless of payload, so per-fold syncs
+    would dominate the train wall-clock).  Best-params stay on device."""
+    fetched = jax.device_get(
+        [({k: v for k, v in r["best"].items() if k != "params"}, r["logs"])
+         for r in results])
+    return [{"fold": r["fold"],
+             "best": {**_host_best(b), "params": r["best"]["params"]},
+             "logs": logs}
+            for r, (b, logs) in zip(results, fetched)]
 
 
 # ---------------------------------------------------------------------------
@@ -366,10 +390,37 @@ def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
 # ---------------------------------------------------------------------------
 
 
+def _device_resident(feature_arrays):
+    """True when any pristine feature array already lives on device (the
+    fused extract->train pipeline: ``extract_batch(device=True)`` output
+    fed straight to a trainer).  Those folds are then materialised by
+    on-device gathers (``loop.fold_data_from_plans``) so features never
+    cross the relay back to the host."""
+    return any(isinstance(a, jax.Array) for a in feature_arrays)
+
+
+def _plan_fold_datas(feature_arrays, plans, batch_size):
+    """Build every fold's FoldData from (train_plan, test_plan) pairs with
+    on-device gathers; all folds padded to identical shapes so the
+    compiled fold program is shared (same policy as the host path)."""
+    test_total = max(len(te.targets) for _, te in plans)
+    train_total = max(len(tr.targets) for tr, _ in plans)
+    return [loop.fold_data_from_plans(feature_arrays, tr, te, batch_size,
+                                      test_total, train_total)
+            for tr, te in plans]
+
+
 def _clf_fold_datas(feature_arrays, targets, train_folds_idx, batch_size,
                     fold_cfg: C.FoldConfig = C.FoldConfig()):
     dep = np.where(np.asarray(targets) == 1)[0]
     non = np.where(np.asarray(targets) == 0)[0]
+    if _device_resident(feature_arrays):
+        plans = [augment.plan_classification_fold(
+            targets, tr_idx, dep, non,
+            train_perm_ids=fold_cfg.train_perm_ids,
+            test_perm_ids=fold_cfg.test_perm_ids)
+            for tr_idx in train_folds_idx]
+        return _plan_fold_datas(feature_arrays, plans, batch_size)
     raw = []
     for tr_idx in train_folds_idx:
         (xtr, ytr), (xte, yte) = augment.augment_classification_fold(
@@ -575,11 +626,12 @@ def _run_fusion_folds(fcfg, tcfg, fold_datas, branch_params, seed, track,
             tcfg.track, tcfg.epochs - 1, chunk_epochs, resume_path,
             init_opt_state=carried_opt_state if carry_across_folds else None)
         if carry_across_folds:
+            # the carryover is device pytrees feeding the next fold's
+            # program — no host sync needed between folds
             carried_params = final_params
             carried_opt_state = final_opt_state
-        results.append({"fold": fold_idx, "best": _host_best(best),
-                        "logs": logs})
-    return results
+        results.append({"fold": fold_idx, "best": best, "logs": logs})
+    return _folds_to_host(results)
 
 
 def train_fuse_clf(audio_features: np.ndarray, text_features: np.ndarray,
@@ -621,11 +673,17 @@ def train_fuse_clf(audio_features: np.ndarray, text_features: np.ndarray,
 
 def _reg_fold_datas(feature_arrays, targets, dep_idxs, non_idxs, batch_size,
                     fold_cfg: C.FoldConfig = C.FoldConfig()):
+    splits = [folds.reg_fold_split(dep_idxs, non_idxs, fold,
+                                   fold_cfg.reg_test_dep,
+                                   fold_cfg.reg_test_non)
+              for fold in range(fold_cfg.n_folds)]
+    if _device_resident(feature_arrays):
+        plans = [augment.plan_regression_fold(
+            targets, tr_d, tr_n, te_d, te_n, fold_cfg.reg_augment_first_n)
+            for tr_d, tr_n, te_d, te_n in splits]
+        return _plan_fold_datas(feature_arrays, plans, batch_size)
     raw = []
-    for fold in range(fold_cfg.n_folds):
-        tr_d, tr_n, te_d, te_n = folds.reg_fold_split(
-            dep_idxs, non_idxs, fold, fold_cfg.reg_test_dep,
-            fold_cfg.reg_test_non)
+    for tr_d, tr_n, te_d, te_n in splits:
         (xtr, ytr), (xte, yte) = augment.augment_regression_fold(
             feature_arrays, targets, tr_d, tr_n, te_d, te_n,
             fold_cfg.reg_augment_first_n)

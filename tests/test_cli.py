@@ -181,6 +181,54 @@ def test_train_on_vggish_features(tmp_path, monkeypatch):
     assert logs.strip()  # fold logs were written
 
 
+def test_train_fused_from_corpus(tmp_path, monkeypatch):
+    """train --corpus: the fused extract->train pipeline from the CLI —
+    device-resident wav2vlad features straight into the trainer, no
+    features npz ever written, and the run must equal training on the
+    same features extracted through the persisted-npz path."""
+    from icassp2022_depression_tpu import cli
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu.data import eatd
+
+    eatd.make_synthetic_corpus(tmp_path, n_data=6, n_validation=2,
+                               seconds=0.4, seed=3)
+    monkeypatch.setattr(C, "AUDIO_CLF", C.replace(C.AUDIO_CLF, epochs=3))
+    rc = cli.main(["train", "--task", "audio_clf", "--root", str(tmp_path),
+                   "--corpus", str(tmp_path), "--seed", "0"])
+    assert rc == 0
+    assert not (tmp_path / "Features").exists()  # no npz artifacts
+    fused_logs = (tmp_path / "Model" /
+                  "audio_clf_metrics.jsonl").read_text()
+    assert fused_logs.strip()
+
+    # same corpus through extract-audio -> train must log identical folds
+    other = tmp_path / "two_step"
+    eatd.make_synthetic_corpus(other, n_data=6, n_validation=2,
+                               seconds=0.4, seed=3)
+    assert cli.main(["extract-audio", "--root", str(other)]) == 0
+    rc = cli.main(["train", "--task", "audio_clf", "--root", str(other),
+                   "--seed", "0"])
+    assert rc == 0
+    import json
+
+    def records(text):
+        return [{k: v for k, v in json.loads(ln).items() if k != "time"}
+                for ln in text.strip().splitlines()]
+
+    two_step_logs = (other / "Model" /
+                     "audio_clf_metrics.jsonl").read_text()
+    assert records(two_step_logs) == records(fused_logs)
+
+    # guardrails: text tasks and non-256 dims reject --corpus
+    import pytest
+    with pytest.raises(SystemExit):
+        cli.main(["train", "--task", "text_clf", "--root", str(tmp_path),
+                  "--corpus", str(tmp_path)])
+    with pytest.raises(SystemExit):
+        cli.main(["train", "--task", "audio_reg", "--root", str(tmp_path),
+                  "--corpus", str(tmp_path), "--audio-dim", "128"])
+
+
 def test_predict_cli_vggish_embedder(tmp_path, capsys):
     """predict --audio-embedder vggish serves a 128-d checkpoint on
     vggish features from the CLI."""
