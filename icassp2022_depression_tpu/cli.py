@@ -104,6 +104,37 @@ def cmd_train_daic(args):
     from icassp2022_depression_tpu.frontend import daic as daic_fe
     from icassp2022_depression_tpu.train import daic as daic_train
 
+    if args.daic_dir:
+        # fused extract->train: the whole split's responses through ONE
+        # device-resident extraction pass, padded ragged batches built by
+        # on-device gathers — no npz artifacts, no feature readback
+        if args.multimodal:
+            raise SystemExit("--daic-dir (fused extract->train) is "
+                             "audio-only — the text modality needs the "
+                             "ELMo pipeline's artifacts (extract-daic "
+                             "--multimodal first, then --features)")
+        if not (args.train_csv and args.eval_csv):
+            raise SystemExit("--daic-dir requires --train-csv and "
+                             "--eval-csv (AVEC2017 split files)")
+        if args.features:
+            raise SystemExit("--daic-dir and --features are mutually "
+                             "exclusive (fused vs persisted-npz path)")
+        queries = Path(args.queries) if args.queries else None
+        tr, cl_tr, rl_tr = daic_fe.extract_split_device(
+            Path(args.daic_dir), Path(args.train_csv), queries)
+        te, cl_te, rl_te = daic_fe.extract_split_device(
+            Path(args.daic_dir), Path(args.eval_csv), queries)
+        x_tr, x_te = tr, te
+        y_tr, y_te = ((cl_tr, cl_te) if args.track == "clf"
+                      else (rl_tr, rl_te))
+        dim = int(tr.flat.shape[-1])
+        _finish_train_daic(args, daic_train, x_tr, y_tr, x_te, y_te, dim,
+                           meta_extras=None)
+        return
+
+    if not args.features:
+        raise SystemExit("train-daic needs --features (persisted npz "
+                         "prefix) or --daic-dir (fused extract->train)")
     prefix = Path(args.features)
     if args.multimodal:
         xa_tr, xt_tr, y_tr = daic_fe.load_features(prefix, "train",
@@ -118,11 +149,6 @@ def cmd_train_daic(args):
         x_te, y_te = daic_fe.load_features(prefix, args.eval_split,
                                            args.track)
         dim = x_tr[0].shape[-1] if x_tr else 0
-    from icassp2022_depression_tpu import config as C
-    base = (daic_train.DAIC_CLF if args.track == "clf"
-            else daic_train.DAIC_REG)
-    tcfg = C.replace(base, model=C.replace(base.model, embedding_size=dim))
-    out_dir = Path(args.model_dir) if args.model_dir else None
     meta_extras = None
     if args.multimodal:
         # text-modality provenance from extract-daic's sidecar ->
@@ -134,6 +160,18 @@ def cmd_train_daic(args):
             meta_extras = {"text_embedder": m.get("embedder"),
                            "text_segmenter": m.get("segmenter"),
                            "text_seed": m.get("seed")}
+    _finish_train_daic(args, daic_train, x_tr, y_tr, x_te, y_te, dim,
+                       meta_extras)
+
+
+def _finish_train_daic(args, daic_train, x_tr, y_tr, x_te, y_te, dim,
+                       meta_extras):
+    from icassp2022_depression_tpu import config as C
+
+    base = (daic_train.DAIC_CLF if args.track == "clf"
+            else daic_train.DAIC_REG)
+    tcfg = C.replace(base, model=C.replace(base.model, embedding_size=dim))
+    out_dir = Path(args.model_dir) if args.model_dir else None
     result = daic_train.train_daic(x_tr, y_tr, x_te, y_te, tcfg,
                                    out_dir=out_dir, seed=args.seed,
                                    meta_extras=meta_extras)
@@ -827,7 +865,19 @@ def build_parser():
 
     sp = sub.add_parser("train-daic", help="DAIC-WOZ downstream training")
     sp.add_argument("--track", required=True, choices=["clf", "reg"])
-    sp.add_argument("--features", required=True,
+    sp.add_argument("--daic-dir",
+                    help="FUSED extract->train from a raw DAIC directory: "
+                         "one device-resident extraction pass per split "
+                         "(requires --train-csv/--eval-csv; audio-only; "
+                         "no features npz written)")
+    sp.add_argument("--train-csv",
+                    help="AVEC2017 train split CSV (with --daic-dir)")
+    sp.add_argument("--eval-csv",
+                    help="AVEC2017 dev/test split CSV (with --daic-dir)")
+    sp.add_argument("--queries", default=None,
+                    help="question-bank file (with --daic-dir; default: "
+                         "the bundled table)")
+    sp.add_argument("--features", required=False,
                     help="directory written by extract-daic")
     sp.add_argument("--eval-split", default="test",
                     help="split name used for gating/eval (e.g. dev/test)")

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import csv
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -119,19 +119,67 @@ def segment_responses(transcript: List[dict], wave_data: np.ndarray, sr: int,
     return signals
 
 
+def participant_signals(daic_dir: Path, number: int,
+                        queries: Sequence[str]):
+    """One participant's segmented response signals (host IO + string work
+    only; no device dispatch).  Returns (signals, sample_rate)."""
+    base = Path(daic_dir) / f"{number}_P"
+    transcript = read_transcript(base / f"{number}_TRANSCRIPT.csv")
+    wave_data, sr = read_wav(base / f"{number}_AUDIO.wav")
+    return segment_responses(transcript, wave_data, sr, queries), sr
+
+
 def extract_participant(daic_dir: Path, number: int, queries: Sequence[str],
                         cfg: FrontendConfig = FrontendConfig(),
                         start_ordinal: int = 0) -> np.ndarray:
     """One participant -> [n_responses, 1, output_dim] feature block."""
-    base = Path(daic_dir) / f"{number}_P"
-    transcript = read_transcript(base / f"{number}_TRANSCRIPT.csv")
-    wave_data, sr = read_wav(base / f"{number}_AUDIO.wav")
-    signals = segment_responses(transcript, wave_data, sr, queries)
+    signals, sr = participant_signals(daic_dir, number, queries)
     if not signals:
         return np.zeros((0, 1, cfg.netvlad_output_dim), np.float32)
     feats = audio_frontend.extract_batch(signals, [sr] * len(signals), cfg,
                                          start_ordinal=start_ordinal)
     return feats[:, None, :]
+
+
+class FlatResponses(NamedTuple):
+    """A whole split's response features as one flat row matrix + the
+    per-participant row counts — the device-resident wire format of the
+    fused DAIC extract->train pipeline (``flat`` is a DEVICE array out of
+    :func:`extract_split_device`; participant ``i`` owns rows
+    ``[sum(counts[:i]), sum(counts[:i+1]))``, the same cumulative-ordinal
+    order the reference's split pass produces)."""
+
+    flat: np.ndarray      # [total_responses, output_dim]
+    counts: List[int]     # [n_participants]
+
+
+def _split_flat_features(daic_dir: Path, ids: Sequence[int],
+                         queries: Sequence[str], cfg: FrontendConfig,
+                         device: bool = False):
+    """All participants' responses through ONE ``extract_batch`` call.
+
+    The per-participant loop does only host IO/segmentation; the single
+    fused call preserves the split's cumulative utterance ordinals
+    (``feature_extraction.py`` numbers utterances across the whole split)
+    and pays ONE relay readback for the whole split instead of one per
+    participant (~0.45 s each behind the relay, regardless of payload).
+    Bit-identical per-participant results (bucketing is by each
+    utterance's own pow2-padded length, never by its batch peers).
+    """
+    signals: List[np.ndarray] = []
+    srs: List[int] = []
+    counts: List[int] = []
+    for pid in ids:
+        s, sr = participant_signals(daic_dir, pid, queries)
+        signals.extend(s)
+        srs.extend([sr] * len(s))
+        counts.append(len(s))
+    if signals:
+        flat = audio_frontend.extract_batch(signals, srs, cfg,
+                                            device=device)
+    else:
+        flat = np.zeros((0, cfg.netvlad_output_dim), np.float32)
+    return flat, counts
 
 
 def read_split_csv(path: Path) -> Tuple[List[int], List[int], List[float]]:
@@ -154,12 +202,11 @@ def extract_split(daic_dir: Path, split_csv: Path,
     (``feature_extraction.py:83-100``)."""
     queries = load_queries(queries_path)
     ids, clabels, rlabels = read_split_csv(split_csv)
-    features = []
-    ordinal = 0
-    for pid in ids:
-        feat = extract_participant(daic_dir, pid, queries, cfg, ordinal)
-        ordinal += len(feat)
-        features.append(feat)
+    flat, counts = _split_flat_features(daic_dir, ids, queries, cfg)
+    features, pos = [], 0
+    for c in counts:
+        features.append(flat[pos:pos + c][:, None, :])
+        pos += c
     if out_prefix is not None:
         out_prefix = Path(out_prefix)
         out_prefix.mkdir(parents=True, exist_ok=True)
@@ -168,6 +215,31 @@ def extract_split(daic_dir: Path, split_csv: Path,
         np.savez(out_prefix / f"{split_name}_labels_clf.npz", np.asarray(clabels))
         np.savez(out_prefix / f"{split_name}_labels_reg.npz", np.asarray(rlabels))
     return features, clabels, rlabels
+
+
+def extract_split_device(daic_dir: Path, split_csv: Path,
+                         queries_path: Optional[Path] = None,
+                         cfg: FrontendConfig = FrontendConfig()):
+    """Fused-pipeline DAIC split pass: features stay DEVICE-resident.
+
+    The DAIC twin of :func:`..audio.extract_eatd_device` (``cli
+    train-daic --daic-dir``): host segmentation, ONE flat-packed PCM
+    upload for the whole split, and the features come back as a
+    :class:`FlatResponses` whose ``flat`` matrix is a DEVICE array —
+    ``train.daic.train_daic`` consumes it directly, building the padded
+    ragged batch by an on-device gather, so features never cross the
+    relay back to the host.  Same math/ordinals as :func:`extract_split`;
+    no npz artifacts (use ``extract_split`` for the persisted
+    reference-layout files — ``feature_extraction.py:83-100``).
+
+    Returns (:class:`FlatResponses`, PHQ8_Binary labels, PHQ8_Score
+    labels).
+    """
+    queries = load_queries(queries_path)
+    ids, clabels, rlabels = read_split_csv(split_csv)
+    flat, counts = _split_flat_features(daic_dir, ids, queries, cfg,
+                                        device=True)
+    return FlatResponses(flat, counts), clabels, rlabels
 
 
 def _save_ragged(path: Path, features) -> None:

@@ -23,7 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from icassp2022_depression_tpu import config as C
-from icassp2022_depression_tpu.frontend.daic import pad_responses
+from icassp2022_depression_tpu.frontend.daic import (
+    FlatResponses,
+    pad_responses,
+)
 from icassp2022_depression_tpu.models import audio_net
 from icassp2022_depression_tpu.ops.nn import (
     l1_loss,
@@ -123,20 +126,60 @@ def check_daic(features: List[np.ndarray], labels, ckpt_path,
             "rmse": metrics.root_mean_squared_error(y, pred)}
 
 
-def train_daic(train_features: List[np.ndarray], train_labels,
-               test_features: List[np.ndarray], test_labels,
+def pad_flat_responses_device(resp: FlatResponses, max_responses: int):
+    """Device twin of :func:`..frontend.daic.pad_responses`: flat [T, D]
+    DEVICE feature rows + per-participant counts -> dense [N, R, D] built
+    by an on-device index gather (a zeros sentinel row fills padding
+    slots — the same pattern serving's ragged fast path uses) + host mask
+    [N, R].  Bit-identical to the host materialisation; features never
+    cross the relay."""
+    counts = list(resp.counts)
+    n, m = len(counts), int(sum(counts))
+    idx = np.full((n, max_responses), m, np.int64)       # m -> zeros row
+    mask = np.zeros((n, max_responses), np.float32)
+    pos = 0
+    for i, c in enumerate(counts):
+        r = min(c, max_responses)
+        idx[i, :r] = np.arange(pos, pos + r)
+        mask[i, :r] = 1.0
+        pos += c
+    flat = jnp.asarray(resp.flat)
+    x = jnp.concatenate(
+        [flat, jnp.zeros((1, flat.shape[-1]), flat.dtype)])[jnp.asarray(idx)]
+    return x, mask
+
+
+def _max_responses(features) -> int:
+    if isinstance(features, FlatResponses):
+        return max(features.counts, default=1)
+    return max((f.shape[0] for f in features), default=1)
+
+
+def _resp_matrix(features, max_r: int):
+    if isinstance(features, FlatResponses):
+        return pad_flat_responses_device(features, max_r)
+    return pad_responses(features, max_r)
+
+
+def train_daic(train_features, train_labels,
+               test_features, test_labels,
                tcfg: C.TrainerConfig = DAIC_CLF,
                out_dir: Optional[Path] = None, seed: int = 0,
                meta_extras: Optional[dict] = None):
     """Train on the AVEC2017 train split, gate on the dev split.
 
     ``*_features``: ragged per-participant ``[n_i, 1, D]`` blocks from
-    :func:`..frontend.daic.extract_split`.
+    :func:`..frontend.daic.extract_split`, or a device-resident
+    :class:`..frontend.daic.FlatResponses` from
+    :func:`..frontend.daic.extract_split_device` (the fused
+    extract->train pipeline: the padded ragged batch is then built by an
+    on-device gather and features never return to the host; identical
+    results either way — ``tests/test_daic_train.py``).
     """
-    max_r = max(max((f.shape[0] for f in train_features), default=1),
-                max((f.shape[0] for f in test_features), default=1))
-    xtr, mtr = pad_responses(train_features, max_r)
-    xte, mte = pad_responses(test_features, max_r)
+    max_r = max(_max_responses(train_features),
+                _max_responses(test_features))
+    xtr, mtr = _resp_matrix(train_features, max_r)
+    xte, mte = _resp_matrix(test_features, max_r)
     ytr = np.asarray(train_labels)
     yte = np.asarray(test_labels)
 

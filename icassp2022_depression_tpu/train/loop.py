@@ -63,10 +63,14 @@ def batchify(xs: Sequence[np.ndarray], y: np.ndarray, batch_size: int,
     assert pad >= 0
 
     def p(a):
-        a = np.asarray(a)
-        padded = np.concatenate(
-            [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
-        return padded.reshape(nb, batch_size, *a.shape[1:])
+        # device arrays (the fused pipeline) pad+reshape ON DEVICE —
+        # np.asarray on them would silently pull features back over the
+        # relay; host arrays keep the NumPy path (bit-identical either way)
+        xp = jnp if isinstance(a, jax.Array) else np
+        a = a if isinstance(a, jax.Array) else np.asarray(a)
+        padded = xp.concatenate(
+            [a, xp.zeros((pad,) + tuple(a.shape[1:]), a.dtype)], axis=0)
+        return padded.reshape((nb, batch_size) + tuple(a.shape[1:]))
 
     mask = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
     return (tuple(p(a) for a in xs), p(np.asarray(y)),
@@ -81,8 +85,10 @@ def pad_rows(xs: Sequence[np.ndarray], y: np.ndarray, total: int):
     assert pad >= 0
 
     def p(a):
-        a = np.asarray(a)
-        return np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+        xp = jnp if isinstance(a, jax.Array) else np
+        a = a if isinstance(a, jax.Array) else np.asarray(a)
+        return xp.concatenate(
+            [a, xp.zeros((pad,) + tuple(a.shape[1:]), a.dtype)], 0)
 
     mask = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
     return tuple(p(a) for a in xs), p(np.asarray(y)), mask

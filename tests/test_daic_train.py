@@ -760,3 +760,138 @@ def test_daic_from_checkpoint_infers_dims_for_premeta(tmp_path, capsys):
                                             elmo_weights=None)
     assert p.multimodal and p.tcfg.model.embedding_size == 264
     assert "serving it as a --multimodal model" in capsys.readouterr().err
+
+
+def test_extract_split_fused_matches_per_participant(tmp_path):
+    """extract_split (one fused extract_batch over the whole split) must
+    be bit-identical to the per-participant oracle with the running
+    cumulative ordinal (the pre-fusion semantics; bucketing is by each
+    utterance's own padded length, so co-batching cannot change math)."""
+    from icassp2022_depression_tpu.frontend import daic as daic_fe
+
+    queries, train_csv, _ = _make_daic_corpus(tmp_path, pids=(300, 301))
+    both_csv = tmp_path / "both_split.csv"
+    both_csv.write_text("Participant_ID,PHQ8_Binary,PHQ8_Score\n"
+                        "300,1,15\n301,0,3\n")
+    feats, cl, rl = daic_fe.extract_split(tmp_path, both_csv, queries)
+    assert cl == [1, 0] and rl == [15.0, 3.0]
+    qs = daic_fe.load_queries(queries)
+    ordinal = 0
+    for pid, f in zip((300, 301), feats):
+        ref = daic_fe.extract_participant(tmp_path, pid, qs,
+                                          start_ordinal=ordinal)
+        ordinal += len(ref)
+        np.testing.assert_array_equal(f, ref)
+
+
+def test_extract_split_device_and_fused_train_match_host(tmp_path):
+    """The fused DAIC pipeline: extract_split_device's device-resident
+    FlatResponses must carry the same rows as the host split, and
+    train_daic on them must reproduce the host run exactly."""
+    from icassp2022_depression_tpu.frontend import daic as daic_fe
+
+    queries, train_csv, test_csv = _make_daic_corpus(tmp_path,
+                                                     pids=(300, 301))
+    host_tr, cl_tr, _ = daic_fe.extract_split(tmp_path, train_csv, queries)
+    host_te, cl_te, _ = daic_fe.extract_split(tmp_path, test_csv, queries)
+    dev_tr, dcl_tr, _ = daic_fe.extract_split_device(tmp_path, train_csv,
+                                                     queries)
+    dev_te, dcl_te, _ = daic_fe.extract_split_device(tmp_path, test_csv,
+                                                     queries)
+    assert isinstance(dev_tr, daic_fe.FlatResponses)
+    assert isinstance(dev_tr.flat, jax.Array)
+    assert dcl_tr == cl_tr and dcl_te == cl_te
+    assert dev_tr.counts == [f.shape[0] for f in host_tr]
+    np.testing.assert_array_equal(
+        np.asarray(dev_tr.flat),
+        np.concatenate([f[:, 0, :] for f in host_tr]))
+
+    tcfg = C.replace(daic.DAIC_CLF, epochs=4, batch_size=2,
+                     model=C.replace(daic.DAIC_CLF.model,
+                                     embedding_size=256, hidden_dims=16))
+    host = daic.train_daic(host_tr, cl_tr, host_te, cl_te, tcfg, seed=0)
+    dev = daic.train_daic(dev_tr, dcl_tr, dev_te, dcl_te, tcfg, seed=0)
+    np.testing.assert_array_equal(host["logs"]["loss"], dev["logs"]["loss"])
+    for k in ("f1", "epoch"):
+        assert host["best"][k] == dev["best"][k]
+
+
+def test_pad_flat_responses_device_matches_host():
+    """Device gather pad == host pad_responses, incl. a zero-response
+    participant (all-zero mask row, zeros features)."""
+    from icassp2022_depression_tpu.frontend.daic import (FlatResponses,
+                                                         pad_responses)
+
+    rng = np.random.default_rng(0)
+    counts = [3, 0, 2]
+    flat = rng.standard_normal((5, 8)).astype(np.float32)
+    blocks, pos = [], 0
+    for c in counts:
+        blocks.append(flat[pos:pos + c][:, None, :])
+        pos += c
+    hx, hm = pad_responses(blocks, 4)
+    dx, dm = daic.pad_flat_responses_device(
+        FlatResponses(jnp.asarray(flat), counts), 4)
+    np.testing.assert_array_equal(np.asarray(dx), hx)
+    np.testing.assert_array_equal(dm, hm)
+
+
+def test_train_daic_fused_cli(tmp_path, capsys):
+    """train-daic --daic-dir (fused extract->train) must print the same
+    best metrics as the two-step extract-daic -> train-daic --features
+    path, and reject the unsupported flag combinations."""
+    import json
+
+    import pytest
+
+    from icassp2022_depression_tpu import cli
+    import icassp2022_depression_tpu.train.daic as daic_mod
+    import icassp2022_depression_tpu.config as C_mod
+
+    queries, train_csv, test_csv = _make_daic_corpus(tmp_path)
+    feats = tmp_path / "Features"
+    for name, csvp in (("train", train_csv), ("test", test_csv)):
+        assert cli.main(["extract-daic", "--daic-dir", str(tmp_path),
+                         "--split-csv", str(csvp), "--queries",
+                         str(queries), "--out", str(feats),
+                         "--split-name", name]) == 0
+    orig = daic_mod.DAIC_CLF
+    daic_mod.DAIC_CLF = C_mod.replace(
+        orig, epochs=16, batch_size=2,
+        optimizer=C_mod.replace(orig.optimizer, learning_rate=3e-2),
+        gate=C_mod.GateConfig(f1_floor=-1.0, train_acc_frac=0.0))
+    try:
+        assert cli.main(["train-daic", "--track", "clf", "--features",
+                         str(feats)]) == 0
+        two_step = json.loads(capsys.readouterr().out.strip()
+                              .splitlines()[-1])
+        assert cli.main(["train-daic", "--track", "clf",
+                         "--daic-dir", str(tmp_path),
+                         "--train-csv", str(train_csv),
+                         "--eval-csv", str(test_csv),
+                         "--queries", str(queries),
+                         "--model-dir", str(tmp_path / "MF")]) == 0
+        fused = json.loads(capsys.readouterr().out.strip()
+                           .splitlines()[-1])
+        assert fused == two_step
+        assert list((tmp_path / "MF").glob("daic_clf_*.npz"))
+        assert not (tmp_path / "Features2").exists()
+
+        with pytest.raises(SystemExit):
+            cli.main(["train-daic", "--track", "clf",
+                      "--daic-dir", str(tmp_path),
+                      "--train-csv", str(train_csv),
+                      "--eval-csv", str(test_csv), "--multimodal"])
+        with pytest.raises(SystemExit):
+            cli.main(["train-daic", "--track", "clf",
+                      "--daic-dir", str(tmp_path)])
+        with pytest.raises(SystemExit):
+            cli.main(["train-daic", "--track", "clf",
+                      "--daic-dir", str(tmp_path),
+                      "--train-csv", str(train_csv),
+                      "--eval-csv", str(test_csv),
+                      "--features", str(feats)])
+        with pytest.raises(SystemExit):
+            cli.main(["train-daic", "--track", "clf"])
+    finally:
+        daic_mod.DAIC_CLF = orig

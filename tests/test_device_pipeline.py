@@ -96,3 +96,22 @@ def test_train_audio_clf_device_features_match_host():
         np.testing.assert_array_equal(h["logs"]["f1"], d["logs"]["f1"])
         assert h["best"]["f1"] == d["best"]["f1"]
         assert h["best"]["epoch"] == d["best"]["epoch"]
+
+
+def test_device_features_compose_with_vmap_folds():
+    """Fused-pipeline fold data (on-device gathers) feeding the VMAPPED
+    all-folds program must be bit-identical to the HOST-materialised data
+    through the same vmapped program — pins that ``loop.stack_fold_data``
+    composes with device-built FoldData.  (vmapped-vs-serial differs by
+    f32 reduction order by design — ``tests/test_vmap_folds.py`` covers
+    that with tolerances.)"""
+    x, y = _clf_corpus(seed=5)
+    tf_idx = folds.generate_clf_folds(y, 3, seed=0)
+    host = trainers.train_audio_clf(x, y, tf_idx, CFG, seed=3,
+                                    vmap_folds=True)
+    dev = trainers.train_audio_clf(jnp.asarray(x), y, tf_idx, CFG, seed=3,
+                                   vmap_folds=True)
+    for h, d in zip(host, dev):
+        np.testing.assert_array_equal(h["logs"]["loss"], d["logs"]["loss"])
+        assert h["best"]["f1"] == d["best"]["f1"]
+        assert h["best"]["epoch"] == d["best"]["epoch"]
