@@ -120,12 +120,17 @@ def segment_responses(transcript: List[dict], wave_data: np.ndarray, sr: int,
 
 
 def participant_signals(daic_dir: Path, number: int,
-                        queries: Sequence[str]):
+                        queries: Sequence[str], with_text: bool = False):
     """One participant's segmented response signals (host IO + string work
-    only; no device dispatch).  Returns (signals, sample_rate)."""
+    only; no device dispatch).  Returns (signals, sample_rate), or
+    (signals, texts, sample_rate) with ``with_text``."""
     base = Path(daic_dir) / f"{number}_P"
     transcript = read_transcript(base / f"{number}_TRANSCRIPT.csv")
     wave_data, sr = read_wav(base / f"{number}_AUDIO.wav")
+    if with_text:
+        signals, texts = segment_responses(transcript, wave_data, sr,
+                                           queries, with_text=True)
+        return signals, texts, sr
     return segment_responses(transcript, wave_data, sr, queries), sr
 
 
@@ -272,15 +277,36 @@ def extract_split_multimodal(daic_dir: Path, split_csv: Path,
         elmo_tp=elmo_tp)
     queries = load_queries(queries_path)
     ids, clabels, rlabels = read_split_csv(split_csv)
-    audio_features, text_features = [], []
-    ordinal = 0
+    # both modalities fused across the whole split: ONE extract_batch for
+    # every response's audio and ONE embed call for every response's text
+    # (one blocking readback each, instead of two per participant — the
+    # same restructuring as the audio-only extract_split; per-response
+    # results are batch-composition independent, so bit-identical)
+    signals: List[np.ndarray] = []
+    srs: List[int] = []
+    texts: List[str] = []
+    counts: List[int] = []
     for pid in ids:
-        af, tf = extract_participant_multimodal(
-            daic_dir, pid, queries, None, None, cfg,
-            start_ordinal=ordinal, embed_fn=embed, segmenter=segmenter)
-        ordinal += len(af)
-        audio_features.append(af)
-        text_features.append(tf)
+        s, t, sr = participant_signals(daic_dir, pid, queries,
+                                       with_text=True)
+        signals.extend(s)
+        srs.extend([sr] * len(s))
+        texts.extend(t)
+        counts.append(len(s))
+    if signals:
+        flat_audio = audio_frontend.extract_batch(signals, srs, cfg)
+        flat_text = embed(
+            [text_fe.tokenize(t, segmenter=segmenter) for t in texts])
+    else:
+        if _tdim is None:
+            _tdim = embed([["x"]]).shape[1]
+        flat_audio = np.zeros((0, cfg.netvlad_output_dim), np.float32)
+        flat_text = np.zeros((0, _tdim), np.float32)
+    audio_features, text_features, pos = [], [], 0
+    for c in counts:
+        audio_features.append(flat_audio[pos:pos + c][:, None, :])
+        text_features.append(np.asarray(flat_text[pos:pos + c]))
+        pos += c
     if out_prefix is not None:
         out_prefix = Path(out_prefix)
         out_prefix.mkdir(parents=True, exist_ok=True)

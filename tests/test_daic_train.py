@@ -895,3 +895,32 @@ def test_train_daic_fused_cli(tmp_path, capsys):
             cli.main(["train-daic", "--track", "clf"])
     finally:
         daic_mod.DAIC_CLF = orig
+
+
+def test_extract_split_multimodal_fused_matches_per_participant(tmp_path):
+    """The fused multimodal split pass (one audio extract_batch + one text
+    embed call for the WHOLE split) must equal the per-participant oracle
+    with running cumulative ordinals, both modalities."""
+    from icassp2022_depression_tpu.frontend import daic as daic_fe
+    from icassp2022_depression_tpu.frontend import text as text_fe
+    from icassp2022_depression_tpu.models import elmo
+
+    queries, _, _ = _make_daic_corpus(tmp_path, pids=(300, 301))
+    both_csv = tmp_path / "both_split.csv"
+    both_csv.write_text("Participant_ID,PHQ8_Binary,PHQ8_Score\n"
+                        "300,1,15\n301,0,3\n")
+    ecfg = elmo.ElmoConfig(vocab_size=64, embed_dim=8, hidden=4, layers=1,
+                           output_dim=8)
+    a, t, cl, rl = daic_fe.extract_split_multimodal(
+        tmp_path, both_csv, queries, elmo_cfg=ecfg, elmo_weights=None)
+    assert cl == [1, 0] and rl == [15.0, 3.0]
+    qs = daic_fe.load_queries(queries)
+    embed, _ = text_fe.make_embedder(None, ecfg, 0, elmo_weights=None)
+    ordinal = 0
+    for pid, af, tf in zip((300, 301), a, t):
+        ra, rt = daic_fe.extract_participant_multimodal(
+            tmp_path, pid, qs, None, ecfg, start_ordinal=ordinal,
+            embed_fn=embed)
+        ordinal += len(ra)
+        np.testing.assert_array_equal(af, ra)
+        np.testing.assert_array_equal(tf, rt)
