@@ -302,7 +302,7 @@ def bench_fuse_clf_tpu(features, text_features, targets):
                             C.FUSE_CLF_TRAINER.epochs - 1)
 
 
-def bench_e2e_fused(wavs, targets, passes=3):
+def bench_e2e_fused(wavs, targets, passes=3, vmap_folds=False):
     """Measured wall-clock of the FUSED extract->train product path:
     ``extract_batch(device=True)`` -> [162, 3, 256] device array ->
     ``train_audio_clf`` (3 folds x 169 epochs, serial product config),
@@ -328,7 +328,7 @@ def bench_e2e_fused(wavs, targets, passes=3):
         # returns host-read best metrics: the timed region includes the
         # one blocking readback a real user pays
         return trainers.train_audio_clf(feats3, targets, tf, C.AUDIO_CLF,
-                                        seed=0)
+                                        seed=0, vmap_folds=vmap_folds)
 
     run()                                    # warm: compiles are cached
     dts = []
@@ -888,6 +888,14 @@ def main():
          fused=True, passes=fused["passes"],
          min_s=round(fused["min_s"], 2), max_s=round(fused["max_s"], 2),
          sum_path_s=round(tpu_e2e_s, 2), train_s=round(train_s, 2))
+    # the fastest single-chip product configuration: fused pipeline with
+    # all folds as one vmapped program (`train --corpus --vmap-folds`;
+    # identical-within-tolerance results, tests/test_vmap_folds.py)
+    fused_v = bench_e2e_fused(wavs, targets, vmap_folds=True)
+    emit("end_to_end_pipeline_fused_vmapped", fused_v["median_s"], "s",
+         cpu_e2e_s / fused_v["median_s"], passes=fused_v["passes"],
+         min_s=round(fused_v["min_s"], 2),
+         max_s=round(fused_v["max_s"], 2))
 
     print(f"# torch-cpu epochs ms: audio {audio_torch_ms:.0f}, "
           f"text {text_torch_ms:.0f}, fuse {fuse_torch_ms:.0f}, "
