@@ -881,13 +881,6 @@ def main():
     # headline: the FUSED product path actually measured as one wall clock
     # (extraction -> device-resident fold data -> 3x169-epoch training ->
     # metrics readback); same workload as the sum, fewer relay round-trips
-    fused = bench_e2e_fused(wavs, targets)
-    speedup = cpu_e2e_s / fused["median_s"]
-    emit("end_to_end_pipeline", fused["median_s"], "s", speedup,
-         target=5.0, meets_target=bool(speedup >= 5.0),
-         fused=True, passes=fused["passes"],
-         min_s=round(fused["min_s"], 2), max_s=round(fused["max_s"], 2),
-         sum_path_s=round(tpu_e2e_s, 2), train_s=round(train_s, 2))
     # the fastest single-chip product configuration: fused pipeline with
     # all folds as one vmapped program (`train --corpus --vmap-folds`;
     # identical-within-tolerance results, tests/test_vmap_folds.py)
@@ -896,6 +889,15 @@ def main():
          cpu_e2e_s / fused_v["median_s"], passes=fused_v["passes"],
          min_s=round(fused_v["min_s"], 2),
          max_s=round(fused_v["max_s"], 2))
+    # the machine-checked headline stays the LAST metric line: the fused
+    # product path at the reference's serial-fold semantics
+    fused = bench_e2e_fused(wavs, targets)
+    speedup = cpu_e2e_s / fused["median_s"]
+    emit("end_to_end_pipeline", fused["median_s"], "s", speedup,
+         target=5.0, meets_target=bool(speedup >= 5.0),
+         fused=True, passes=fused["passes"],
+         min_s=round(fused["min_s"], 2), max_s=round(fused["max_s"], 2),
+         sum_path_s=round(tpu_e2e_s, 2), train_s=round(train_s, 2))
 
     print(f"# torch-cpu epochs ms: audio {audio_torch_ms:.0f}, "
           f"text {text_torch_ms:.0f}, fuse {fuse_torch_ms:.0f}, "
