@@ -388,10 +388,22 @@ def _pipeline_summary(args) -> dict:
     if args.vmap_folds or args.fold_parallel:
         fold_kw = {"vmap_folds": True, "fold_parallel": args.fold_parallel}
 
-    _require_features(audio_dir, "audio")
+    corpus = getattr(args, "corpus", None)
+    corpus_feats = corpus_sds = corpus_clf = None
+    if corpus:
+        # fused audio branch: device-resident wav2vlad features feed the
+        # audio AND fusion trainers directly (text still needs the ELMo
+        # pipeline's persisted artifacts)
+        corpus_feats, corpus_sds, corpus_clf = afe.extract_eatd_device(
+            Path(corpus))
+    else:
+        _require_features(audio_dir, "audio")
     _require_features(text_dir, "text")
     if args.track == "clf":
-        xa, ya = afe.load_features(audio_dir, "clf")
+        if corpus is not None:
+            xa, ya = corpus_feats, corpus_clf
+        else:
+            xa, ya = afe.load_features(audio_dir, "clf")
         xt, yt = tfe.load_features(text_dir, "clf")
         tf_idx = _train_folds(root, ya, args.seed, args.idx_files)
         ra = trainers.train_audio_clf(xa, ya, tf_idx, _lr(C.AUDIO_CLF),
@@ -420,7 +432,10 @@ def _pipeline_summary(args) -> dict:
             "fuse_f1": [r["best"]["f1"] for r in rf],
         }
     else:
-        xa, ya = afe.load_features(audio_dir, "reg")
+        if corpus is not None:
+            xa, ya = corpus_feats, corpus_sds
+        else:
+            xa, ya = afe.load_features(audio_dir, "reg")
         xt, yt = tfe.load_features(text_dir, "reg")
         dep, non = folds.generate_reg_shuffles(ya, seed=args.seed)
         ra = trainers.train_audio_reg(xa, ya, dep, non, _lr(C.AUDIO_REG),
@@ -939,6 +954,12 @@ def build_parser():
                          "fusion; clf fusion is inherently sequential: "
                          "fold k+1 continues fold k's fc_final + Adam "
                          "state, fuse_net_whole.py:413-416)")
+    sp.add_argument("--corpus",
+                    help="FUSED audio branch: extract wav2vlad features "
+                         "from this EATD corpus dir DEVICE-RESIDENT and "
+                         "feed the audio + fusion trainers directly (no "
+                         "audio npz read; text features still come from "
+                         "extract-text's artifacts)")
     sp.add_argument("--fold-parallel", action="store_true",
                     help="additionally shard the fold axis over one device "
                          "per fold (implies --vmap-folds)")
