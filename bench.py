@@ -878,9 +878,6 @@ def main():
          min_s=round(ext_stats["min_s"] + train_s, 2),
          max_s=round(ext_stats["max_s"] + train_s, 2),
          ext_median_s=round(tpu_ext_s, 2), train_s=round(train_s, 2))
-    # headline: the FUSED product path actually measured as one wall clock
-    # (extraction -> device-resident fold data -> 3x169-epoch training ->
-    # metrics readback); same workload as the sum, fewer relay round-trips
     # the fastest single-chip product configuration: fused pipeline with
     # all folds as one vmapped program (`train --corpus --vmap-folds`;
     # identical-within-tolerance results, tests/test_vmap_folds.py)
@@ -889,8 +886,11 @@ def main():
          cpu_e2e_s / fused_v["median_s"], passes=fused_v["passes"],
          min_s=round(fused_v["min_s"], 2),
          max_s=round(fused_v["max_s"], 2))
-    # the machine-checked headline stays the LAST metric line: the fused
-    # product path at the reference's serial-fold semantics
+    # HEADLINE (machine-checked, stays the LAST metric line): the fused
+    # product path measured as one wall clock (extraction ->
+    # device-resident fold data -> 3x169-epoch training -> metrics
+    # readback) at the reference's serial-fold semantics; same workload
+    # as the sum above, fewer relay round-trips
     fused = bench_e2e_fused(wavs, targets)
     speedup = cpu_e2e_s / fused["median_s"]
     emit("end_to_end_pipeline", fused["median_s"], "s", speedup,

@@ -271,7 +271,8 @@ def cmd_train(args):
         resume_kw.update(vmap_folds=args.vmap_folds or args.fold_parallel,
                          fold_parallel=args.fold_parallel,
                          data_parallel=args.data_parallel)
-    corpus = getattr(args, "corpus", None)
+    # "" (e.g. an unset shell var) means "no fused corpus", same as absent
+    corpus = getattr(args, "corpus", None) or None
     if corpus and not args.task.startswith("audio"):
         raise SystemExit("--corpus (fused extract->train) supports audio "
                          "tasks only — text features need the ELMo "
@@ -388,7 +389,8 @@ def _pipeline_summary(args) -> dict:
     if args.vmap_folds or args.fold_parallel:
         fold_kw = {"vmap_folds": True, "fold_parallel": args.fold_parallel}
 
-    corpus = getattr(args, "corpus", None)
+    # "" (e.g. an unset shell var) means "no fused corpus", same as absent
+    corpus = getattr(args, "corpus", None) or None
     corpus_feats = corpus_sds = corpus_clf = None
     if corpus:
         # fused audio branch: device-resident wav2vlad features feed the

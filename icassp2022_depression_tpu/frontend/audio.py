@@ -312,8 +312,7 @@ def extract_eatd(root: Path, cfg: FrontendConfig = FrontendConfig(),
         cache_path.parent.mkdir(parents=True, exist_ok=True)
         np.savez(cache_path, **{cache_key(sp, idx): features[idx]
                                 for idx, sp in enumerate(speakers)})
-    sds_targets = np.asarray(sds, np.float32)
-    clf_targets = (sds_targets >= sds_threshold).astype(np.int64)
+    sds_targets, clf_targets = eatd_targets(sds, sds_threshold)
 
     if out_dir is not None:
         out_dir = Path(out_dir)
@@ -364,19 +363,40 @@ def extract_eatd_device(root: Path, cfg: FrontendConfig = FrontendConfig(),
     Returns (device features [N, 3, output_dim], sds_targets [N] f32,
     clf_targets [N] int64).
     """
+    waveforms, rates, sds, _ = _corpus_utterances(root, max_id)
+    flat = extract_batch(waveforms, rates, cfg, device=True)
+    feats = flat.reshape(len(sds), 3, cfg.netvlad_output_dim)
+    sds_targets, clf_targets = eatd_targets(sds, sds_threshold)
+    return feats, sds_targets, clf_targets
+
+
+def _corpus_utterances(root: Path, max_id: int):
+    """Flatten the corpus into per-utterance lists in ``load_speakers``
+    order (3 utterances per speaker) — the shared front half of the
+    non-incremental extraction entry points.  Returns (waveforms, rates,
+    sds, manifest)."""
     waveforms: List[np.ndarray] = []
     rates: List[int] = []
     sds: List[float] = []
+    manifest = []
     for sp in eatd.load_speakers(root, max_id=max_id, read_text=False):
         sds.append(sp.sds)
+        manifest.append({"split": sp.split, "number": sp.number,
+                         "status": "ok"})
         for w, sr in zip(sp.waveforms, sp.sample_rates):
-            waveforms.append(w)
+            waveforms.append(np.asarray(w))
             rates.append(sr)
-    flat = extract_batch(waveforms, rates, cfg, device=True)
-    feats = flat.reshape(len(sds), 3, cfg.netvlad_output_dim)
+    return waveforms, rates, sds, manifest
+
+
+def eatd_targets(sds, sds_threshold: float = 53.0):
+    """Label derivation shared by EVERY EATD extraction entry point:
+    standardised SDS scores -> (sds_targets f32, clf_targets int64),
+    depressed iff SDS >= threshold (the reference's ``1 if target >= 53
+    else 0`` rule over the standardised scores,
+    ``audio_features_whole.py:113``)."""
     sds_targets = np.asarray(sds, np.float32)
-    clf_targets = (sds_targets >= sds_threshold).astype(np.int64)
-    return feats, sds_targets, clf_targets
+    return sds_targets, (sds_targets >= sds_threshold).astype(np.int64)
 
 
 def vggish_embed_waveforms(params, waveforms: Sequence[np.ndarray],
@@ -452,25 +472,14 @@ def extract_eatd_vggish(root: Path, params=None, postprocessor=None,
         vggish.warn_standin_weights()
         params = vggish.init(jax.random.PRNGKey(seed))
 
-    waveforms: List[np.ndarray] = []
-    rates: List[int] = []
-    sds: List[float] = []
-    manifest = []
-    for sp in eatd.load_speakers(root, max_id=max_id, read_text=False):
-        sds.append(sp.sds)
-        manifest.append({"split": sp.split, "number": sp.number,
-                         "status": "ok"})
-        for w, sr in zip(sp.waveforms, sp.sample_rates):
-            waveforms.append(np.asarray(w))
-            rates.append(sr)
+    waveforms, rates, sds, manifest = _corpus_utterances(root, max_id)
 
     n = len(sds)
     dim = vggish.EMBEDDING_SIZE
     per_utt = vggish_embed_waveforms(params, waveforms, rates,
                                      postprocessor)
     features = per_utt.reshape(n, 3, 1, dim)
-    sds_targets = np.asarray(sds, np.float32)
-    clf_targets = (sds_targets >= sds_threshold).astype(np.int64)
+    sds_targets, clf_targets = eatd_targets(sds, sds_threshold)
 
     if out_dir is not None:
         import json

@@ -182,6 +182,12 @@ def _split_flat_features(daic_dir: Path, ids: Sequence[int],
     if signals:
         flat = audio_frontend.extract_batch(signals, srs, cfg,
                                             device=device)
+    elif device:
+        # keep the documented contract: device=True always yields a
+        # DEVICE array, even for a split with zero matched responses
+        import jax.numpy as jnp
+
+        flat = jnp.zeros((0, cfg.netvlad_output_dim), jnp.float32)
     else:
         flat = np.zeros((0, cfg.netvlad_output_dim), np.float32)
     return flat, counts

@@ -15,6 +15,10 @@ $PY -m icassp2022_depression_tpu.cli synth-corpus --root "$ROOT" \
     --n-data 114 --n-validation 48 --seconds 4.0 --seed 42
 $PY -m icassp2022_depression_tpu.cli extract-audio --root "$ROOT"
 $PY -m icassp2022_depression_tpu.cli extract-text  --root "$ROOT"
+# the fused product path: extraction -> device-resident fold data ->
+# training in ONE command (features never return to the host)
+$PY -m icassp2022_depression_tpu.cli train --task audio_clf --root "$ROOT" \
+    --corpus "$ROOT" --model-dir "$ROOT/Model/FusedDemo"
 $PY -m icassp2022_depression_tpu.cli pipeline --track clf --root "$ROOT"
 $PY -m icassp2022_depression_tpu.cli pipeline --track reg --root "$ROOT" --lr 3e-4
 $PY -m icassp2022_depression_tpu.cli baselines --task audio_clf --root "$ROOT"
