@@ -481,8 +481,23 @@ def cmd_check(args):
     root = Path(args.root)
     audio_dir, text_dir = _features_dirs(root)
     ckpts = [Path(p) for p in args.ckpts]
+    # "" (unset shell var) means "no corpus", same as absent
+    corpus = getattr(args, "corpus", None) or None
+    if corpus:
+        # no-npz loop closure for `train --corpus`-produced checkpoints:
+        # re-extract the audio features on the fly instead of requiring
+        # extract-audio's persisted artifacts (one fused extraction pass;
+        # same math/ordinals, so checkpoints reproduce exactly)
+        cfeat, csds, cclf, _ = afe.extract_eatd(Path(corpus))
+        cfeat = np.squeeze(cfeat, axis=2)
+
+    def _audio(track):
+        if corpus is not None:
+            return cfeat, (cclf if track == "clf" else csds)
+        return afe.load_features(audio_dir, track)
+
     if args.task == "audio_clf":
-        x, y = afe.load_features(audio_dir, "clf")
+        x, y = _audio("clf")
         tf_idx = _train_folds(root, y, args.seed, args.idx_files)
         results, summary = checking.check_audio_clf(x, y, tf_idx, ckpts)
     elif args.task == "text_clf":
@@ -490,12 +505,12 @@ def cmd_check(args):
         tf_idx = _train_folds(root, y, args.seed, args.idx_files)
         results, summary = checking.check_text_clf(x, y, tf_idx, ckpts)
     elif args.task == "fuse_clf":
-        xa, ya = afe.load_features(audio_dir, "clf")
+        xa, ya = _audio("clf")
         xt, _ = tfe.load_features(text_dir, "clf")
         tf_idx = _train_folds(root, ya, args.seed, args.idx_files)
         results, summary = checking.check_fuse_clf(xa, xt, ya, tf_idx, ckpts)
     elif args.task in ("audio_reg", "text_reg", "fuse_reg"):
-        xa, ya = afe.load_features(audio_dir, "reg")
+        xa, ya = _audio("reg")
         dep, non = folds.generate_reg_shuffles(ya, seed=args.seed)
         if args.task == "audio_reg":
             results, summary = checking.check_audio_reg(xa, ya, dep, non, ckpts)
@@ -975,6 +990,11 @@ def build_parser():
     sp.add_argument("--ckpts", nargs="+", required=True,
                     help="one checkpoint per fold, in fold order")
     sp.add_argument("--idx-files", nargs="*")
+    sp.add_argument("--corpus",
+                    help="re-extract audio features from this EATD corpus "
+                         "dir on the fly instead of reading extract-audio "
+                         "npz artifacts (closes the no-npz loop for "
+                         "train --corpus checkpoints; audio-feature tasks)")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_check)
 
