@@ -188,13 +188,35 @@ def cmd_check_daic(args):
     from icassp2022_depression_tpu.frontend import daic as daic_fe
     from icassp2022_depression_tpu.train import daic as daic_train
 
-    prefix = Path(args.features)
-    if args.multimodal:
-        xa, xt, y = daic_fe.load_features(prefix, args.eval_split,
-                                          args.track, True)
-        x = daic_train.concat_multimodal(xa, xt)
+    if getattr(args, "daic_dir", None):
+        # no-npz loop closure for train-daic --daic-dir checkpoints:
+        # re-extract the eval split on the fly (same math, per-split
+        # cumulative ordinals from 0 — matching the fused training pass)
+        if args.multimodal:
+            raise SystemExit("--daic-dir re-extraction is audio-only "
+                             "(multimodal needs extract-daic --multimodal "
+                             "artifacts via --features)")
+        if not args.eval_csv:
+            raise SystemExit("--daic-dir requires --eval-csv")
+        if args.features:
+            raise SystemExit("--daic-dir and --features are mutually "
+                             "exclusive")
+        queries = Path(args.queries) if args.queries else None
+        x, cl, rl = daic_fe.extract_split(Path(args.daic_dir),
+                                          Path(args.eval_csv), queries)
+        y = cl if args.track == "clf" else rl
+    elif args.features:
+        prefix = Path(args.features)
+        if args.multimodal:
+            xa, xt, y = daic_fe.load_features(prefix, args.eval_split,
+                                              args.track, True)
+            x = daic_train.concat_multimodal(xa, xt)
+        else:
+            x, y = daic_fe.load_features(prefix, args.eval_split,
+                                         args.track)
     else:
-        x, y = daic_fe.load_features(prefix, args.eval_split, args.track)
+        raise SystemExit("check-daic needs --features (persisted npz "
+                         "prefix) or --daic-dir + --eval-csv")
     dim = x[0].shape[-1] if x else 0
     base = (daic_train.DAIC_CLF if args.track == "clf"
             else daic_train.DAIC_REG)
@@ -922,7 +944,16 @@ def build_parser():
                         help="recompute DAIC eval-split metrics from a "
                              "train-daic checkpoint")
     sp.add_argument("--track", required=True, choices=["clf", "reg"])
-    sp.add_argument("--features", required=True)
+    sp.add_argument("--features", required=False)
+    sp.add_argument("--daic-dir",
+                    help="re-extract the eval split from this raw DAIC "
+                         "dir (with --eval-csv; closes the no-npz loop "
+                         "for train-daic --daic-dir checkpoints)")
+    sp.add_argument("--eval-csv",
+                    help="AVEC2017 split CSV (with --daic-dir)")
+    sp.add_argument("--queries", default=None,
+                    help="question-bank file (with --daic-dir; default: "
+                         "the bundled table)")
     sp.add_argument("--ckpt", required=True)
     sp.add_argument("--eval-split", default="test")
     sp.add_argument("--multimodal", action="store_true")

@@ -924,3 +924,57 @@ def test_extract_split_multimodal_fused_matches_per_participant(tmp_path):
         ordinal += len(ra)
         np.testing.assert_array_equal(af, ra)
         np.testing.assert_array_equal(tf, rt)
+
+
+def test_check_daic_no_npz_loop(tmp_path, capsys):
+    """train-daic --daic-dir -> check-daic --daic-dir: the whole DAIC
+    train+check loop from a raw directory with no npz artifacts, with the
+    training-time best reproduced exactly."""
+    import json
+
+    import pytest
+
+    from icassp2022_depression_tpu import cli
+    import icassp2022_depression_tpu.train.daic as daic_mod
+    import icassp2022_depression_tpu.config as C_mod
+
+    queries, train_csv, _ = _make_daic_corpus(tmp_path)
+    # an eval split with BOTH labels so F1 is non-degenerate (a positive
+    # prediction exists -> no 0/0 nan-vs-guarded-0.0 ambiguity)
+    eval_csv = tmp_path / "eval_split.csv"
+    eval_csv.write_text("Participant_ID,PHQ8_Binary,PHQ8_Score\n"
+                        "300,1,15\n301,0,3\n")
+    orig = daic_mod.DAIC_CLF
+    daic_mod.DAIC_CLF = C_mod.replace(
+        orig, epochs=16, batch_size=2,
+        optimizer=C_mod.replace(orig.optimizer, learning_rate=3e-2),
+        gate=C_mod.GateConfig(f1_floor=-1.0, train_acc_frac=0.0))
+    try:
+        assert cli.main(["train-daic", "--track", "clf",
+                         "--daic-dir", str(tmp_path),
+                         "--train-csv", str(train_csv),
+                         "--eval-csv", str(eval_csv),
+                         "--queries", str(queries),
+                         "--model-dir", str(tmp_path / "M")]) == 0
+        trained = json.loads(capsys.readouterr().out.strip()
+                             .splitlines()[-1])
+        ckpts = list((tmp_path / "M").glob("daic_clf_*.npz"))
+        assert ckpts
+        assert cli.main(["check-daic", "--track", "clf",
+                         "--daic-dir", str(tmp_path),
+                         "--eval-csv", str(eval_csv),
+                         "--queries", str(queries),
+                         "--ckpt", str(ckpts[0])[:-4]]) == 0
+        checked = json.loads(capsys.readouterr().out.strip()
+                             .splitlines()[-1])
+        assert not np.isnan(checked["f1"])
+        assert checked["f1"] == pytest.approx(trained["f1"], abs=1e-6)
+        with pytest.raises(SystemExit):
+            cli.main(["check-daic", "--track", "clf",
+                      "--ckpt", str(ckpts[0])[:-4]])
+        with pytest.raises(SystemExit):
+            cli.main(["check-daic", "--track", "clf",
+                      "--daic-dir", str(tmp_path),
+                      "--ckpt", str(ckpts[0])[:-4]])
+    finally:
+        daic_mod.DAIC_CLF = orig
