@@ -29,6 +29,10 @@ Stages and their baselines (all baselines measured on this machine):
 * serving_throughput — raw wav -> prediction through the public
   Predictor (batch 32), vs the extraction-bound ceiling of serving built
   on the reference's design; plus the cache-hit repeat-speaker latency.
+* daic_split_extraction — split-level DAIC extraction (one fused
+  readback per split) vs the per-participant composition (one blocking
+  readback each, the reference-shaped loop); identical math, the delta
+  is pure relay round-trip latency.
 * end_to_end_pipeline — extraction + 3 folds x 169 epochs of audio-clf
   training as ONE measured wall clock of the fused product path
   (device-resident features, ``bench_e2e_fused``); the CPU side
@@ -482,6 +486,69 @@ def bench_lstmp_hbm_utilization(b=64, t_short=64, t_long=512, reps=4,
     return bw / peak_bytes_s, bw / 1e9, step_s * 1e6
 
 
+def bench_daic_split_extraction(n_participants=8, seconds=6.0, passes=3):
+    """Split-level DAIC extraction: ONE fused ``extract_batch`` across the
+    whole split vs the per-participant composition (one blocking relay
+    readback each — the shape of the reference's split loop,
+    ``feature_extraction.py:83-100``, and of this framework before the
+    split-level fusion).  Identical per-utterance math and ordinals
+    (bit-parity pinned in tests/test_daic_train.py); the delta is pure
+    relay round-trip latency (~0.45 s per blocking fetch)."""
+    import tempfile
+    from pathlib import Path
+
+    from icassp2022_depression_tpu.data import eatd
+    from icassp2022_depression_tpu.frontend import daic as daic_fe
+
+    tmp = Path(tempfile.mkdtemp(prefix="bench_daic_"))
+    rng = np.random.default_rng(0)
+    rows = ["start_time\tstop_time\tspeaker\tvalue",
+            "0.0\t0.5\tEllie\thow are you doing today",
+            "0.6\t2.0\tParticipant\tpretty good",
+            "2.2\t2.7\tEllie\twhat are you like when you don't sleep well",
+            "2.8\t4.6\tParticipant\tnot great honestly",
+            "4.8\t5.1\tEllie\ti think i have asked everything i need to"]
+    ids = list(range(300, 300 + n_participants))
+    for pid in ids:
+        d = tmp / f"{pid}_P"
+        d.mkdir(parents=True)
+        eatd.write_wav(d / f"{pid}_AUDIO.wav",
+                       rng.standard_normal(int(SR * seconds)) * 3000, SR)
+        (d / f"{pid}_TRANSCRIPT.csv").write_text("\n".join(rows) + "\n")
+    qpath = tmp / "queries.txt"
+    qpath.write_text("how are you doing today\n"
+                     "what are you like when you don't sleep well\n")
+    queries = daic_fe.load_queries(qpath)
+    cfg = daic_fe.FrontendConfig()
+
+    def fused():
+        daic_fe._split_flat_features(tmp, ids, queries, cfg)
+
+    def per_participant():
+        ordinal = 0
+        for pid in ids:
+            f = daic_fe.extract_participant(tmp, pid, queries, cfg,
+                                            ordinal)
+            ordinal += len(f)
+
+    try:
+        fused(); per_participant()                # warm (compiles cached)
+        f_stats = _pass_stats([_timed(fused) for _ in range(passes)])
+        p_stats = _pass_stats([_timed(per_participant)
+                               for _ in range(passes)])
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return f_stats, p_stats
+
+
+def _timed(fn):
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 SERVE_BATCH = 32
 
 
@@ -853,6 +920,18 @@ def main():
          sps_min=round(SERVE_BATCH / serve_stats["max_s"], 2),
          sps_max=round(SERVE_BATCH / serve_stats["min_s"], 2),
          repeat_speaker_ms=round(repeat_ms, 1))
+
+    # split-level DAIC extraction: one fused readback per split vs one
+    # per participant (the reference-shaped loop); identical math
+    n_daic = 8
+    f_stats, p_stats = bench_daic_split_extraction(n_daic)
+    emit("daic_split_extraction", n_daic / f_stats["median_s"],
+         "participants/s", p_stats["median_s"] / f_stats["median_s"],
+         passes=f_stats["passes"],
+         fused_s=round(f_stats["median_s"], 2),
+         fused_min_s=round(f_stats["min_s"], 2),
+         fused_max_s=round(f_stats["max_s"], 2),
+         per_participant_s=round(p_stats["median_s"], 2))
 
     # headline: end-to-end pipeline (extraction + 3x169-epoch audio clf)
     n_epochs_total = 3 * (C.AUDIO_CLF.epochs - 1)
