@@ -83,6 +83,25 @@ def test_reg_fold_datas_device_path_bit_identical():
     _assert_fold_datas_equal(host, dev)
 
 
+def test_reg_fold_datas_device_path_fusion_lockstep():
+    """Regression recipe with TWO lockstep arrays (the pipeline --corpus
+    reg-fusion path: device audio + host text) — device-built FoldData
+    must equal the host-built one bit-for-bit."""
+    rng = np.random.default_rng(6)
+    n = 40
+    scores = (40.0 + 20.0 * (rng.random(n) < 0.3)
+              + rng.standard_normal(n)).astype(np.float32)
+    x = rng.standard_normal((n, 3, 16)).astype(np.float32)
+    xt = rng.standard_normal((n, 3, 24)).astype(np.float32)
+    dep, non = folds.generate_reg_shuffles(scores, seed=0)
+    fc = C.replace(C.FoldConfig(), reg_test_dep=3, reg_test_non=8,
+                   reg_augment_first_n=4)
+    host = trainers._reg_fold_datas([x, xt], scores, dep, non, 2, fc)
+    dev = trainers._reg_fold_datas([jnp.asarray(x), xt], scores, dep, non,
+                                   2, fc)
+    _assert_fold_datas_equal(host, dev)
+
+
 def test_train_audio_clf_device_features_match_host():
     """The public trainer run end-to-end on device-resident features must
     reproduce the host-features run exactly (same compiled program, same
