@@ -509,7 +509,12 @@ def cmd_check(args):
         # no-npz loop closure for `train --corpus`-produced checkpoints:
         # re-extract the audio features on the fly instead of requiring
         # extract-audio's persisted artifacts (one fused extraction pass;
-        # same math/ordinals, so checkpoints reproduce exactly)
+        # same math/ordinals, so checkpoints reproduce exactly).  Every
+        # task except text_clf consumes it (the reg recipes derive their
+        # fold shuffles from the audio-side SDS labels).
+        if args.task == "text_clf":
+            raise SystemExit("--corpus has no effect on text_clf (text "
+                             "features come from extract-text artifacts)")
         cfeat, csds, cclf, _ = afe.extract_eatd(Path(corpus))
         cfeat = np.squeeze(cfeat, axis=2)
 
