@@ -295,11 +295,7 @@ def cmd_train(args):
                          data_parallel=args.data_parallel)
     # "" (e.g. an unset shell var) means "no fused corpus", same as absent
     corpus = getattr(args, "corpus", None) or None
-    if corpus and not args.task.startswith("audio"):
-        raise SystemExit("--corpus (fused extract->train) supports audio "
-                         "tasks only — text features need the ELMo "
-                         "pipeline's own artifacts (extract-text first)")
-    if corpus and args.audio_dim != 256:
+    if corpus and args.task.startswith("audio") and args.audio_dim != 256:
         raise SystemExit("--corpus always extracts 256-d wav2vlad "
                          "features; --audio-dim must stay 256")
     if not corpus:
@@ -315,12 +311,20 @@ def cmd_train(args):
         resume_kw["tcfg"] = C.replace(
             base, model=C.replace(base.model,
                                   embedding_size=args.audio_dim))
-    corpus_feats = None
+    corpus_feats = corpus_text_meta = None
     if corpus:
         # fused extract->train: device-resident features, no npz artifacts
-        # and no feature readback — one PCM upload, one metrics readback
-        corpus_feats, corpus_sds, corpus_clf = afe.extract_eatd_device(
-            Path(corpus))
+        # and no feature readback — one upload, one metrics readback
+        if args.task.startswith("audio"):
+            corpus_feats, corpus_sds, corpus_clf = afe.extract_eatd_device(
+                Path(corpus))
+        else:
+            # text twin: embedder resolution (converted bundle via auto /
+            # PRNG stand-in) and provenance exactly as extract-text's
+            corpus_feats, corpus_sds, corpus_clf, meta = \
+                tfe.extract_eatd_device(Path(corpus))
+            corpus_text_meta = {"text_embedder": meta.get("embedder"),
+                                "text_segmenter": meta.get("segmenter")}
     if args.task in ("audio_clf", "text_clf"):
         if args.task == "audio_clf":
             if corpus is not None:
@@ -330,11 +334,15 @@ def cmd_train(args):
                                          dim=args.audio_dim)
             fn, sub = trainers.train_audio_clf, "ClassificationWhole/Audio"
         else:
-            x, y = tfe.load_features(text_dir, "clf")
+            if corpus is not None:
+                x, y = corpus_feats, corpus_clf
+            else:
+                x, y = tfe.load_features(text_dir, "clf")
             fn, sub = trainers.train_text_clf, "ClassificationWhole/Text"
         tf_idx = _train_folds(root, y, args.seed, args.idx_files)
         if args.task == "text_clf":
-            resume_kw["meta_extras"] = _text_meta(text_dir)
+            resume_kw["meta_extras"] = (corpus_text_meta if corpus
+                                        else _text_meta(text_dir))
         results = fn(x, y, tf_idx, out_dir=model_dir / sub, seed=args.seed,
                      **resume_kw)
     elif args.task in ("audio_reg", "text_reg"):
@@ -346,11 +354,15 @@ def cmd_train(args):
                                          dim=args.audio_dim)
             fn, sub = trainers.train_audio_reg, "Regression"
         else:
-            x, y = tfe.load_features(text_dir, "reg")
+            if corpus is not None:
+                x, y = corpus_feats, corpus_sds
+            else:
+                x, y = tfe.load_features(text_dir, "reg")
             fn, sub = trainers.train_text_reg, "Regression"
         dep, non = folds.generate_reg_shuffles(y, seed=args.seed)
         if args.task == "text_reg":
-            resume_kw["meta_extras"] = _text_meta(text_dir)
+            resume_kw["meta_extras"] = (corpus_text_meta if corpus
+                                        else _text_meta(text_dir))
         results = fn(x, y, dep, non, out_dir=model_dir / sub, seed=args.seed,
                      **resume_kw)
     else:
@@ -987,10 +999,12 @@ def build_parser():
                     help="with --fold-parallel: devices per fold for "
                          "in-fold batch parallelism (2D fold x data mesh)")
     sp.add_argument("--corpus",
-                    help="FUSED extract->train (audio tasks): extract "
-                         "wav2vlad features from this EATD corpus dir and "
-                         "train on them DEVICE-RESIDENT — no features npz, "
-                         "no host readback between extraction and training")
+                    help="FUSED extract->train: extract features from "
+                         "this EATD corpus dir (wav2vlad for audio tasks, "
+                         "the resolved ELMo embedder for text tasks) and "
+                         "train on them DEVICE-RESIDENT — no features "
+                         "npz, no host readback between extraction and "
+                         "training")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("pipeline", help="full track incl. fusion")

@@ -371,10 +371,11 @@ def extract_eatd(root: Path, params=None,
         flat = hostio.gather_chunks(chunks, len(sentences), dim)
     else:
         flat = embed(sentences)
+    from icassp2022_depression_tpu.frontend.audio import eatd_targets
+
     n = len(sds)
     features = flat.reshape(n, 3, flat.shape[1])
-    sds_targets = np.asarray(sds, np.float32)
-    clf_targets = (sds_targets >= sds_threshold).astype(np.int64)
+    sds_targets, clf_targets = eatd_targets(sds, sds_threshold)
     if out_dir is not None:
         import json
 
@@ -391,6 +392,47 @@ def extract_eatd(root: Path, params=None,
              "seed": seed, "n_speakers": n, "segmenter": segmenter,
              "elmo_tp": elmo_tp}))
     return features, sds_targets, clf_targets
+
+
+def extract_eatd_device(root: Path, params=None,
+                        cfg=elmo.ElmoConfig(), seed: int = 0,
+                        max_id: int = eatd.MAX_SPEAKER_ID,
+                        sds_threshold: float = 53.0,
+                        elmo_weights: Optional[str] = "auto",
+                        segmenter: str = "auto", elmo_tp: int = 0):
+    """Fused-pipeline EATD text pass: embeddings stay DEVICE-resident.
+
+    The text twin of :func:`..audio.extract_eatd_device` (``cli train
+    --corpus`` for the text tasks): host tokenisation, one batched embed
+    dispatch, and the [N, 3, D] embedding array is returned as a DEVICE
+    array the trainers consume directly (fold data built by on-device
+    gathers) — no npz artifacts, no embedding readback.  Same
+    math/resolution order as :func:`extract_eatd` in its default
+    (stateless) mode; use ``extract_eatd`` for the persisted
+    reference-layout files or ``elmo_stateful`` emulation.
+
+    Returns (device features [N, 3, D], sds_targets, clf_targets,
+    provenance dict — the sidecar-equivalent the caller threads into
+    checkpoint meta so serving can detect embedder mismatches).
+    """
+    from icassp2022_depression_tpu.frontend.audio import eatd_targets
+
+    embed, dim, embedder_id = make_embedder(params, cfg, seed,
+                                            elmo_weights, with_id=True,
+                                            elmo_tp=elmo_tp)
+    sentences: List[List[str]] = []
+    sds: List[float] = []
+    for sp in eatd.iter_speakers(root, max_id=max_id, read_text=True):
+        assert sp.texts is not None, f"missing transcripts for {sp.number}"
+        for text in sp.texts:
+            sentences.append(tokenize(text, segmenter=segmenter))
+        sds.append(sp.sds)
+    flat = embed(sentences, device=True)
+    features = flat.reshape(len(sds), 3, dim)
+    sds_targets, clf_targets = eatd_targets(sds, sds_threshold)
+    meta = {"embedder": embedder_id, "output_dim": int(dim), "seed": seed,
+            "segmenter": segmenter, "elmo_tp": elmo_tp}
+    return features, sds_targets, clf_targets, meta
 
 
 def load_features(features_dir: Path, track: str = "clf"):

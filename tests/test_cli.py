@@ -219,14 +219,56 @@ def test_train_fused_from_corpus(tmp_path, monkeypatch):
                      "audio_clf_metrics.jsonl").read_text()
     assert records(two_step_logs) == records(fused_logs)
 
-    # guardrails: text tasks and non-256 dims reject --corpus
+    # guardrail: non-256 dims reject --corpus on audio tasks
     import pytest
-    with pytest.raises(SystemExit):
-        cli.main(["train", "--task", "text_clf", "--root", str(tmp_path),
-                  "--corpus", str(tmp_path)])
     with pytest.raises(SystemExit):
         cli.main(["train", "--task", "audio_reg", "--root", str(tmp_path),
                   "--corpus", str(tmp_path), "--audio-dim", "128"])
+
+
+def test_train_fused_text_from_corpus(tmp_path, monkeypatch):
+    """train --task text_clf --corpus: the fused TEXT pipeline —
+    device-resident embeddings straight into the trainer, no npz, equal
+    to the two-step extract-text -> train run, with embedder provenance
+    carried into the checkpoint sidecar."""
+    from icassp2022_depression_tpu import cli
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu.data import eatd
+    from icassp2022_depression_tpu.train import checkpoints
+
+    monkeypatch.setattr(C, "TEXT_CLF", C.replace(
+        C.TEXT_CLF, epochs=4,
+        gate=C.GateConfig(f1_floor=-1.0, train_acc_frac=0.0)))
+
+    def records(root):
+        return [{k: v for k, v in json.loads(ln).items() if k != "time"}
+                for ln in (root / "Model" / "text_clf_metrics.jsonl")
+                .read_text().strip().splitlines()]
+
+    fused_root = tmp_path / "fused"
+    eatd.make_synthetic_corpus(fused_root, n_data=6, n_validation=2,
+                               seconds=0.2, seed=9)
+    assert cli.main(["train", "--task", "text_clf", "--root",
+                     str(fused_root), "--corpus", str(fused_root),
+                     "--seed", "0"]) == 0
+    assert not (fused_root / "Features").exists()
+
+    two_root = tmp_path / "two_step"
+    eatd.make_synthetic_corpus(two_root, n_data=6, n_validation=2,
+                               seconds=0.2, seed=9)
+    assert cli.main(["extract-text", "--root", str(two_root)]) == 0
+    assert cli.main(["train", "--task", "text_clf", "--root",
+                     str(two_root), "--seed", "0"]) == 0
+    assert records(two_root) == records(fused_root)
+
+    # provenance: fused checkpoints carry the embedder id like the
+    # sidecar-threaded two-step path
+    ck = sorted((fused_root / "Model" / "ClassificationWhole" /
+                 "Text").glob("*.npz"))
+    ck = [p for p in ck if not p.name.startswith("train_idxs")]
+    if ck:
+        meta = checkpoints.load_meta(str(ck[0]))
+        assert meta.get("text_embedder")
 
 
 def test_predict_cli_vggish_embedder(tmp_path, capsys):
