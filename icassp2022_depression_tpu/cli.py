@@ -426,21 +426,28 @@ def _pipeline_summary(args) -> dict:
     # "" (e.g. an unset shell var) means "no fused corpus", same as absent
     corpus = getattr(args, "corpus", None) or None
     corpus_feats = corpus_sds = corpus_clf = None
+    corpus_text = text_meta = None
     if corpus:
-        # fused audio branch: device-resident wav2vlad features feed the
-        # audio AND fusion trainers directly (text still needs the ELMo
-        # pipeline's persisted artifacts)
+        # fully fused track: BOTH modalities extracted device-resident
+        # (wav2vlad audio + the resolved ELMo embedder) feed every
+        # trainer directly — a raw corpus runs the whole reference
+        # pipeline with zero persisted feature artifacts
         corpus_feats, corpus_sds, corpus_clf = afe.extract_eatd_device(
             Path(corpus))
+        corpus_text, _, _, tmeta = tfe.extract_eatd_device(Path(corpus))
+        text_meta = {"text_embedder": tmeta.get("embedder"),
+                     "text_segmenter": tmeta.get("segmenter")}
     else:
         _require_features(audio_dir, "audio")
-    _require_features(text_dir, "text")
+        _require_features(text_dir, "text")
+        text_meta = _text_meta(text_dir)
     if args.track == "clf":
         if corpus is not None:
             xa, ya = corpus_feats, corpus_clf
+            xt, yt = corpus_text, corpus_clf
         else:
             xa, ya = afe.load_features(audio_dir, "clf")
-        xt, yt = tfe.load_features(text_dir, "clf")
+            xt, yt = tfe.load_features(text_dir, "clf")
         tf_idx = _train_folds(root, ya, args.seed, args.idx_files)
         ra = trainers.train_audio_clf(xa, ya, tf_idx, _lr(C.AUDIO_CLF),
                                       out_dir=model_dir / "ClassificationWhole/Audio",
@@ -448,7 +455,7 @@ def _pipeline_summary(args) -> dict:
         rt = trainers.train_text_clf(xt, yt, tf_idx, _lr(C.TEXT_CLF),
                                      out_dir=model_dir / "ClassificationWhole/Text",
                                      seed=args.seed,
-                                     meta_extras=_text_meta(text_dir),
+                                     meta_extras=text_meta,
                                      **fold_kw)
         _warn_ungated({"audio_clf": ra, "text_clf": rt})
         branch = [(rt[i]["best"]["params"], ra[i]["best"]["params"])
@@ -457,7 +464,7 @@ def _pipeline_summary(args) -> dict:
                                      tcfg=_lr(C.FUSE_CLF_TRAINER),
                                      out_dir=model_dir / "ClassificationWhole/Fuse",
                                      seed=args.seed,
-                                     meta_extras=_text_meta(text_dir))
+                                     meta_extras=text_meta)
         for name, results in (("audio_clf", ra), ("text_clf", rt),
                               ("fuse_clf", rf)):
             for r in results:
@@ -470,9 +477,10 @@ def _pipeline_summary(args) -> dict:
     else:
         if corpus is not None:
             xa, ya = corpus_feats, corpus_sds
+            xt, yt = corpus_text, corpus_sds
         else:
             xa, ya = afe.load_features(audio_dir, "reg")
-        xt, yt = tfe.load_features(text_dir, "reg")
+            xt, yt = tfe.load_features(text_dir, "reg")
         dep, non = folds.generate_reg_shuffles(ya, seed=args.seed)
         ra = trainers.train_audio_reg(xa, ya, dep, non, _lr(C.AUDIO_REG),
                                       out_dir=model_dir / "Regression",
@@ -480,7 +488,7 @@ def _pipeline_summary(args) -> dict:
         rt = trainers.train_text_reg(xt, yt, dep, non, _lr(C.TEXT_REG),
                                      out_dir=model_dir / "Regression",
                                      seed=args.seed,
-                                     meta_extras=_text_meta(text_dir),
+                                     meta_extras=text_meta,
                                      **fold_kw)
         _warn_ungated({"audio_reg": ra, "text_reg": rt})
         branch = [(rt[i]["best"]["params"], ra[i]["best"]["params"])
@@ -489,7 +497,7 @@ def _pipeline_summary(args) -> dict:
                                      tcfg=_lr(C.FUSE_REG_TRAINER),
                                      out_dir=model_dir / "Regression",
                                      seed=args.seed,
-                                     meta_extras=_text_meta(text_dir),
+                                     meta_extras=text_meta,
                                      **fold_kw)
         for name, results in (("audio_reg", ra), ("text_reg", rt),
                               ("fuse_reg", rf)):
@@ -1022,11 +1030,11 @@ def build_parser():
                          "fold k+1 continues fold k's fc_final + Adam "
                          "state, fuse_net_whole.py:413-416)")
     sp.add_argument("--corpus",
-                    help="FUSED audio branch: extract wav2vlad features "
-                         "from this EATD corpus dir DEVICE-RESIDENT and "
-                         "feed the audio + fusion trainers directly (no "
-                         "audio npz read; text features still come from "
-                         "extract-text's artifacts)")
+                    help="FULLY FUSED track: extract BOTH modalities from "
+                         "this EATD corpus dir DEVICE-RESIDENT (wav2vlad "
+                         "audio + the resolved ELMo embedder) and run the "
+                         "whole pipeline with zero persisted feature "
+                         "artifacts")
     sp.add_argument("--fold-parallel", action="store_true",
                     help="additionally shard the fold axis over one device "
                          "per fold (implies --vmap-folds)")

@@ -299,9 +299,10 @@ def test_predict_cli_vggish_embedder(tmp_path, capsys):
 
 def test_pipeline_fused_corpus_matches_two_step(tmp_path, monkeypatch,
                                                 capsys):
-    """pipeline --corpus (fused device-resident audio branch) must print
-    the same per-task fold summary as the two-step extract-audio ->
-    pipeline run; no audio npz is read or written on the fused path."""
+    """pipeline --corpus (FULLY fused: both modalities device-resident)
+    must print the same per-task fold summary as the two-step
+    extract-audio + extract-text -> pipeline run, with zero persisted
+    feature artifacts on the fused path."""
     from icassp2022_depression_tpu import config as C
 
     for name in ("AUDIO_CLF", "TEXT_CLF"):
@@ -313,18 +314,18 @@ def test_pipeline_fused_corpus_matches_two_step(tmp_path, monkeypatch,
     def run(root, fused):
         eatd.make_synthetic_corpus(root, n_data=6, n_validation=2,
                                    seconds=0.4, seed=11)
-        assert cli.main(["extract-text", "--root", str(root)]) == 0
         argv = ["pipeline", "--track", "clf", "--root", str(root),
                 "--seed", "0"]
         if fused:
             argv += ["--corpus", str(root)]
         else:
             assert cli.main(["extract-audio", "--root", str(root)]) == 0
+            assert cli.main(["extract-text", "--root", str(root)]) == 0
         assert cli.main(argv) == 0
         return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
     fused = run(tmp_path / "fused", fused=True)
-    assert not (tmp_path / "fused" / "Features" / "AudioWhole").exists()
+    assert not (tmp_path / "fused" / "Features").exists()
     two_step = run(tmp_path / "two_step", fused=False)
     assert fused == two_step
 
