@@ -201,19 +201,27 @@ def cmd_check_daic(args):
         if args.features:
             raise SystemExit("--daic-dir and --features are mutually "
                              "exclusive")
+        if args.eval_split is not None:
+            raise SystemExit("--eval-split names a persisted npz split "
+                             "and has no effect with --daic-dir (the "
+                             "--eval-csv file alone selects the split)")
         queries = Path(args.queries) if args.queries else None
         x, cl, rl = daic_fe.extract_split(Path(args.daic_dir),
                                           Path(args.eval_csv), queries)
         y = cl if args.track == "clf" else rl
     elif args.features:
+        if args.queries:
+            raise SystemExit("--queries only applies to --daic-dir "
+                             "re-extraction (persisted npz features are "
+                             "already segmented)")
         prefix = Path(args.features)
+        eval_split = args.eval_split or "test"
         if args.multimodal:
-            xa, xt, y = daic_fe.load_features(prefix, args.eval_split,
+            xa, xt, y = daic_fe.load_features(prefix, eval_split,
                                               args.track, True)
             x = daic_train.concat_multimodal(xa, xt)
         else:
-            x, y = daic_fe.load_features(prefix, args.eval_split,
-                                         args.track)
+            x, y = daic_fe.load_features(prefix, eval_split, args.track)
     else:
         raise SystemExit("check-daic needs --features (persisted npz "
                          "prefix) or --daic-dir + --eval-csv")
@@ -243,6 +251,18 @@ def _require_features(path: Path, kind: str):
             f"{kind} features not found under {path} — run "
             f"`extract-{kind}` (or point --root at a directory with "
             "Features/AudioWhole and Features/TextWhole)")
+
+
+def _warn_stale_text_artifacts(text_dir: Path) -> None:
+    """A fused --corpus run re-extracts text ON THE FLY; if extract-text
+    artifacts exist (possibly produced with different embedder settings)
+    say loudly that they are NOT being used."""
+    if (text_dir / "whole_samples_clf_avg.npz").exists():
+        print("--corpus: ignoring the existing extract-text artifacts in "
+              f"{text_dir} — text features are re-extracted on the fly "
+              "with THIS command's --seed/--segmenter/--elmo-weights "
+              "(drop --corpus to train on the persisted npz instead)",
+              file=sys.stderr)
 
 
 def _text_meta(text_dir: Path):
@@ -311,6 +331,14 @@ def cmd_train(args):
         resume_kw["tcfg"] = C.replace(
             base, model=C.replace(base.model,
                                   embedding_size=args.audio_dim))
+    else:
+        # resolve the preset AT CALL TIME: the trainers' keyword defaults
+        # bind whatever C.<PRESET> was at import, so runtime changes to
+        # the config module (tests, notebooks) would silently be ignored
+        resume_kw["tcfg"] = {"audio_clf": C.AUDIO_CLF,
+                             "text_clf": C.TEXT_CLF,
+                             "audio_reg": C.AUDIO_REG,
+                             "text_reg": C.TEXT_REG}[args.task]
     corpus_feats = corpus_text_meta = None
     if corpus:
         # fused extract->train: device-resident features, no npz artifacts
@@ -320,9 +348,14 @@ def cmd_train(args):
                 Path(corpus))
         else:
             # text twin: embedder resolution (converted bundle via auto /
-            # PRNG stand-in) and provenance exactly as extract-text's
+            # PRNG stand-in) and provenance exactly as extract-text's;
+            # --seed/--segmenter/--elmo-weights thread through so a fused
+            # run reproduces the two-step run at the same settings
+            _warn_stale_text_artifacts(text_dir)
             corpus_feats, corpus_sds, corpus_clf, meta = \
-                tfe.extract_eatd_device(Path(corpus))
+                tfe.extract_eatd_device(Path(corpus), seed=args.seed,
+                                        elmo_weights=args.elmo_weights,
+                                        segmenter=args.segmenter)
             corpus_text_meta = {"text_embedder": meta.get("embedder"),
                                 "text_segmenter": meta.get("segmenter")}
     if args.task in ("audio_clf", "text_clf"):
@@ -432,9 +465,12 @@ def _pipeline_summary(args) -> dict:
         # (wav2vlad audio + the resolved ELMo embedder) feed every
         # trainer directly — a raw corpus runs the whole reference
         # pipeline with zero persisted feature artifacts
+        _warn_stale_text_artifacts(text_dir)
         corpus_feats, corpus_sds, corpus_clf = afe.extract_eatd_device(
             Path(corpus))
-        corpus_text, _, _, tmeta = tfe.extract_eatd_device(Path(corpus))
+        corpus_text, _, _, tmeta = tfe.extract_eatd_device(
+            Path(corpus), seed=args.seed, elmo_weights=args.elmo_weights,
+            segmenter=args.segmenter)
         text_meta = {"text_embedder": tmeta.get("embedder"),
                      "text_segmenter": tmeta.get("segmenter")}
     else:
@@ -526,34 +562,40 @@ def cmd_check(args):
     # "" (unset shell var) means "no corpus", same as absent
     corpus = getattr(args, "corpus", None) or None
     if corpus:
-        # no-npz loop closure for `train --corpus`-produced checkpoints:
-        # re-extract the audio features on the fly instead of requiring
-        # extract-audio's persisted artifacts (one fused extraction pass;
-        # same math/ordinals, so checkpoints reproduce exactly).  Every
-        # task except text_clf consumes it (the reg recipes derive their
-        # fold shuffles from the audio-side SDS labels).
-        if args.task == "text_clf":
-            raise SystemExit("--corpus has no effect on text_clf (text "
-                             "features come from extract-text artifacts)")
-        cfeat, csds, cclf, _ = afe.extract_eatd(Path(corpus))
-        cfeat = np.squeeze(cfeat, axis=2)
+        # no-npz loop closure for `train/pipeline --corpus`-produced
+        # checkpoints: re-extract BOTH feature sets on the fly instead of
+        # requiring the persisted artifacts (same math/ordinals/embedder
+        # resolution, so checkpoints reproduce exactly)
+        if args.task.startswith(("audio", "fuse")) or args.task.endswith(
+                "reg"):  # every task except text_clf needs the audio side
+            cfeat, csds, cclf, _ = afe.extract_eatd(Path(corpus))
+            cfeat = np.squeeze(cfeat, axis=2)
+        if args.task.startswith(("text", "fuse")):
+            tfeat, tsds, tclf = tfe.extract_eatd(
+                Path(corpus), seed=args.seed,
+                elmo_weights=args.elmo_weights, segmenter=args.segmenter)
 
     def _audio(track):
         if corpus is not None:
             return cfeat, (cclf if track == "clf" else csds)
         return afe.load_features(audio_dir, track)
 
+    def _text(track):
+        if corpus is not None:
+            return tfeat, (tclf if track == "clf" else tsds)
+        return tfe.load_features(text_dir, track)
+
     if args.task == "audio_clf":
         x, y = _audio("clf")
         tf_idx = _train_folds(root, y, args.seed, args.idx_files)
         results, summary = checking.check_audio_clf(x, y, tf_idx, ckpts)
     elif args.task == "text_clf":
-        x, y = tfe.load_features(text_dir, "clf")
+        x, y = _text("clf")
         tf_idx = _train_folds(root, y, args.seed, args.idx_files)
         results, summary = checking.check_text_clf(x, y, tf_idx, ckpts)
     elif args.task == "fuse_clf":
         xa, ya = _audio("clf")
-        xt, _ = tfe.load_features(text_dir, "clf")
+        xt, _ = _text("clf")
         tf_idx = _train_folds(root, ya, args.seed, args.idx_files)
         results, summary = checking.check_fuse_clf(xa, xt, ya, tf_idx, ckpts)
     elif args.task in ("audio_reg", "text_reg", "fuse_reg"):
@@ -562,10 +604,10 @@ def cmd_check(args):
         if args.task == "audio_reg":
             results, summary = checking.check_audio_reg(xa, ya, dep, non, ckpts)
         elif args.task == "text_reg":
-            xt, yt = tfe.load_features(text_dir, "reg")
+            xt, yt = _text("reg")
             results, summary = checking.check_text_reg(xt, yt, dep, non, ckpts)
         else:
-            xt, _ = tfe.load_features(text_dir, "reg")
+            xt, _ = _text("reg")
             results, summary = checking.check_fuse_reg(xa, xt, ya, dep, non,
                                                        ckpts)
     else:
@@ -980,7 +1022,9 @@ def build_parser():
                     help="question-bank file (with --daic-dir; default: "
                          "the bundled table)")
     sp.add_argument("--ckpt", required=True)
-    sp.add_argument("--eval-split", default="test")
+    sp.add_argument("--eval-split", default=None,
+                    help="persisted npz split name (with --features; "
+                         "default 'test')")
     sp.add_argument("--multimodal", action="store_true")
     sp.set_defaults(fn=cmd_check_daic)
 
@@ -1013,6 +1057,14 @@ def build_parser():
                          "train on them DEVICE-RESIDENT — no features "
                          "npz, no host readback between extraction and "
                          "training")
+    sp.add_argument("--segmenter", default="auto",
+                    help="with --corpus on text tasks: the segmenter for "
+                         "the on-the-fly extraction (see extract-text "
+                         "--segmenter)")
+    sp.add_argument("--elmo-weights", default="auto",
+                    help="with --corpus on text tasks: converted ELMo "
+                         "bundle path / 'auto' (see extract-text "
+                         "--elmo-weights)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("pipeline", help="full track incl. fusion")
@@ -1035,6 +1087,12 @@ def build_parser():
                          "audio + the resolved ELMo embedder) and run the "
                          "whole pipeline with zero persisted feature "
                          "artifacts")
+    sp.add_argument("--segmenter", default="auto",
+                    help="with --corpus: segmenter for the on-the-fly "
+                         "text extraction (see extract-text --segmenter)")
+    sp.add_argument("--elmo-weights", default="auto",
+                    help="with --corpus: converted ELMo bundle path / "
+                         "'auto' (see extract-text --elmo-weights)")
     sp.add_argument("--fold-parallel", action="store_true",
                     help="additionally shard the fold axis over one device "
                          "per fold (implies --vmap-folds)")
@@ -1049,10 +1107,17 @@ def build_parser():
                     help="one checkpoint per fold, in fold order")
     sp.add_argument("--idx-files", nargs="*")
     sp.add_argument("--corpus",
-                    help="re-extract audio features from this EATD corpus "
-                         "dir on the fly instead of reading extract-audio "
-                         "npz artifacts (closes the no-npz loop for "
-                         "train --corpus checkpoints; audio-feature tasks)")
+                    help="re-extract the needed feature sets from this "
+                         "EATD corpus dir on the fly instead of reading "
+                         "extract-audio/extract-text npz artifacts "
+                         "(closes the no-npz loop for train/pipeline "
+                         "--corpus checkpoints)")
+    sp.add_argument("--segmenter", default="auto",
+                    help="with --corpus on text/fusion tasks (see "
+                         "extract-text --segmenter)")
+    sp.add_argument("--elmo-weights", default="auto",
+                    help="with --corpus on text/fusion tasks (see "
+                         "extract-text --elmo-weights)")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_check)
 

@@ -119,9 +119,18 @@ def iter_speakers(root: Path, splits=("Data", "ValidationData"),
                 yield sp
 
 
+def eatd_targets(sds, threshold: float = 53.0):
+    """Label derivation shared by EVERY EATD extraction entry point:
+    standardised SDS scores -> (sds_targets f32, clf_targets int64),
+    depressed iff ``1 if target >= 53 else 0``
+    (``audio_features_whole.py:113``)."""
+    sds_targets = np.asarray(sds, np.float32)
+    return sds_targets, (sds_targets >= threshold).astype(np.int64)
+
+
 def binary_label(sds: float, threshold: float = 53.0) -> int:
-    """``1 if target >= 53 else 0`` (``audio_features_whole.py:113``)."""
-    return 1 if sds >= threshold else 0
+    """Scalar form of :func:`eatd_targets`'s clf rule."""
+    return int(eatd_targets([sds], threshold)[1][0])
 
 
 def load_speakers(root: Path, splits=("Data", "ValidationData"),

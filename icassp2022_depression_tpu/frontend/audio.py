@@ -389,14 +389,8 @@ def _corpus_utterances(root: Path, max_id: int):
     return waveforms, rates, sds, manifest
 
 
-def eatd_targets(sds, sds_threshold: float = 53.0):
-    """Label derivation shared by EVERY EATD extraction entry point:
-    standardised SDS scores -> (sds_targets f32, clf_targets int64),
-    depressed iff SDS >= threshold (the reference's ``1 if target >= 53
-    else 0`` rule over the standardised scores,
-    ``audio_features_whole.py:113``)."""
-    sds_targets = np.asarray(sds, np.float32)
-    return sds_targets, (sds_targets >= sds_threshold).astype(np.int64)
+# the label rule is corpus math, owned by the corpus reader
+eatd_targets = eatd.eatd_targets
 
 
 def vggish_embed_waveforms(params, waveforms: Sequence[np.ndarray],

@@ -371,7 +371,7 @@ def extract_eatd(root: Path, params=None,
         flat = hostio.gather_chunks(chunks, len(sentences), dim)
     else:
         flat = embed(sentences)
-    from icassp2022_depression_tpu.frontend.audio import eatd_targets
+    from icassp2022_depression_tpu.data.eatd import eatd_targets
 
     n = len(sds)
     features = flat.reshape(n, 3, flat.shape[1])
@@ -415,7 +415,7 @@ def extract_eatd_device(root: Path, params=None,
     provenance dict — the sidecar-equivalent the caller threads into
     checkpoint meta so serving can detect embedder mismatches).
     """
-    from icassp2022_depression_tpu.frontend.audio import eatd_targets
+    from icassp2022_depression_tpu.data.eatd import eatd_targets
 
     embed, dim, embedder_id = make_embedder(params, cfg, seed,
                                             elmo_weights, with_id=True,

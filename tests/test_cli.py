@@ -262,13 +262,25 @@ def test_train_fused_text_from_corpus(tmp_path, monkeypatch):
     assert records(two_root) == records(fused_root)
 
     # provenance: fused checkpoints carry the embedder id like the
-    # sidecar-threaded two-step path
-    ck = sorted((fused_root / "Model" / "ClassificationWhole" /
-                 "Text").glob("*.npz"))
-    ck = [p for p in ck if not p.name.startswith("train_idxs")]
-    if ck:
-        meta = checkpoints.load_meta(str(ck[0]))
-        assert meta.get("text_embedder")
+    # sidecar-threaded two-step path (floor=-1 gate -> ckpts MUST exist)
+    text_dir = fused_root / "Model" / "ClassificationWhole" / "Text"
+    ck = [p for p in sorted(text_dir.glob("*.npz"))
+          if not p.name.startswith("train_idxs")]
+    assert ck
+    meta = checkpoints.load_meta(str(ck[0]))
+    assert meta.get("text_embedder")
+
+    # check --corpus closes the no-npz loop for TEXT checkpoints too
+    def fold_of(p):
+        return int(p.stem.rsplit("_", 1)[1])
+
+    idx = sorted(text_dir.glob("train_idxs_*.npy"), key=fold_of)
+    ck = sorted(ck, key=fold_of)
+    assert cli.main(["check", "--task", "text_clf", "--root",
+                     str(fused_root), "--corpus", str(fused_root),
+                     "--ckpts", *(str(p)[:-4] for p in ck),
+                     "--idx-files", *(str(p) for p in idx)]) == 0
+    assert not (fused_root / "Features").exists()
 
 
 def test_predict_cli_vggish_embedder(tmp_path, capsys):
