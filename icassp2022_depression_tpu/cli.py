@@ -733,7 +733,12 @@ def cmd_parity(args):
                                     model_dir=args.model_dir,
                                     idx_files=args.idx_files, seed=args.seed,
                                     lr=None, vmap_folds=args.vmap_folds,
-                                    fold_parallel=False, data_parallel=1)
+                                    fold_parallel=False, data_parallel=1,
+                                    corpus=getattr(args, "corpus", None),
+                                    segmenter=getattr(args, "segmenter",
+                                                      "auto"),
+                                    elmo_weights=getattr(
+                                        args, "elmo_weights", "auto"))
             report.update(_pipeline_summary(ns))
     print(json.dumps(report))
     rc, rows = check_parity_bands(report)
@@ -1191,6 +1196,12 @@ def build_parser():
                     help="the reference's persisted train_idxs_*.npy")
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--vmap-folds", action="store_true")
+    sp.add_argument("--corpus",
+                    help="run the acceptance report FUSED straight from "
+                         "this raw EATD corpus dir (both modalities "
+                         "extracted on the fly, no Features/ npz needed)")
+    sp.add_argument("--segmenter", default="auto")
+    sp.add_argument("--elmo-weights", default="auto")
     sp.add_argument("--from-report",
                     help="re-check bands on a saved report JSON instead of "
                          "retraining")

@@ -58,6 +58,9 @@ def test_parity_command_parses():
     a = p.parse_args(["parity", "--root", "/tmp/x", "--idx-files",
                       "a.npy", "b.npy", "c.npy"])
     assert a.fn is cli.cmd_parity and len(a.idx_files) == 3
+    a = p.parse_args(["parity", "--root", "/tmp/x", "--corpus", "/tmp/x"])
+    assert a.corpus == "/tmp/x" and a.segmenter == "auto"
+    assert a.elmo_weights == "auto"
     assert set(cli.PARITY_BANDS) == {"audio_f1", "text_f1", "fuse_f1",
                                      "audio_mae", "text_mae"}
 
