@@ -9,6 +9,12 @@ Prints one JSON line per metric ({"metric", "value", "unit",
 
 Stages and their baselines (all baselines measured on this machine):
 
+* relay_weather — emitted FIRST: the session's measured host<->device
+  link condition (round-trip latency + up/down bandwidth,
+  ``utils/relay.py``), so every relay-bound line below — and every
+  round-over-round comparison — is interpretable against the weather
+  that produced it.  ``vs_baseline`` compares the round-trip to the
+  documented typical ~0.45 s (>1 = faster link than typical).
 * extraction_throughput — wav2vlad over EATD-scale utterances (486 x ~5 s,
   int16 wire, bucketed device batches) vs a per-utterance NumPy oracle of
   the same mel+NetVLAD math.  Conservative: the reference additionally
@@ -819,6 +825,19 @@ def main():
         line = {"metric": metric, "value": round(value, 2), "unit": unit,
                 "vs_baseline": round(vs_baseline, 2), **extra}
         print(json.dumps(line), flush=True)
+
+    # relay weather context FIRST: every relay-bound line below is only
+    # interpretable alongside the session's measured link condition
+    # (bandwidth is session-volatile, 16-900 MB/s observed), so each
+    # BENCH_r{N}.json carries its own weather.  vs_baseline compares the
+    # round-trip to the documented typical ~0.45 s (>1 = faster link).
+    from icassp2022_depression_tpu.utils.relay import probe_weather
+    wx = probe_weather(size_mb=8.0, reps=3)
+    emit("relay_weather", wx["roundtrip_s"], "s_roundtrip",
+         0.45 / max(wx["roundtrip_s"], 1e-9),
+         roundtrip_s=wx["roundtrip_s"], up_mb_s=wx["up_mb_s"],
+         down_mb_s=wx["down_mb_s"], backend=wx["backend"],
+         probe_mb=wx["probe_mb"])
 
     features, targets = make_data()
     rng = np.random.default_rng(7)

@@ -912,6 +912,59 @@ def cmd_baselines(args):
     return 0
 
 
+def cmd_doctor(args):
+    """Environment + relay-weather diagnostic.
+
+    The deployment's host<->device relay has volatile bandwidth and a
+    stiff per-round-trip latency (docs/PERFORMANCE.md), and cold
+    compiles go through a remote service — so "is my run slow or is the
+    weather bad?" is a real operational question.  This prints a
+    human-readable report on stderr and ONE JSON line on stdout (the
+    repo-wide machine-readable convention).  No reference equivalent
+    (single process, CPU)."""
+    import os
+    import platform
+
+    import jax
+
+    report = {
+        "python": platform.python_version(),
+        "jax": jax.__version__,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "host_cores": os.cpu_count(),
+    }
+    try:
+        import torch
+        report["torch"] = torch.__version__
+    except Exception:
+        report["torch"] = None
+
+    cache_dir = jax.config.jax_compilation_cache_dir
+    cache = {"dir": cache_dir, "entries": 0, "mb": 0.0}
+    if cache_dir and Path(cache_dir).is_dir():
+        files = [f for f in Path(cache_dir).rglob("*") if f.is_file()]
+        cache["entries"] = len(files)
+        cache["mb"] = round(sum(f.stat().st_size for f in files) / 1e6, 1)
+    report["compile_cache"] = cache
+
+    if not args.no_probe:
+        from icassp2022_depression_tpu.utils.relay import probe_weather
+        report["relay"] = wx = probe_weather(size_mb=args.probe_mb,
+                                             reps=args.reps)
+        print(f"relay weather: roundtrip {wx['roundtrip_s'] * 1e3:.0f} ms "
+              f"(typical ~450 ms), up {wx['up_mb_s']:.0f} MB/s, "
+              f"down {wx['down_mb_s']:.0f} MB/s (observed envelope "
+              "~16-900 MB/s)", file=sys.stderr)
+    print(f"backend {report['backend']} ({len(report['devices'])} device(s)),"
+          f" jax {report['jax']}, torch {report['torch']}, "
+          f"{report['host_cores']} host core(s); compile cache: "
+          f"{cache['entries']} entries, {cache['mb']} MB at {cache['dir']}",
+          file=sys.stderr)
+    print(json.dumps(report))
+    return 0
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="icassp2022_depression_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -1265,6 +1318,16 @@ def build_parser():
     sp.add_argument("--idx-files", nargs="*")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_baselines)
+
+    sp = sub.add_parser("doctor",
+                        help="environment + relay-weather diagnostic")
+    sp.add_argument("--probe-mb", type=float, default=8.0,
+                    help="payload size for the bandwidth probe")
+    sp.add_argument("--reps", type=int, default=3)
+    sp.add_argument("--no-probe", action="store_true",
+                    help="skip the device round-trip/bandwidth probe "
+                         "(report static environment facts only)")
+    sp.set_defaults(fn=cmd_doctor)
 
     return p
 

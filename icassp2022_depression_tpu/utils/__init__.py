@@ -3,4 +3,5 @@ from icassp2022_depression_tpu.utils import (  # noqa: F401
     logging,
     native,
     profiling,
+    relay,
 )

@@ -401,3 +401,19 @@ def test_check_corpus_closes_the_no_npz_loop(tmp_path, monkeypatch,
     # the metric-reproduction claim needs at least one non-degenerate fold
     assert any(not np.isnan(f1) for f1 in checked.values())
     assert not (tmp_path / "Features").exists()
+
+
+def test_doctor_command(capsys):
+    """`doctor` prints one JSON report line; the probe runs on whatever
+    backend is live (CPU here) and the static facts are always present."""
+    rc = cli.main(["doctor", "--probe-mb", "0.25", "--reps", "2"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["backend"] == "cpu" and len(rep["devices"]) == 8
+    assert rep["relay"]["reps"] == 2 and rep["relay"]["up_mb_s"] > 0
+    assert rep["compile_cache"]["dir"]
+
+    rc = cli.main(["doctor", "--no-probe"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "relay" not in rep and rep["torch"]

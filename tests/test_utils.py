@@ -134,3 +134,17 @@ def test_next_pow2_rejects_nonpositive_minimum():
 
     with pytest.raises(ValueError, match="positive"):
         shapes.next_pow2(5, minimum=0)
+
+
+def test_probe_weather_reports_link_condition():
+    """The relay weather probe (bench context line + `cli doctor`) must
+    return positive, JSON-able numbers on any backend."""
+    from icassp2022_depression_tpu.utils.relay import probe_weather
+
+    wx = probe_weather(size_mb=0.5, reps=2)
+    assert wx["backend"] == "cpu" and wx["reps"] == 2
+    assert wx["probe_mb"] == pytest.approx(0.5, rel=0.01)
+    assert wx["roundtrip_s"] >= 0.0
+    assert wx["up_mb_s"] > 0 and wx["down_mb_s"] > 0
+    assert len(wx["up_s"]) == 2 and len(wx["down_s"]) == 2
+    json.dumps(wx)  # must be emittable as a bench JSON line
