@@ -124,6 +124,17 @@ def cmd_train_daic(args):
             Path(args.daic_dir), Path(args.train_csv), queries)
         te, cl_te, rl_te = daic_fe.extract_split_device(
             Path(args.daic_dir), Path(args.eval_csv), queries)
+        # missing session dirs are silently skipped (reference semantics);
+        # a fully-empty split means the CSV ids match nothing — training
+        # on it would emit junk metrics, so fail loudly instead
+        for split, labels, csv in (("train", cl_tr, args.train_csv),
+                                   ("eval", cl_te, args.eval_csv)):
+            if len(labels) == 0:
+                raise SystemExit(
+                    f"--daic-dir {args.daic_dir}: no participants "
+                    f"extracted for the {split} split ({csv}) — check "
+                    "the CSV's Participant_ID column against the "
+                    "<id>_P/ session dirs")
         x_tr, x_te = tr, te
         y_tr, y_te = ((cl_tr, cl_te) if args.track == "clf"
                       else (rl_tr, rl_te))
@@ -253,6 +264,20 @@ def _require_features(path: Path, kind: str):
             "Features/AudioWhole and Features/TextWhole)")
 
 
+def _require_speakers(features, corpus) -> None:
+    """Fused --corpus paths must find at least one speaker: training or
+    checking against a zero-speaker extraction would silently emit junk
+    metrics (the reference hard-fails on a missing corpus too — its
+    trainers ``np.load`` artifacts that could never have been written,
+    e.g. ``audio_gru_whole.py:19``)."""
+    if len(features) == 0:
+        raise SystemExit(
+            f"--corpus {corpus}: no speakers found — expected EATD layout "
+            "Data/<n>/ and/or ValidationData/<n>/ containing "
+            "{positive,neutral,negative}_out.wav (+ transcripts) and "
+            "new_label.txt (see `synth-corpus` for a runnable example)")
+
+
 def _warn_stale_text_artifacts(text_dir: Path) -> None:
     """A fused --corpus run re-extracts text ON THE FLY; if extract-text
     artifacts exist (possibly produced with different embedder settings)
@@ -346,6 +371,7 @@ def cmd_train(args):
         if args.task.startswith("audio"):
             corpus_feats, corpus_sds, corpus_clf = afe.extract_eatd_device(
                 Path(corpus))
+            _require_speakers(corpus_sds, corpus)
         else:
             # text twin: embedder resolution (converted bundle via auto /
             # PRNG stand-in) and provenance exactly as extract-text's;
@@ -356,6 +382,7 @@ def cmd_train(args):
                 tfe.extract_eatd_device(Path(corpus), seed=args.seed,
                                         elmo_weights=args.elmo_weights,
                                         segmenter=args.segmenter)
+            _require_speakers(corpus_sds, corpus)
             corpus_text_meta = {"text_embedder": meta.get("embedder"),
                                 "text_segmenter": meta.get("segmenter")}
     if args.task in ("audio_clf", "text_clf"):
@@ -468,6 +495,7 @@ def _pipeline_summary(args) -> dict:
         _warn_stale_text_artifacts(text_dir)
         corpus_feats, corpus_sds, corpus_clf = afe.extract_eatd_device(
             Path(corpus))
+        _require_speakers(corpus_sds, corpus)
         corpus_text, _, _, tmeta = tfe.extract_eatd_device(
             Path(corpus), seed=args.seed, elmo_weights=args.elmo_weights,
             segmenter=args.segmenter)
@@ -569,6 +597,7 @@ def cmd_check(args):
         if args.task.startswith(("audio", "fuse")) or args.task.endswith(
                 "reg"):  # every task except text_clf needs the audio side
             cfeat, csds, cclf, _ = afe.extract_eatd(Path(corpus))
+            _require_speakers(csds, corpus)
             cfeat = np.squeeze(cfeat, axis=2)
         if args.task.startswith(("text", "fuse")):
             tfeat, tsds, tclf = tfe.extract_eatd(
@@ -721,15 +750,19 @@ def cmd_parity(args):
     bundle) is picked up automatically when present.  ``--from-report``
     skips training and re-checks the bands on a saved report JSON (the
     first line this command prints)."""
+    # a raw-corpus acceptance run needs no separate artifact root: Model/
+    # and idx files default to living under the corpus dir itself
+    root = args.root or getattr(args, "corpus", None)
     if args.from_report:
         report = json.loads(Path(args.from_report).read_text())
-    elif not args.root:
-        raise SystemExit("parity: --root (train + check) or --from-report "
-                         "(re-check a saved report) is required")
+    elif not root:
+        raise SystemExit("parity: --root and/or --corpus (train + check) "
+                         "or --from-report (re-check a saved report) is "
+                         "required")
     else:
         report = {}
         for track in ("clf", "reg"):
-            ns = argparse.Namespace(track=track, root=args.root,
+            ns = argparse.Namespace(track=track, root=root,
                                     model_dir=args.model_dir,
                                     idx_files=args.idx_files, seed=args.seed,
                                     lr=None, vmap_folds=args.vmap_folds,
@@ -740,6 +773,11 @@ def cmd_parity(args):
                                     elmo_weights=getattr(
                                         args, "elmo_weights", "auto"))
             report.update(_pipeline_summary(ns))
+    if not any(report.get(k) for k in PARITY_BANDS):
+        # a band check that never looked at a metric must not print PASS
+        raise SystemExit("parity: the report contains none of the band "
+                         "metrics (" + ", ".join(PARITY_BANDS) + ") — "
+                         "nothing to check")
     print(json.dumps(report))
     rc, rows = check_parity_bands(report)
     print(parity_report_markdown(report, rows))
