@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 from pathlib import Path
 
@@ -742,6 +743,171 @@ def parity_report_markdown(report: dict, band_rows=None) -> str:
     return "\n".join(lines)
 
 
+#: reference Model/-tree filename grammar: clf names end in
+#: ``_{metric:.2f}_{fold}`` (``audio_gru_whole.py:239``,
+#: ``text_bilstm_whole.py:230``, ``fuse_net_whole.py:516``); reg names end
+#: in ``_{metric:.2f}`` with the fold in the parent dir
+#: (``Regression/{Audio,Text,Fuse}{fold}/``, ``audio_bilstm_perm.py:208``,
+#: ``text_bilstm_perm.py:205``, ``fuse_net.py:451``).
+_CLF_CKPT_RE = re.compile(r"^(?P<base>.+?)_(?P<metric>\d+(?:\.\d+)?)"
+                          r"_(?P<fold>[123])$")
+_REG_CKPT_RE = re.compile(r"^(?P<base>.+?)_(?P<metric>\d+(?:\.\d+)?)$")
+_REG_DIR_RE = re.compile(r"^(?P<kind>Audio|Text|Fuse)(?P<fold>[123])$")
+
+
+def _ckpt_modality(base: str) -> str:
+    b = base.lower()
+    if b.startswith("fuse"):
+        return "fuse"
+    # audio names carry the embedder tag: BiLSTM_gru_vlad256_256 /
+    # gru_vlad256_256; plain BiLSTM_{hidden} is the text branch
+    return "audio" if ("vlad" in b or "gru" in b) else "text"
+
+
+def _discover_reference_ckpts(ckpt_dir: Path) -> dict:
+    """Walk a reference ``Model/`` tree -> ``{task: [fold1..fold3 paths]}``.
+
+    Accepts the tree root, ``Model/`` itself, or a flat directory of
+    clf-named files; both the reference's ``.pt`` pickles and our ``.npz``
+    checkpoints qualify.  Multiple gated saves per fold resolve to the
+    best metric (max F1 for clf, min MAE for reg — the file the
+    reference's checking scripts would hardcode).  Only tasks with all
+    three folds present are returned; partial sets warn."""
+    best: dict = {}   # (task, fold) -> (metric, path)
+
+    def _offer(task, fold, metric, path):
+        key = (task, fold)
+        if key in best:
+            old = best[key][0]
+            if (metric <= old) if task.endswith("clf") else (metric >= old):
+                return
+        best[key] = (metric, path)
+
+    for p in sorted(Path(ckpt_dir).rglob("*")):
+        if p.suffix not in (".pt", ".npz") or not p.is_file():
+            continue
+        stem = p.stem
+        mc = _CLF_CKPT_RE.match(stem)
+        if mc:   # fold encoded in the filename -> classification track
+            task = f"{_ckpt_modality(mc.group('base'))}_clf"
+            _offer(task, int(mc.group("fold")), float(mc.group("metric")), p)
+            continue
+        regdir = _REG_DIR_RE.match(p.parent.name)
+        mr = _REG_CKPT_RE.match(stem)
+        if regdir and mr:   # fold encoded in the parent dir -> regression
+            task = f"{regdir.group('kind').lower()}_reg"
+            _offer(task, int(regdir.group("fold")),
+                   float(mr.group("metric")), p)
+    found: dict = {}
+    for task in ("audio_clf", "text_clf", "fuse_clf",
+                 "audio_reg", "text_reg", "fuse_reg"):
+        paths = [best.get((task, f)) for f in (1, 2, 3)]
+        if all(p is not None for p in paths):
+            found[task] = [p[1] for p in paths]
+        elif any(p is not None for p in paths):
+            have = [f for f in (1, 2, 3) if best.get((task, f))]
+            print(f"parity: {task} has checkpoints only for folds {have} "
+                  "— need all 3, skipping", file=sys.stderr)
+    return found
+
+
+def _report_from_ckpts(args) -> dict:
+    """Checkpoint-driven parity: discover a reference ``Model/`` tree and
+    recompute every discovered task's fold metrics via the L5 checking
+    harness (no training).  This is the acceptance path for the
+    reference's RELEASED whole-module ``.pt`` checkpoints
+    (``FuseModelChecking.py:10-12`` hardcodes exactly these files)."""
+    from icassp2022_depression_tpu.data import folds
+    from icassp2022_depression_tpu.eval import checking
+    from icassp2022_depression_tpu.frontend import audio as afe
+    from icassp2022_depression_tpu.frontend import text as tfe
+
+    found = _discover_reference_ckpts(Path(args.ckpt_dir))
+    if not found:
+        raise SystemExit(f"parity: no reference-layout checkpoints under "
+                         f"{args.ckpt_dir} (expected "
+                         "ClassificationWhole/{Audio,Text,Fuse}/"
+                         "<name>_<metric>_<fold>.pt and/or "
+                         "Regression/{Audio,Text,Fuse}<fold>/"
+                         "<name>_<metric>.pt)")
+    print("parity: checking " + ", ".join(
+        f"{t} ({', '.join(p.name for p in ps)})"
+        for t, ps in sorted(found.items())), file=sys.stderr)
+    corpus = getattr(args, "corpus", None) or None
+    root = Path(args.root or corpus)
+    audio_dir, text_dir = _features_dirs(root)
+    cache: dict = {}
+
+    def _audio(track):
+        key = ("a", track)
+        if key not in cache:
+            if corpus:
+                feat, sds, clf, _ = afe.extract_eatd(Path(corpus))
+                _require_speakers(sds, corpus)
+                feat = np.squeeze(feat, axis=2)
+                cache[("a", "clf")] = (feat, clf)
+                cache[("a", "reg")] = (feat, sds)
+            else:
+                cache[key] = afe.load_features(audio_dir, track)
+        return cache[key]
+
+    def _text(track):
+        key = ("t", track)
+        if key not in cache:
+            if corpus:
+                feat, sds, clf = tfe.extract_eatd(
+                    Path(corpus), seed=args.seed,
+                    elmo_weights=args.elmo_weights,
+                    segmenter=args.segmenter)
+                cache[("t", "clf")] = (feat, clf)
+                cache[("t", "reg")] = (feat, sds)
+            else:
+                cache[key] = tfe.load_features(text_dir, track)
+        return cache[key]
+
+    report: dict = {}
+    clf_tasks = [t for t in found if t.endswith("clf")]
+    if clf_tasks:
+        y = (_audio if any(t.startswith(("audio", "fuse"))
+                           for t in clf_tasks) else _text)("clf")[1]
+        tf_idx = _train_folds(root, y, args.seed, args.idx_files)
+        if "audio_clf" in found:
+            x, ya = _audio("clf")
+            res, _ = checking.check_audio_clf(x, ya, tf_idx,
+                                              found["audio_clf"])
+            report["audio_f1"] = [r["f1"] for r in res]
+        if "text_clf" in found:
+            x, yt = _text("clf")
+            res, _ = checking.check_text_clf(x, yt, tf_idx,
+                                             found["text_clf"])
+            report["text_f1"] = [r["f1"] for r in res]
+        if "fuse_clf" in found:
+            xa, ya = _audio("clf")
+            xt, _yt = _text("clf")
+            res, _ = checking.check_fuse_clf(xa, xt, ya, tf_idx,
+                                             found["fuse_clf"])
+            report["fuse_f1"] = [r["f1"] for r in res]
+    reg_tasks = [t for t in found if t.endswith("reg")]
+    if reg_tasks:
+        xa, ya = _audio("reg")
+        dep, non = folds.generate_reg_shuffles(ya, seed=args.seed)
+        if "audio_reg" in found:
+            res, _ = checking.check_audio_reg(xa, ya, dep, non,
+                                              found["audio_reg"])
+            report["audio_mae"] = [r["mae"] for r in res]
+        if "text_reg" in found:
+            xt, yt = _text("reg")
+            res, _ = checking.check_text_reg(xt, yt, dep, non,
+                                             found["text_reg"])
+            report["text_mae"] = [r["mae"] for r in res]
+        if "fuse_reg" in found:
+            xt, _yt = _text("reg")
+            res, _ = checking.check_fuse_reg(xa, xt, ya, dep, non,
+                                             found["fuse_reg"])
+            report["fuse_mae"] = [r["mae"] for r in res]
+    return report
+
+
 def cmd_parity(args):
     """Real-corpus parity report: run both tracks with the reference
     configurations unchanged and print per-fold + mean metrics against
@@ -749,12 +915,21 @@ def cmd_parity(args):
     table.  Everything else (idx files, pretrained ELMo
     bundle) is picked up automatically when present.  ``--from-report``
     skips training and re-checks the bands on a saved report JSON (the
-    first line this command prints)."""
+    first line this command prints).  ``--ckpt-dir`` skips training too:
+    it discovers a reference ``Model/`` tree of released ``.pt`` (or our
+    ``.npz``) checkpoints and scores THOSE — the acceptance path for the
+    reference's published weights."""
     # a raw-corpus acceptance run needs no separate artifact root: Model/
     # and idx files default to living under the corpus dir itself
     root = args.root or getattr(args, "corpus", None)
     if args.from_report:
         report = json.loads(Path(args.from_report).read_text())
+    elif getattr(args, "ckpt_dir", None):
+        if not root:
+            raise SystemExit("parity --ckpt-dir: also pass --root (with "
+                             "Features/ npz) and/or --corpus (re-extract) "
+                             "so the checking harness has features")
+        report = _report_from_ckpts(args)
     elif not root:
         raise SystemExit("parity: --root and/or --corpus (train + check) "
                          "or --from-report (re-check a saved report) is "
@@ -1296,6 +1471,11 @@ def build_parser():
     sp.add_argument("--from-report",
                     help="re-check bands on a saved report JSON instead of "
                          "retraining")
+    sp.add_argument("--ckpt-dir",
+                    help="score a reference Model/ tree of released .pt "
+                         "(or our .npz) checkpoints instead of training "
+                         "(ClassificationWhole/{Audio,Text,Fuse}/ and "
+                         "Regression/{Audio,Text,Fuse}<fold>/ layouts)")
     sp.set_defaults(fn=cmd_parity)
 
     sp = sub.add_parser("serve", help="HTTP serving front (stdlib)")

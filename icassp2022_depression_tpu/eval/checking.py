@@ -22,9 +22,16 @@ import numpy as np
 from icassp2022_depression_tpu import config as C
 from icassp2022_depression_tpu.data import augment, folds
 from icassp2022_depression_tpu.eval import metrics
-from icassp2022_depression_tpu.models import audio_net, fusion, text_net
-from icassp2022_depression_tpu.train import checkpoints
+from icassp2022_depression_tpu.models import (audio_net, fusion, porting,
+                                              text_net)
 from icassp2022_depression_tpu.utils import shapes
+
+
+def _load(ckpt, kind: str, cfg, template):
+    """Checkpoint resolution incl. the reference's whole-module ``.pt``
+    pickles (``FuseModelChecking.py:100`` torch.loads them; here
+    ``porting.load_params`` extracts + maps without running torch code)."""
+    return porting.load_params(ckpt, kind, cfg, template)
 
 
 def _padded_apply(apply_fn, params, *arrays) -> np.ndarray:
@@ -68,6 +75,7 @@ def check_branch_clf(model_module, mcfg: C.RNNConfig, features, targets,
     the trainer's."""
     dep = np.where(np.asarray(targets) == 1)[0]
     non = np.where(np.asarray(targets) == 0)[0]
+    kind = "audio" if model_module is audio_net else "text"
     template = model_module.init(jax.random.PRNGKey(0), mcfg)
     apply_fn = jax.jit(lambda p, x: model_module.apply(p, mcfg, x))
     results = []
@@ -77,8 +85,7 @@ def check_branch_clf(model_module, mcfg: C.RNNConfig, features, targets,
             [features], targets, tr_idx, dep, non,
             train_perm_ids=fold_cfg.train_perm_ids,
             test_perm_ids=fold_cfg.test_perm_ids)
-        params = ckpt if isinstance(ckpt, dict) else \
-            checkpoints.load(ckpt, like=template)
+        params = _load(ckpt, kind, mcfg, template)
         probs = _padded_apply(apply_fn, params, xte[0])
         m = _clf_fold_eval(probs, yte)
         m["fold"] = fold
@@ -121,8 +128,7 @@ def check_fuse_clf(audio_features, text_features, targets, train_folds_idx,
             [audio_features, text_features], targets, tr_idx, dep, non,
             train_perm_ids=fold_cfg.train_perm_ids,
             test_perm_ids=fold_cfg.test_perm_ids)
-        params = ckpt if isinstance(ckpt, dict) else \
-            checkpoints.load(ckpt, like=template)
+        params = _load(ckpt, "fusion", fcfg, template)
         probs = _padded_apply(apply_fn, params, xa, xt)
         m = _clf_fold_eval(probs, yte)
         m["fold"] = fold
@@ -144,6 +150,7 @@ def check_branch_reg(model_module, mcfg: C.RNNConfig, features, targets,
     ``reg_fold_split`` test indices and print MAE/RMSE — i.e. exactly
     ``check_audio_reg``/``check_text_reg`` with that fold's branch
     checkpoint."""
+    kind = "audio" if model_module is audio_net else "text"
     template = model_module.init(jax.random.PRNGKey(0), mcfg)
     apply_fn = jax.jit(lambda p, x: model_module.apply(p, mcfg, x))
     results = []
@@ -152,8 +159,7 @@ def check_branch_reg(model_module, mcfg: C.RNNConfig, features, targets,
             dep_idxs, non_idxs, fold, fold_cfg.reg_test_dep,
             fold_cfg.reg_test_non)
         te = np.concatenate([te_d, te_n]).astype(np.int64)
-        params = ckpt if isinstance(ckpt, dict) else \
-            checkpoints.load(ckpt, like=template)
+        params = _load(ckpt, kind, mcfg, template)
         pred = np.asarray(apply_fn(params, jnp.asarray(features[te]))).ravel()
         results.append({
             "fold": fold + 1,
@@ -191,8 +197,7 @@ def check_fuse_reg(audio_features, text_features, targets, dep_idxs,
             dep_idxs, non_idxs, fold, fold_cfg.reg_test_dep,
             fold_cfg.reg_test_non)
         te = np.concatenate([te_d, te_n]).astype(np.int64)
-        params = ckpt if isinstance(ckpt, dict) else \
-            checkpoints.load(ckpt, like=template)
+        params = _load(ckpt, "fusion", fcfg, template)
         pred = np.asarray(apply_fn(params, jnp.asarray(audio_features[te]),
                                    jnp.asarray(text_features[te]))).ravel()
         results.append({

@@ -20,6 +20,8 @@ Key-layout notes encoded here:
 
 from __future__ import annotations
 
+import pickle
+import types
 from typing import Mapping
 
 import numpy as np
@@ -130,3 +132,184 @@ def fusion_from_state_dict(sd: Mapping, cfg: FusionConfig):
         params["audio"]["ln"] = {"w": _np(sd, "ln.weight"),
                                  "b": _np(sd, "ln.bias")}
     return params
+
+
+# -- loading the reference's whole-module ``.pt`` pickles --------------------
+#
+# The reference's only checkpoint artifact is ``torch.save(model)`` of the
+# ENTIRE module (``Classification/audio_gru_whole.py:125``,
+# ``fuse_net_whole.py:33``, ``Regression/fuse_net.py:370`` ...), and its
+# eval harnesses ``torch.load`` those files directly
+# (``Classification/FuseModelChecking.py:100``,
+# ``Regression/AudioModelChecking.py:157``).  Unpickling such a file
+# normally requires importing the script that defined the class (and the
+# exact torch version its nn.Modules were pickled under).  Instead,
+# :func:`load_reference_pt` unpickles with a restricted ``find_class``:
+# torch's tensor-rebuild helpers and container primitives resolve for real
+# (so the raw weights materialise), while EVERY other global — the
+# reference's model classes, torch's nn.Module classes, anything else the
+# pickle names — resolves to an inert shim that only captures attribute
+# state.  No reference code (or any other pickled callable) ever executes,
+# and no torch-version-compatible class definitions are needed.  The state
+# dict is then read off the shim graph by walking torch's persistent
+# ``_parameters``/``_buffers``/``_modules`` attribute layout.
+
+
+class _ShimBase:
+    """Inert stand-in for a non-allowlisted pickled global.
+
+    Covers every way pickle can touch a class object: NEWOBJ/REDUCE
+    construction (``__init__`` swallows args), BUILD (``__setstate__``
+    stores state), and stray calls on instances (return self).  Nothing
+    here executes third-party logic."""
+
+    def __init__(self, *args, **kwargs):
+        self._shim_args = args
+        self._shim_kwargs = kwargs
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        elif (isinstance(state, tuple) and len(state) == 2
+              and isinstance(state[0], dict)):
+            # object.__reduce_ex__ (dict, slots) pair
+            self.__dict__.update(state[0] or {})
+            self.__dict__.update(state[1] or {})
+        else:
+            self.__dict__["_shim_state"] = state
+
+    def __call__(self, *args, **kwargs):
+        return self
+
+
+_SHIM_CACHE: dict = {}
+
+
+def _shim_class(module: str, name: str):
+    key = (module, name)
+    if key not in _SHIM_CACHE:
+        _SHIM_CACHE[key] = type(name, (_ShimBase,), {
+            "__module__": f"<shim:{module}>",
+            "_shim_origin": f"{module}.{name}",
+        })
+    return _SHIM_CACHE[key]
+
+
+class _SafeRefUnpickler(pickle.Unpickler):
+    """Unpickler whose globals allowlist is just enough to rebuild raw
+    tensors: ``torch._utils`` rebuild helpers, storage/dtype primitives,
+    ``collections.OrderedDict`` and numpy reconstructors.  All else shims."""
+
+    _ALLOWED_MODULES = ("torch._utils", "torch.serialization",
+                        "torch.storage", "collections")
+
+    def find_class(self, module, name):  # noqa: D102 (pickle API)
+        import importlib
+
+        if module in self._ALLOWED_MODULES or module.startswith("numpy"):
+            return getattr(importlib.import_module(module), name)
+        if module == "torch":
+            import torch
+
+            obj = getattr(torch, name, None)
+            if (isinstance(obj, torch.dtype) or "Storage" in name
+                    or name in ("Size", "device")):
+                return obj
+        return _shim_class(module, name)
+
+
+#: ``pickle_module`` facade for ``torch.load`` — routes both the zipfile
+#: and the legacy serialization paths through :class:`_SafeRefUnpickler`
+#: (torch's own wrapper subclasses it, keeping storage persistent-id
+#: handling on torch's side).
+_safe_pickle_module = types.SimpleNamespace(
+    __name__="icassp2022_depression_tpu.models.porting._safe_pickle_module",
+    Unpickler=_SafeRefUnpickler,
+    load=lambda f, **kw: _SafeRefUnpickler(f, **kw).load(),
+)
+
+
+def _tensor_np(t) -> np.ndarray:
+    import torch
+
+    if isinstance(t, torch.Tensor):
+        return t.detach().cpu().numpy().copy()
+    return np.array(t, copy=True)
+
+
+def _walk_module_shim(obj, prefix: str, out: dict) -> None:
+    """Read ``state_dict()``-style dotted names off a shim'd nn.Module
+    graph via torch's ``_parameters``/``_buffers``/``_modules`` layout."""
+    d = getattr(obj, "__dict__", None) or {}
+    for name, p in (d.get("_parameters") or {}).items():
+        if p is not None:
+            out[prefix + name] = _tensor_np(p)
+    for name, b in (d.get("_buffers") or {}).items():
+        if b is not None:
+            out[prefix + name] = _tensor_np(b)
+    for name, m in (d.get("_modules") or {}).items():
+        if m is not None:
+            _walk_module_shim(m, f"{prefix}{name}.", out)
+
+
+def load_reference_pt(path) -> dict:
+    """Extract ``{name: np.ndarray}`` from a reference ``.pt`` checkpoint.
+
+    Accepts both artifact shapes the reference ecosystem produces: the
+    whole-module pickle (``torch.save(model)``,
+    ``audio_gru_whole.py:125``) and a plain ``state_dict()`` mapping.
+    Reference classes are never imported or executed (see module notes
+    above); tensors come back as defensive numpy copies ready for the
+    ``*_from_state_dict`` mappers."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu",
+                     pickle_module=_safe_pickle_module, weights_only=False)
+    if isinstance(obj, Mapping):  # torch.save(model.state_dict())
+        import torch as _t
+
+        sd = {k: _tensor_np(v) for k, v in obj.items()
+              if isinstance(v, (_t.Tensor, np.ndarray))}
+        if sd:
+            return sd
+        raise ValueError(f"{path}: mapping checkpoint holds no tensors")
+    d = getattr(obj, "__dict__", None) or {}
+    if "_parameters" not in d and "_modules" not in d:
+        raise ValueError(
+            f"{path}: not a torch module pickle (top-level object "
+            f"{getattr(type(obj), '_shim_origin', type(obj).__name__)} has "
+            "no _parameters/_modules layout)")
+    out: dict = {}
+    _walk_module_shim(obj, "", out)
+    if not out:
+        raise ValueError(f"{path}: module pickle contained no tensors")
+    return out
+
+
+#: model-kind -> state-dict mapper, for extension-dispatched loading
+_PT_MAPPERS = {
+    "audio": audio_net_from_state_dict,
+    "text": text_net_from_state_dict,
+    "fusion": fusion_from_state_dict,
+}
+
+
+def params_from_reference_pt(path, kind: str, cfg):
+    """``.pt`` file -> our param tree: :func:`load_reference_pt` then the
+    ``kind`` mapper ('audio' | 'text' | 'fusion') under ``cfg``."""
+    return _PT_MAPPERS[kind](load_reference_pt(path), cfg)
+
+
+def load_params(ckpt, kind: str, cfg, template):
+    """Uniform checkpoint resolution for eval/serving call sites.
+
+    In-memory pytrees pass through; ``*.pt`` dispatches to the reference
+    loader (whole-module or state-dict pickles); anything else is one of
+    our ``.npz`` checkpoints loaded against ``template``."""
+    from icassp2022_depression_tpu.train import checkpoints
+
+    if isinstance(ckpt, dict):
+        return ckpt
+    if str(ckpt).endswith(".pt"):
+        return params_from_reference_pt(ckpt, kind, cfg)
+    return checkpoints.load(ckpt, like=template)

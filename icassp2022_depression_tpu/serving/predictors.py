@@ -206,6 +206,14 @@ class Predictor:
         against it and a mismatch warns loudly; the segmenter is ADOPTED
         automatically unless the caller passed one explicitly (then a
         mismatch warns)."""
+        if str(path).endswith(".pt"):
+            # reference whole-module pickle (torch.save(model),
+            # audio_gru_whole.py:125) — extract + map, then take the
+            # reference-weights serving path with its ELMo warning
+            from icassp2022_depression_tpu.models import porting
+
+            return cls.from_torch_state_dict(
+                porting.load_reference_pt(path), task, **kw)
         module, mcfg = _model_for(task)
         if kw.get("model_cfg") is not None:
             mcfg = kw["model_cfg"]
@@ -647,15 +655,23 @@ class DaicPredictor:
             meta = checkpoints.load_meta(path)
         except (FileNotFoundError, ValueError):
             meta = {}
+        sd_pt = None
+        if str(path).endswith(".pt"):
+            from icassp2022_depression_tpu.models import porting
+
+            sd_pt = porting.load_reference_pt(path)
         emb = meta.get("embedding_size")
         if not emb:
             # pre-meta checkpoint: the stored first-layer gate weight is
             # [3H, embedding], so the true input width is recoverable
-            npz = str(path)
-            if not npz.endswith(".npz"):
-                npz += ".npz"
-            with np.load(npz) as z:
-                emb = int(z["rnn/0/fwd/w_ih"].shape[1])
+            if sd_pt is not None:
+                emb = int(sd_pt["lstm_net_audio.weight_ih_l0"].shape[1])
+            else:
+                npz = str(path)
+                if not npz.endswith(".npz"):
+                    npz += ".npz"
+                with np.load(npz) as z:
+                    emb = int(z["rnn/0/fwd/w_ih"].shape[1])
         if int(emb) != resolved.model.embedding_size:
             resolved = C.replace(resolved, model=C.replace(
                 resolved.model, embedding_size=int(emb)))
@@ -676,8 +692,15 @@ class DaicPredictor:
                       "training features", file=sys.stderr)
         if meta.get("text_seed") is not None and "seed" not in kw:
             kw = dict(kw, seed=int(meta["text_seed"]))
-        template = audio_net.init(jax.random.PRNGKey(0), resolved.model)
-        params = checkpoints.load(path, like=template)
+        if sd_pt is not None:
+            from icassp2022_depression_tpu.models import porting
+
+            params = porting.audio_net_from_state_dict(sd_pt,
+                                                       resolved.model)
+        else:
+            template = audio_net.init(jax.random.PRNGKey(0),
+                                      resolved.model)
+            params = checkpoints.load(path, like=template)
         predictor = cls(params, task, tcfg=resolved, **kw)
         expected = meta.get("text_embedder")
         if (expected and predictor.embedder_id

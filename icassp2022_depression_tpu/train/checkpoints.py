@@ -80,6 +80,13 @@ def load(path, like=None):
     a nested dict keyed by path segments (ints become list indices only with
     ``like``)."""
     path = str(path)
+    if path.endswith(".pt"):
+        # a reference torch pickle would otherwise be probed as x.pt.npz —
+        # point callers at the extension-dispatched loader instead
+        raise ValueError(
+            f"{path} is a torch .pt checkpoint — load it through "
+            "models.porting.load_params/params_from_reference_pt (the "
+            "check/predict/serve entry points dispatch on the extension)")
     if not path.endswith(".npz"):
         path += ".npz"
     data = dict(np.load(path))

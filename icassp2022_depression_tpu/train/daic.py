@@ -112,8 +112,10 @@ def check_daic(features: List[np.ndarray], labels, ckpt_path,
     max_r = max((f.shape[0] for f in features), default=1)
     x, mask = pad_responses(features, max_r)
     y = np.asarray(labels)
+    from icassp2022_depression_tpu.models import porting
+
     template = audio_net.init(jax.random.PRNGKey(0), tcfg.model)
-    params = checkpoints.load(ckpt_path, like=template)
+    params = porting.load_params(ckpt_path, "audio", tcfg.model, template)
     _, eval_fn = _fns(tcfg)
     pred = np.asarray(eval_fn(params, (jnp.asarray(x), jnp.asarray(mask))))
     if tcfg.track == "classification":
