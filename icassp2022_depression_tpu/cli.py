@@ -960,6 +960,98 @@ def cmd_parity(args):
     return rc
 
 
+def cmd_warmup(args):
+    """Pre-compile the standard shape set into the persistent XLA
+    compilation cache, so the first REAL corpus run does not pay the
+    remote-service compiles (~100 s cold for the ELMo chunk-shape set
+    alone — docs/PERFORMANCE.md).  ``serve --warmup`` covers serving;
+    this covers extraction + training:
+
+    * audio length buckets (one jitted program per pow2-padded utterance
+      length — ``frontend/audio.py::_bucket_pipeline_flat``),
+    * ELMo embedding chunk shapes at the corpus geometry (row bucket =
+      ceil(3·n_speakers/8)·8, token axis in multiples of 16),
+    * the whole-fold training programs of both tracks (epoch counts are
+      preset-static, so the compiled programs depend only on the corpus
+      geometry — warmed by running the fused pipeline on a synthetic
+      corpus of ``--n-data/--n-validation`` speakers, default 83+79 =
+      the real EATD split).
+
+    Length-bucket coverage is duration-dependent: buckets outside
+    [--min-seconds, --max-seconds] still compile on first contact."""
+    import tempfile
+    import time
+
+    from icassp2022_depression_tpu.data import eatd
+    from icassp2022_depression_tpu.frontend import audio as afe
+    from icassp2022_depression_tpu.frontend import text as tfe
+
+    report = {}
+    t_all = time.time()
+    rng = np.random.default_rng(0)
+    if not args.skip_buckets:
+        t0 = time.time()
+        sr = 16000
+        secs, s = [], max(args.min_seconds, 0.25)
+        while s <= args.max_seconds:
+            secs.append(s)
+            s *= 2
+        wavs = [np.round(rng.standard_normal(int(sr * sec)) * 2000)
+                .astype(np.int16) for sec in secs]
+        afe.extract_batch(wavs, [sr] * len(wavs))
+        report["audio_buckets"] = {"buckets": len(secs),
+                                   "seconds": round(time.time() - t0, 2)}
+        print(json.dumps({"warmup": "audio_buckets",
+                          **report["audio_buckets"]}), flush=True)
+    if not args.skip_text:
+        t0 = time.time()
+        embed, _dim, embedder_id = tfe.make_embedder(
+            seed=args.seed, elmo_weights=args.elmo_weights, with_id=True)
+        n_sent = 3 * (args.n_data + args.n_validation)
+        toks, t = [], 16
+        while t <= max(16, args.max_tokens):
+            toks.append(t)
+            t *= 2
+        for max_t in toks:
+            # one sentence pins the chunk's padded token axis at max_t;
+            # the rest take the typical short lengths
+            sentences = [["词"] * int(rng.integers(2, 9))
+                         for _ in range(n_sent - 1)]
+            sentences.append(["词"] * max_t)
+            embed(sentences)
+        report["text_chunks"] = {"sentences": n_sent,
+                                 "token_buckets": toks,
+                                 "embedder": embedder_id,
+                                 "seconds": round(time.time() - t0, 2)}
+        print(json.dumps({"warmup": "text_chunks",
+                          **report["text_chunks"]}), flush=True)
+    if not args.skip_train:
+        t0 = time.time()
+        with tempfile.TemporaryDirectory() as td:
+            root = Path(td) / "corpus"
+            eatd.make_synthetic_corpus(
+                root, n_data=args.n_data, n_validation=args.n_validation,
+                seconds=(args.min_seconds, args.max_seconds), seed=0)
+            for track in args.tracks:
+                ns = argparse.Namespace(
+                    track=track, root=str(root),
+                    model_dir=str(Path(td) / "model"), idx_files=None,
+                    seed=args.seed, lr=None, vmap_folds=args.vmap_folds,
+                    fold_parallel=False, data_parallel=1,
+                    corpus=str(root), segmenter=args.segmenter,
+                    elmo_weights=args.elmo_weights)
+                _pipeline_summary(ns)
+        report["train_programs"] = {
+            "tracks": list(args.tracks),
+            "speakers": args.n_data + args.n_validation,
+            "seconds": round(time.time() - t0, 2)}
+        print(json.dumps({"warmup": "train_programs",
+                          **report["train_programs"]}), flush=True)
+    print(json.dumps({"warmup": "done",
+                      "total_s": round(time.time() - t_all, 2)}))
+    return 0
+
+
 def cmd_serve(args):
     """Run the stdlib HTTP serving front around one checkpoint."""
     from icassp2022_depression_tpu import serve
@@ -1477,6 +1569,34 @@ def build_parser():
                          "(ClassificationWhole/{Audio,Text,Fuse}/ and "
                          "Regression/{Audio,Text,Fuse}<fold>/ layouts)")
     sp.set_defaults(fn=cmd_parity)
+
+    sp = sub.add_parser("warmup",
+                        help="pre-compile the standard extraction/training "
+                             "shape set into the persistent compilation "
+                             "cache (serve --warmup covers serving)")
+    sp.add_argument("--n-data", type=int, default=83,
+                    help="synthetic Data/ speakers (default = real EATD)")
+    sp.add_argument("--n-validation", type=int, default=79,
+                    help="synthetic ValidationData/ speakers")
+    sp.add_argument("--tracks", nargs="*", default=["clf", "reg"],
+                    choices=["clf", "reg"])
+    sp.add_argument("--min-seconds", type=float, default=1.0,
+                    help="shortest utterance-length bucket to warm")
+    sp.add_argument("--max-seconds", type=float, default=16.0,
+                    help="longest utterance-length bucket to warm")
+    sp.add_argument("--max-tokens", type=int, default=32,
+                    help="longest ELMo token-axis bucket to warm "
+                         "(multiples of 16)")
+    sp.add_argument("--elmo-weights", default="auto")
+    sp.add_argument("--segmenter", default="auto")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--vmap-folds", action="store_true",
+                    help="warm the fold-vmapped train programs instead of "
+                         "the sequential ones")
+    sp.add_argument("--skip-buckets", action="store_true")
+    sp.add_argument("--skip-text", action="store_true")
+    sp.add_argument("--skip-train", action="store_true")
+    sp.set_defaults(fn=cmd_warmup)
 
     sp = sub.add_parser("serve", help="HTTP serving front (stdlib)")
     sp.add_argument("--task", required=True, choices=[

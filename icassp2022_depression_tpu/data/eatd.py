@@ -188,19 +188,24 @@ def write_wav(path: Path, data: np.ndarray, sr: int) -> None:
 
 
 def make_synthetic_corpus(root: Path, n_data: int = 8, n_validation: int = 4,
-                          sr: int = 16000, seconds: float = 1.0,
+                          sr: int = 16000, seconds=1.0,
                           dep_fraction: float = 0.3, seed: int = 0) -> None:
     """Writes an EATD-shaped corpus with synthetic audio/text.  Depressed
     speakers (SDS >= 53) get lower-pitch, lower-energy audio so models have
-    signal to fit."""
+    signal to fit.  ``seconds`` may be a (lo, hi) pair for per-utterance
+    uniform durations — real EATD utterance lengths vary widely, and
+    ``cli warmup`` uses the spread to touch several extraction length
+    buckets."""
     rng = np.random.default_rng(seed)
+    lo, hi = (seconds if isinstance(seconds, (tuple, list))
+              else (seconds, seconds))
     for split, count in (("Data", n_data), ("ValidationData", n_validation)):
         for num in range(1, count + 1):
             dep = rng.random() < dep_fraction
             sds = float(rng.integers(55, 75) if dep else rng.integers(25, 50))
             d = Path(root) / split / str(num)
             for topic in TOPICS:
-                n = int(sr * seconds)
+                n = int(sr * (lo if lo == hi else rng.uniform(lo, hi)))
                 t = np.arange(n) / sr
                 f0 = (90 if dep else 180) + rng.uniform(-10, 10)
                 amp = (1200 if dep else 6000) * rng.uniform(0.8, 1.2)

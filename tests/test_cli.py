@@ -417,3 +417,27 @@ def test_doctor_command(capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "relay" not in rep and rep["torch"]
+
+
+def test_warmup_command_audio_buckets_only(capsys):
+    """`warmup --skip-text --skip-train` compiles the audio length-bucket
+    programs and reports one JSON line per stage plus a `done` total."""
+    rc = cli.main(["warmup", "--skip-text", "--skip-train",
+                   "--min-seconds", "0.25", "--max-seconds", "0.5"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip()
+             .splitlines() if l.startswith("{")]
+    stages = {l["warmup"]: l for l in lines if "warmup" in l}
+    assert stages["audio_buckets"]["buckets"] == 2
+    assert stages["done"]["total_s"] >= stages["audio_buckets"]["seconds"]
+
+
+def test_synthetic_corpus_duration_range(tmp_path):
+    """seconds=(lo, hi) draws per-utterance durations uniformly so warmup
+    touches several extraction length buckets; a scalar stays exact."""
+    eatd.make_synthetic_corpus(tmp_path, n_data=4, n_validation=0,
+                               seconds=(0.1, 0.4), seed=0)
+    lengths = {len(w) for s in eatd.iter_speakers(tmp_path, splits=("Data",))
+               for w in s.waveforms}
+    assert len(lengths) > 1
+    assert all(16000 * 0.1 <= n <= 16000 * 0.4 for n in lengths)
