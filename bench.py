@@ -46,6 +46,11 @@ Stages and their baselines (all baselines measured on this machine):
   169-epoch, 3-fold schedule.  ``end_to_end_pipeline_sum`` keeps the
   round-2/3-comparable decomposed composition (extraction median +
   training term, each stage timed separately with its own readback).
+  The serial and ``--vmap-folds`` fused configurations are timed with
+  INTERLEAVED passes (same weather for both medians) and separately
+  reported warm (compile) times; the final line also embeds the weather
+  probe and the key stage medians so a tail-truncated ``BENCH_r{N}.json``
+  stays self-contained.
 
 The reference-TF extraction baseline runs as ``python bench.py
 --tf-baseline N`` in a fresh subprocess (>=12 samples, mean +- spread
@@ -312,7 +317,7 @@ def bench_fuse_clf_tpu(features, text_features, targets):
                             C.FUSE_CLF_TRAINER.epochs - 1)
 
 
-def bench_e2e_fused(wavs, targets, passes=3, vmap_folds=False):
+def bench_e2e_fused(wavs, targets, passes=3):
     """Measured wall-clock of the FUSED extract->train product path:
     ``extract_batch(device=True)`` -> [162, 3, 256] device array ->
     ``train_audio_clf`` (3 folds x 169 epochs, serial product config),
@@ -322,7 +327,18 @@ def bench_e2e_fused(wavs, targets, passes=3, vmap_folds=False):
     once for the PCM upload and once for the final metrics readback,
     dropping the extraction readback + feature re-upload (~0.9 s of relay
     latency) that the decomposed sum charges.  Results are identical to
-    the host-features path (tests/test_device_pipeline.py)."""
+    the host-features path (tests/test_device_pipeline.py).
+
+    Measures BOTH product configurations — serial folds and
+    ``--vmap-folds`` (all folds as ONE compiled program,
+    identical-within-tolerance results, tests/test_vmap_folds.py) — with
+    their timed passes INTERLEAVED (serial, vmapped, serial, vmapped, ...)
+    so both medians sample the same relay weather: round 4's official
+    capture timed the two in separate blocks minutes apart and a weather
+    swing made the vmapped block look slower than the serial one.  Each
+    configuration's warm pass (compile + cache fill) is timed separately
+    and reported as ``warm_s`` so cache state can never masquerade as a
+    timed pass."""
     from icassp2022_depression_tpu import config as C
     from icassp2022_depression_tpu.data import folds
     from icassp2022_depression_tpu.frontend import audio
@@ -331,7 +347,7 @@ def bench_e2e_fused(wavs, targets, passes=3, vmap_folds=False):
     cfg = audio.FrontendConfig()
     tf = folds.generate_clf_folds(targets, 3, seed=0)
 
-    def run():
+    def run(vmap_folds):
         feats = audio.extract_batch(wavs, [SR] * len(wavs), cfg,
                                     device=True)
         feats3 = feats.reshape(len(targets), 3, -1)
@@ -340,13 +356,20 @@ def bench_e2e_fused(wavs, targets, passes=3, vmap_folds=False):
         return trainers.train_audio_clf(feats3, targets, tf, C.AUDIO_CLF,
                                         seed=0, vmap_folds=vmap_folds)
 
-    run()                                    # warm: compiles are cached
-    dts = []
-    for _ in range(passes):
+    out = {}
+    for key, vm in (("serial", False), ("vmapped", True)):
         t0 = time.time()
-        run()
-        dts.append(time.time() - t0)
-    return _pass_stats(dts)
+        run(vm)                              # warm: compiles are cached
+        out[key] = {"warm_s": round(time.time() - t0, 2), "pass_s": []}
+    for _ in range(passes):
+        for key, vm in (("serial", False), ("vmapped", True)):
+            t0 = time.time()
+            run(vm)
+            out[key]["pass_s"].append(time.time() - t0)
+    for key in out:
+        out[key].update(_pass_stats(out[key]["pass_s"]))
+        out[key]["pass_s"] = [round(t, 2) for t in out[key]["pass_s"]]
+    return out["serial"], out["vmapped"]
 
 
 def bench_audio_reg_tpu(features, scores):
@@ -976,26 +999,45 @@ def main():
          min_s=round(ext_stats["min_s"] + train_s, 2),
          max_s=round(ext_stats["max_s"] + train_s, 2),
          ext_median_s=round(tpu_ext_s, 2), train_s=round(train_s, 2))
-    # the fastest single-chip product configuration: fused pipeline with
-    # all folds as one vmapped program (`train --corpus --vmap-folds`;
-    # identical-within-tolerance results, tests/test_vmap_folds.py)
-    fused_v = bench_e2e_fused(wavs, targets, vmap_folds=True)
+    # both fused product configurations, timed passes interleaved so the
+    # serial/vmapped comparison samples the SAME relay weather (round 4's
+    # separate-block capture let a weather swing invert it)
+    fused, fused_v = bench_e2e_fused(wavs, targets)
     emit("end_to_end_pipeline_fused_vmapped", fused_v["median_s"], "s",
          cpu_e2e_s / fused_v["median_s"], passes=fused_v["passes"],
          min_s=round(fused_v["min_s"], 2),
-         max_s=round(fused_v["max_s"], 2))
+         max_s=round(fused_v["max_s"], 2),
+         warm_s=fused_v["warm_s"], pass_s=fused_v["pass_s"],
+         interleaved_with_serial=True)
     # HEADLINE (machine-checked, stays the LAST metric line): the fused
     # product path measured as one wall clock (extraction ->
     # device-resident fold data -> 3x169-epoch training -> metrics
     # readback) at the reference's serial-fold semantics; same workload
-    # as the sum above, fewer relay round-trips
-    fused = bench_e2e_fused(wavs, targets)
+    # as the sum above, fewer relay round-trips.  The driver archives
+    # only the output TAIL, so this line carries the session context the
+    # earlier lines established (relay weather, extraction/serving/elmo
+    # medians, the interleaved vmapped twin) — BENCH_r{N}.json is
+    # self-contained even when truncated to this one line.
     speedup = cpu_e2e_s / fused["median_s"]
     emit("end_to_end_pipeline", fused["median_s"], "s", speedup,
          target=5.0, meets_target=bool(speedup >= 5.0),
          fused=True, passes=fused["passes"],
          min_s=round(fused["min_s"], 2), max_s=round(fused["max_s"], 2),
-         sum_path_s=round(tpu_e2e_s, 2), train_s=round(train_s, 2))
+         warm_s=fused["warm_s"], pass_s=fused["pass_s"],
+         sum_path_s=round(tpu_e2e_s, 2), train_s=round(train_s, 2),
+         vmapped={"median_s": round(fused_v["median_s"], 2),
+                  "min_s": round(fused_v["min_s"], 2),
+                  "max_s": round(fused_v["max_s"], 2),
+                  "warm_s": fused_v["warm_s"]},
+         weather={"roundtrip_s": wx["roundtrip_s"],
+                  "up_mb_s": wx["up_mb_s"],
+                  "down_mb_s": wx["down_mb_s"],
+                  "probe_mb": wx["probe_mb"]},
+         medians={"extraction_utt_s": round(tpu_utts, 1),
+                  "serving_speakers_s": round(serve_sps, 2),
+                  "elmo_sent_s": round(elmo_sps, 1),
+                  "audio_clf_epoch_ms": round(audio_ms, 2),
+                  "audio_clf_epoch_ms_vmapped": round(vmap_ms, 2)})
 
     print(f"# torch-cpu epochs ms: audio {audio_torch_ms:.0f}, "
           f"text {text_torch_ms:.0f}, fuse {fuse_torch_ms:.0f}, "

@@ -33,6 +33,14 @@ import jax as _jax
 # bucket pipelines are large XLA programs whose (possibly remote) compiles
 # dominate cold-start time; the cache makes every repeat invocation start
 # warm.  Opt out with ICASSP_TPU_NO_COMPILE_CACHE=1.
+# The sandbox's sitecustomize pins JAX_PLATFORMS=axon in the environment
+# and jax.config wins over the env var, so subprocesses (the product
+# watchdog's supervised children, tests) cannot force a backend through
+# the environment alone — this knob closes that gap at import time.
+_plat = _os.environ.get("ICASSP_FORCE_PLATFORM")
+if _plat:
+    _jax.config.update("jax_platforms", _plat)
+
 if not _os.environ.get("ICASSP_TPU_NO_COMPILE_CACHE"):
     _jax.config.update(
         "jax_compilation_cache_dir",

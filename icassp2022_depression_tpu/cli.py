@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import sys
 from pathlib import Path
@@ -1667,13 +1668,48 @@ def build_parser():
                          "(report static environment facts only)")
     sp.set_defaults(fn=cmd_doctor)
 
+    # the TPU-bound, minutes-long subcommands run under the relay-wedge
+    # stall watchdog by default when invoked as a process (see main());
+    # the flags exist on exactly those subcommands
+    from icassp2022_depression_tpu.utils import watchdog as _wd
+    for name, wsp in sub.choices.items():
+        if name in _wd.WATCHED_COMMANDS:
+            g = wsp.add_argument_group(
+                "watchdog", "relay-wedge recovery (utils/watchdog.py): "
+                "the command runs in a supervised child; no output for "
+                "the stall window -> kill + rerun in a fresh process "
+                "(training continues from --resume-dir chunks)")
+            g.add_argument("--no-watchdog", dest="watchdog",
+                           action="store_false", default=True,
+                           help="run in-process, no supervision")
+            g.add_argument("--watchdog-stall-s", type=float, default=None,
+                           help="no-output stall window in seconds "
+                                "(default ICASSP_WATCHDOG_S or 900)")
+
     return p
 
 
-def main(argv=None):
+def main(argv=None, *, watchdog_entry: bool = False):
+    """``watchdog_entry`` is True only for the real process entry point
+    (``python -m icassp2022_depression_tpu.cli``): watched subcommands
+    then re-exec under the stall supervisor.  In-process callers (tests,
+    notebooks) keep direct execution."""
+    from icassp2022_depression_tpu.utils import watchdog as _wd
+
+    if argv is None:
+        argv = sys.argv[1:]
     args = build_parser().parse_args(argv)
+    if (watchdog_entry and getattr(args, "watchdog", False)
+            and not os.environ.get(_wd.CHILD_ENV)):
+        return _wd.supervise(list(argv), stall_s=args.watchdog_stall_s)
     return args.fn(args) or 0
 
 
+def script_main():
+    """console_scripts entry point — same supervised semantics as
+    ``python -m icassp2022_depression_tpu.cli``."""
+    return main(watchdog_entry=True)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(watchdog_entry=True))

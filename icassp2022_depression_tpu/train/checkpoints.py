@@ -29,6 +29,7 @@ def atomic_savez(path, **arrays) -> Path:
     bundles are the crash-recovery mechanism and must survive the crash
     themselves."""
     path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_name(path.name + ".tmp")
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)

@@ -18,6 +18,7 @@ Reference counterparts:
 
 from __future__ import annotations
 
+import sys
 from pathlib import Path
 from typing import List, Optional, Sequence
 
@@ -34,7 +35,7 @@ from icassp2022_depression_tpu.ops.nn import (
     smooth_l1_loss,
 )
 from icassp2022_depression_tpu.train import checkpoints, loop, optim
-from icassp2022_depression_tpu.utils import profiling
+from icassp2022_depression_tpu.utils import profiling, watchdog
 
 
 def _dead_paths(model_module):
@@ -153,6 +154,12 @@ def _execute_fold(make_runner, runner_cache, params, optimizer, data,
 
     while epoch_done < total_epochs:
         n = min(chunk, total_epochs - epoch_done)
+        if resume_path is not None:
+            # start-of-chunk heartbeat: bounds the watchdog's no-output
+            # window to ONE chunk's compile+run, not the whole fold
+            print(f"# chunk starting: {Path(resume_path).name} "
+                  f"epochs {epoch_done}->{epoch_done + n}/{total_epochs}",
+                  file=sys.stderr, flush=True)
         if n not in runner_cache:
             runner_cache[n] = make_runner(n + 1)
         run = runner_cache[n]
@@ -177,6 +184,13 @@ def _execute_fold(make_runner, runner_cache, params, optimizer, data,
             checkpoints.save(resume_path, {
                 "params": params, "opt_state": opt_state, "key": key,
                 "best": best, "epoch_done": np.asarray(epoch_done, np.int64)})
+            # heartbeat: resets the product watchdog's stall clock once
+            # per committed chunk, so long chunked runs are never killed
+            # as falsely-stalled (utils/watchdog.py)
+            print(f"# chunk committed: {Path(resume_path).name} "
+                  f"epochs {epoch_done}/{total_epochs}",
+                  file=sys.stderr, flush=True)
+        watchdog.maybe_inject_stall()
     if len(logs_parts) == 1:
         logs = logs_parts[0]
     elif logs_parts:
@@ -269,6 +283,11 @@ def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
     runner_cache: dict = {}
     while epoch_done < total_epochs:
         n = min(chunk, total_epochs - epoch_done)
+        if resume_path is not None:
+            # start-of-chunk watchdog heartbeat (see _execute_fold)
+            print(f"# chunk starting: {Path(resume_path).name} "
+                  f"epochs {epoch_done}->{epoch_done + n}/{total_epochs}",
+                  file=sys.stderr, flush=True)
         if n not in runner_cache:
             runner_cache[n] = loop.make_multi_fold_runner(
                 train_loss, eval_fn, optimizer, tcfg.track, tcfg.gate,
@@ -290,6 +309,11 @@ def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
                 "params": stacked_params, "opt_state": stacked_opt,
                 "keys": keys, "best": stacked_best,
                 "epoch_done": np.asarray(epoch_done, np.int64)})
+            # watchdog heartbeat per committed chunk (see _execute_fold)
+            print(f"# chunk committed: {Path(resume_path).name} "
+                  f"epochs {epoch_done}/{total_epochs}",
+                  file=sys.stderr, flush=True)
+        watchdog.maybe_inject_stall()
     if logs_parts:
         logs = {k: np.concatenate([p[k] for p in logs_parts], axis=1)
                 for k in logs_parts[0]}
