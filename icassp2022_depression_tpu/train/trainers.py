@@ -45,6 +45,31 @@ def _dead_paths(model_module):
     return ("attn",) if model_module is audio_net else ()
 
 
+# One (optimizer, runner-factory, compiled-runner dict) bundle per distinct
+# training recipe, shared across trainer CALLS in a process: the loss/eval
+# closures and the optax transformation are pure functions of the configs,
+# so rebuilding them per call (the previous behaviour) made every repeat
+# training re-trace and re-fetch its whole-fold XLA programs — ~0.5-1 s of
+# host overhead per call on this 1-core host behind the remote compile
+# service, paid by the bench's repeat passes, notebook/serving retrains,
+# and the test suite alike.  jax.jit keys on input avals/shardings, so one
+# bundle serves any fold count, batch geometry, x64 mode, or device layout.
+# Keys are (kind, config dataclasses) — all frozen/hashable; bounded LRU so
+# test suites sweeping many tiny configs can't grow it without limit.
+_RUNNER_BUNDLES: "dict" = {}
+_RUNNER_BUNDLES_MAX = 8
+
+
+def _runner_bundle(key, build):
+    bundle = _RUNNER_BUNDLES.pop(key, None)
+    if bundle is None:
+        bundle = build()
+    _RUNNER_BUNDLES[key] = bundle          # (re-)insert as most recent
+    while len(_RUNNER_BUNDLES) > _RUNNER_BUNDLES_MAX:
+        _RUNNER_BUNDLES.pop(next(iter(_RUNNER_BUNDLES)))
+    return bundle
+
+
 def _branch_fns(model_module, mcfg: C.RNNConfig, trainer_cfg: C.TrainerConfig):
     track = trainer_cfg.track
 
@@ -209,7 +234,8 @@ def _execute_fold(make_runner, runner_cache, params, optimizer, data,
 def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
                           seed: int, fold_parallel: bool = False,
                           data_parallel: int = 1, resume_dir=None,
-                          chunk_epochs=None, task_name: str = "task"):
+                          chunk_epochs=None, task_name: str = "task",
+                          runner_cache=None):
     """Cross-fold vmap path: all folds as one compiled program
     (:func:`..train.loop.make_multi_fold_runner`).  With ``fold_parallel``
     the stacked fold axis is additionally sharded over a
@@ -280,7 +306,8 @@ def _vmapped_fold_results(fns, optimizer, tcfg, fold_datas, params_list,
         stacked_best = distributed.shard_over_folds(mesh, stacked_best)
 
     chunk = chunk_epochs or total_epochs
-    runner_cache: dict = {}
+    if runner_cache is None:
+        runner_cache = {}
     while epoch_done < total_epochs:
         n = min(chunk, total_epochs - epoch_done)
         if resume_path is not None:
@@ -352,16 +379,20 @@ def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
                     jax.random.fold_in(jax.random.PRNGKey(seed), i),
                     tcfg.model)
                 for i in range(1, len(fold_datas) + 1)]
-        optimizer = optim.build(tcfg.optimizer, params_list[0],
-                                _dead_paths(model_module))
-        fns = _branch_fns(model_module, tcfg.model, tcfg)
+        def build(_params=params_list[0]):
+            return (optim.build(tcfg.optimizer, _params,
+                                _dead_paths(model_module)),
+                    _branch_fns(model_module, tcfg.model, tcfg), {})
+        optimizer, fns, runner_cache = _runner_bundle(
+            ("vmap", model_module.__name__, tcfg), build)
         return _vmapped_fold_results(fns, optimizer, tcfg, fold_datas,
                                      params_list, seed,
                                      fold_parallel=fold_parallel,
                                      data_parallel=data_parallel,
                                      resume_dir=resume_dir,
                                      chunk_epochs=chunk_epochs,
-                                     task_name=task_name)
+                                     task_name=task_name,
+                                     runner_cache=runner_cache)
     results = []
     make_runner = None
     runner_cache: dict = {}
@@ -373,14 +404,19 @@ def _run_folds(model_module, tcfg: C.TrainerConfig, fold_datas,
             key = jax.random.fold_in(jax.random.PRNGKey(seed), fold_idx)
             params = model_module.init(key, tcfg.model)
         if make_runner is None:
-            optimizer = optim.build(tcfg.optimizer, params,
-                                    _dead_paths(model_module))
-            train_loss, eval_fn = _branch_fns(model_module, tcfg.model, tcfg)
+            def build(_params=params):
+                opt = optim.build(tcfg.optimizer, _params,
+                                  _dead_paths(model_module))
+                train_loss, eval_fn = _branch_fns(model_module, tcfg.model,
+                                                  tcfg)
 
-            def make_runner(epochs, _tl=train_loss, _ef=eval_fn,
-                            _opt=optimizer):
-                return loop.make_fold_runner(_tl, _ef, _opt, tcfg.track,
-                                             tcfg.gate, epochs)
+                def make_runner(epochs, _tl=train_loss, _ef=eval_fn,
+                                _opt=opt):
+                    return loop.make_fold_runner(_tl, _ef, _opt, tcfg.track,
+                                                 tcfg.gate, epochs)
+                return opt, make_runner, {}
+            optimizer, make_runner, runner_cache = _runner_bundle(
+                ("serial", model_module.__name__, tcfg), build)
         fold_key = jax.random.fold_in(jax.random.PRNGKey(seed + 1000), fold_idx)
         resume_path = (Path(resume_dir) / f"{task_name}_fold{fold_idx}"
                        if resume_dir is not None else None)
@@ -563,13 +599,17 @@ def _vmapped_fusion_results(fcfg, tcfg, fold_datas, branch_params, seed,
         datas.append(data._replace(
             test_x=(jnp.concatenate([tf_te, af_te], axis=-1),)))
         params_list.append(params)
-    optimizer = optim.build(tcfg.optimizer, params_list[0])
-    fns = _fusion_fns(fcfg, tcfg)
+    def build(_params=params_list[0]):
+        return (optim.build(tcfg.optimizer, _params),
+                _fusion_fns(fcfg, tcfg), {})
+    optimizer, fns, runner_cache = _runner_bundle(
+        ("fusion_vmap", fcfg, tcfg), build)
     return _vmapped_fold_results(fns, optimizer, tcfg, datas, params_list,
                                  seed, fold_parallel=fold_parallel,
                                  resume_dir=resume_dir,
                                  chunk_epochs=chunk_epochs,
-                                 task_name=task_name)
+                                 task_name=task_name,
+                                 runner_cache=runner_cache)
 
 
 def _run_fusion_folds(fcfg, tcfg, fold_datas, branch_params, seed, track,
@@ -630,13 +670,17 @@ def _run_fusion_folds(fcfg, tcfg, fold_datas, branch_params, seed, track,
         text_p, audio_p = branch_params[fold_idx - 1]
         params = fusion.init_from_branches(base, fcfg, text_p, audio_p, track)
         if make_runner is None:
-            optimizer = optim.build(tcfg.optimizer, params)
-            train_loss, eval_fn = _fusion_fns(fcfg, tcfg)
+            def build(_params=params):
+                opt = optim.build(tcfg.optimizer, _params)
+                train_loss, eval_fn = _fusion_fns(fcfg, tcfg)
 
-            def make_runner(epochs, _tl=train_loss, _ef=eval_fn,
-                            _opt=optimizer):
-                return loop.make_fold_runner(_tl, _ef, _opt, tcfg.track,
-                                             tcfg.gate, epochs)
+                def make_runner(epochs, _tl=train_loss, _ef=eval_fn,
+                                _opt=opt):
+                    return loop.make_fold_runner(_tl, _ef, _opt, tcfg.track,
+                                                 tcfg.gate, epochs)
+                return opt, make_runner, {}
+            optimizer, make_runner, runner_cache = _runner_bundle(
+                ("fusion", fcfg, tcfg), build)
         # precompute the frozen-branch eval features for this fold's test
         # split (deterministic; the branches receive no gradients)
         tf_te, af_te = precompute(params, data.test_x[0], data.test_x[1])

@@ -156,3 +156,43 @@ def test_batchify_and_pad_rows_masks():
     assert bm.sum() == 10 and bm[2, 2:].sum() == 0
     tx, ty, tm = loop.pad_rows(xs, y, 12)
     assert tx[0].shape == (12, 2) and tm.sum() == 10
+
+
+def test_repeat_training_reuses_cached_runners_bit_exactly():
+    """Repeat trainer calls with the same recipe share ONE runner bundle
+    (trainers._RUNNER_BUNDLES): the whole-fold programs are traced and
+    fetched once per process, and the reuse must be invisible — the
+    second call's trajectories are bit-identical to the first's."""
+    features, targets = _synthetic_clf()
+    tf = folds.generate_clf_folds(targets, 3, seed=0)
+    trainers._RUNNER_BUNDLES.clear()
+    r1 = trainers.train_audio_clf(features, targets, tf, SMALL_AUDIO_CLF,
+                                  seed=0)
+    key = ("serial", "icassp2022_depression_tpu.models.audio_net",
+           SMALL_AUDIO_CLF)
+    assert key in trainers._RUNNER_BUNDLES
+    bundle = trainers._RUNNER_BUNDLES[key]
+    r2 = trainers.train_audio_clf(features, targets, tf, SMALL_AUDIO_CLF,
+                                  seed=0)
+    assert trainers._RUNNER_BUNDLES[key] is bundle       # reused, not rebuilt
+    for a, b in zip(r1, r2):
+        assert a["best"]["f1"] == b["best"]["f1"]
+        assert a["best"]["epoch"] == b["best"]["epoch"]
+        np.testing.assert_array_equal(np.asarray(a["logs"]["loss"]),
+                                      np.asarray(b["logs"]["loss"]))
+    # vmapped path has its own bundle; results match serial within f32
+    # reduction-order tolerance (tests/test_vmap_folds.py pins this)
+    trainers.train_audio_clf(features, targets, tf, SMALL_AUDIO_CLF,
+                             seed=0, vmap_folds=True)
+    assert ("vmap", "icassp2022_depression_tpu.models.audio_net",
+            SMALL_AUDIO_CLF) in trainers._RUNNER_BUNDLES
+
+
+def test_runner_bundle_lru_is_bounded():
+    trainers._RUNNER_BUNDLES.clear()
+    for i in range(trainers._RUNNER_BUNDLES_MAX + 3):
+        trainers._runner_bundle(("t", i), lambda: object())
+    assert len(trainers._RUNNER_BUNDLES) == trainers._RUNNER_BUNDLES_MAX
+    # most-recently-used survive
+    assert ("t", trainers._RUNNER_BUNDLES_MAX + 2) in trainers._RUNNER_BUNDLES
+    assert ("t", 0) not in trainers._RUNNER_BUNDLES
