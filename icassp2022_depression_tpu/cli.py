@@ -650,6 +650,37 @@ def cmd_check(args):
     return 0
 
 
+def cmd_export_pt(args):
+    """Export one of our checkpoints as a reference-layout torch ``.pt``.
+
+    The reverse migration direction: a model trained here validates in the
+    reference's own torch harness via the standard two-liner
+    (``m = AudioBiLSTM(...); m.load_state_dict(torch.load(out))``).  The
+    input may be our ``.npz`` checkpoint or an already-reference ``.pt``
+    (whole-module or state-dict) — both resolve through
+    ``porting.load_params``."""
+    import jax
+
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu.models import (audio_net, fusion, porting,
+                                                  text_net)
+
+    task = args.task
+    if task.startswith("fuse"):
+        kind, mcfg = "fusion", C.FUSION_PRESETS[task]
+        template = fusion.init(jax.random.PRNGKey(0), mcfg)
+    else:
+        kind = "audio" if task.startswith("audio") else "text"
+        mcfg = C.PRESETS[task].model
+        module = audio_net if kind == "audio" else text_net
+        template = module.init(jax.random.PRNGKey(0), mcfg)
+    params = porting.load_params(args.ckpt, kind, mcfg, template)
+    sd = porting.export_reference_pt(params, kind, mcfg, args.out)
+    print(json.dumps({"exported": str(args.out), "task": task,
+                      "kind": kind, "tensors": len(sd)}))
+    return 0
+
+
 #: reference real-corpus metric bands (BASELINE.md; checkpoint-name
 #: evidence — two ckpt sets per branch task where the repo records both)
 PARITY_BANDS = {
@@ -1484,6 +1515,18 @@ def build_parser():
                          "extract-text --elmo-weights)")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_check)
+
+    sp = sub.add_parser("export-pt",
+                        help="export a checkpoint as a reference-layout "
+                             "torch state-dict .pt (reverse migration)")
+    sp.add_argument("--task", required=True,
+                    choices=["audio_clf", "text_clf", "fuse_clf",
+                             "audio_reg", "text_reg", "fuse_reg"])
+    sp.add_argument("--ckpt", required=True,
+                    help="our .npz checkpoint (or a .pt to re-emit as a "
+                         "state-dict pickle)")
+    sp.add_argument("--out", required=True, help="output .pt path")
+    sp.set_defaults(fn=cmd_export_pt)
 
     sp = sub.add_parser("predict", help="serve one speaker from a checkpoint")
     sp.add_argument("--task", required=True, choices=list(

@@ -300,6 +300,110 @@ def params_from_reference_pt(path, kind: str, cfg):
     return _PT_MAPPERS[kind](load_reference_pt(path), cfg)
 
 
+# -- exporting our params back to reference-layout state dicts ---------------
+#
+# The inverse direction: a model TRAINED HERE, validated in the reference's
+# own torch harness.  These emit ``{name: np.ndarray}`` dicts whose keys are
+# exactly the reference modules' ``state_dict()`` names (the layouts at
+# ``Classification/audio_gru_whole.py:24-108``, ``text_bilstm_whole.py:23-114``,
+# ``fuse_net_whole.py:245-308``), so ``ref_model.load_state_dict(...)`` under
+# strict=True accepts them tensor-for-tensor.  Together with the
+# ``*_from_state_dict`` importers above, migration is bidirectional.
+
+
+def _np_out(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def rnn_to_state_dict(layers, prefix: str) -> dict:
+    """Our layer-list RNN params -> torch ``{prefix}.weight_ih_l{k}`` names
+    (inverse of :func:`rnn_from_state_dict`; same gate stacking)."""
+    out = {}
+    for k, entry in enumerate(layers):
+        for dirn, suffix in (("fwd", ""), ("bwd", "_reverse")):
+            if dirn not in entry:
+                continue
+            p = entry[dirn]
+            out[f"{prefix}.weight_ih_l{k}{suffix}"] = _np_out(p["w_ih"])
+            out[f"{prefix}.weight_hh_l{k}{suffix}"] = _np_out(p["w_hh"])
+            out[f"{prefix}.bias_ih_l{k}{suffix}"] = _np_out(p["b_ih"])
+            out[f"{prefix}.bias_hh_l{k}{suffix}"] = _np_out(p["b_hh"])
+    return out
+
+
+def _emit_linear(out: dict, prefix: str, p, bias: bool = True) -> None:
+    out[f"{prefix}.weight"] = _np_out(p["w"])
+    if bias:
+        out[f"{prefix}.bias"] = _np_out(p["b"])
+
+
+def audio_net_to_state_dict(params, cfg: RNNConfig) -> dict:
+    """Inverse of :func:`audio_net_from_state_dict`."""
+    i1, i2 = _head_indices(cfg)
+    out = rnn_to_state_dict(params["rnn"], "lstm_net_audio")
+    _emit_linear(out, "attention_layer.0", params["attn"])
+    _emit_linear(out, f"fc_audio.{i1}", params["fc1"])
+    _emit_linear(out, f"fc_audio.{i2}", params["fc2"])
+    if cfg.input_layernorm:
+        out["ln.weight"] = _np_out(params["ln"]["w"])
+        out["ln.bias"] = _np_out(params["ln"]["b"])
+    return out
+
+
+def text_net_to_state_dict(params, cfg: RNNConfig) -> dict:
+    """Inverse of :func:`text_net_from_state_dict`.  ``ln1``/``ln2`` are
+    always emitted: the reference module declares them (unused) so
+    strict ``load_state_dict`` requires the keys."""
+    i1, i2 = _head_indices(cfg)
+    out = rnn_to_state_dict(params["rnn"], "lstm_net")
+    _emit_linear(out, "attention_layer.0", params["attn"])
+    _emit_linear(out, f"fc_out.{i1}", params["fc1"])
+    _emit_linear(out, f"fc_out.{i2}", params["fc2"])
+    for ln in ("ln1", "ln2"):
+        out[f"{ln}.weight"] = _np_out(params[ln]["w"])
+        out[f"{ln}.bias"] = _np_out(params[ln]["b"])
+    return out
+
+
+def fusion_to_state_dict(params, cfg: FusionConfig) -> dict:
+    """Inverse of :func:`fusion_from_state_dict`."""
+    out = rnn_to_state_dict(params["text"]["rnn"], "lstm_net")
+    out.update(rnn_to_state_dict(params["audio"]["rnn"], "lstm_net_audio"))
+    _emit_linear(out, "attention_layer.0", params["text"]["attn"])
+    _emit_linear(out, "fc_out.1", params["text"]["fc"])
+    _emit_linear(out, "fc_audio.1", params["audio"]["fc"])
+    out["modal_attn.weight"] = _np_out(params["modal_attn"]["w"])
+    out["fc_final.0.weight"] = _np_out(params["fc_final"]["w"])
+    if cfg.audio_layernorm:
+        out["ln.weight"] = _np_out(params["audio"]["ln"]["w"])
+        out["ln.bias"] = _np_out(params["audio"]["ln"]["b"])
+    return out
+
+
+_PT_EXPORTERS = {
+    "audio": audio_net_to_state_dict,
+    "text": text_net_to_state_dict,
+    "fusion": fusion_to_state_dict,
+}
+
+
+def export_reference_pt(params, kind: str, cfg, path) -> dict:
+    """Save our param tree as a reference-layout ``state_dict()`` ``.pt``.
+
+    The artifact loads on the torch side with the two-liner the torch
+    ecosystem standardises on (``m = AudioBiLSTM(...);
+    m.load_state_dict(torch.load(path))``) — deliberately a state-dict
+    pickle, not the reference's whole-module pickle, because emitting the
+    latter would require constructing (hence copying) the reference's
+    class code.  Returns the exported ``{name: np.ndarray}`` mapping."""
+    import torch
+
+    sd = _PT_EXPORTERS[kind](params, cfg)
+    torch.save({k: torch.from_numpy(np.array(v, copy=True))
+                for k, v in sd.items()}, path)
+    return sd
+
+
 def load_params(ckpt, kind: str, cfg, template):
     """Uniform checkpoint resolution for eval/serving call sites.
 

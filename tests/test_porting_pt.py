@@ -306,6 +306,100 @@ def test_cli_check_accepts_pt(tmp_path, capsys):
                                        err_msg=f"fold {fold} {k}")
 
 
+# -- reverse direction: our trained params -> reference-harness .pt ---------
+
+
+def test_export_audio_pt_loads_in_reference_module_strict(tmp_path):
+    """A model trained HERE runs in the reference's torch harness: our
+    params export as a reference-layout state dict that a reference-shaped
+    module accepts under strict=True, with forward parity."""
+    cfg = C.replace(C.AUDIO_CLF.model, embedding_size=32, hidden_dims=16)
+    params = audio_net.init(jax.random.PRNGKey(0), cfg)
+    porting.export_reference_pt(params, "audio", cfg, tmp_path / "out.pt")
+    m = _RefAudioClf()
+    m.load_state_dict(torch.load(tmp_path / "out.pt", weights_only=True),
+                      strict=True)
+    m.eval()
+    x = np.random.default_rng(3).standard_normal((5, 3, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x)).numpy()
+    got = np.asarray(audio_net.apply(params, cfg, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_export_text_pt_loads_in_reference_module_strict(tmp_path):
+    cfg = C.replace(C.TEXT_CLF.model, embedding_size=24, hidden_dims=8)
+    params = text_net.init(jax.random.PRNGKey(1), cfg)
+    porting.export_reference_pt(params, "text", cfg, tmp_path / "out.pt")
+    m = _RefTextClf()
+    m.load_state_dict(torch.load(tmp_path / "out.pt", weights_only=True),
+                      strict=True)
+    m.eval()
+    x = np.random.default_rng(4).standard_normal((4, 3, 24)).astype(np.float32)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x)).numpy()
+    got = np.asarray(text_net.apply(params, cfg, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_export_fusion_pt_round_trips(tmp_path):
+    """export -> strict load into the reference fusion layout -> re-import
+    through the forward mapper reproduces the original tree bit-exactly."""
+    from icassp2022_depression_tpu.models import fusion
+
+    fcfg = C.replace(C.FUSE_CLF, audio_embed_size=12, text_embed_size=20,
+                     audio_hidden_dims=8, text_hidden_dims=8)
+    params = fusion.init(jax.random.PRNGKey(2), fcfg)
+    porting.export_reference_pt(params, "fusion", fcfg, tmp_path / "f.pt")
+    m = _RefFusion()
+    m.load_state_dict(torch.load(tmp_path / "f.pt", weights_only=True),
+                      strict=True)
+    back = porting.fusion_from_state_dict(_sd(m), fcfg)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, back)
+
+
+def test_export_import_round_trip_via_loader(tmp_path):
+    """export_reference_pt artifacts also feed our own .pt ingestion path
+    (load_reference_pt treats a state-dict pickle as first-class)."""
+    cfg = C.replace(C.AUDIO_CLF.model, embedding_size=32, hidden_dims=16)
+    params = audio_net.init(jax.random.PRNGKey(5), cfg)
+    want = porting.export_reference_pt(params, "audio", cfg,
+                                       tmp_path / "rt.pt")
+    sd = porting.load_reference_pt(tmp_path / "rt.pt")
+    assert set(sd) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(sd[k], want[k])
+
+
+def test_cli_export_pt_npz_to_reference_harness(tmp_path, capsys):
+    """Full reverse-migration loop: our .npz checkpoint -> ``cli export-pt``
+    -> strict load_state_dict into the reference module at the preset
+    geometry -> torch forward matches our apply."""
+    from icassp2022_depression_tpu import cli
+
+    cfg = C.AUDIO_CLF.model  # preset 256/256 geometry
+    params = audio_net.init(jax.random.PRNGKey(9), cfg)
+    npz = checkpoints.save(tmp_path / "ours", params)
+    rc = cli.main(["export-pt", "--task", "audio_clf", "--ckpt", str(npz),
+                   "--out", str(tmp_path / "ref.pt")])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["tensors"] > 0 and line["kind"] == "audio"
+    m = _RefAudioClf(d=cfg.embedding_size, h=cfg.hidden_dims)
+    m.load_state_dict(torch.load(tmp_path / "ref.pt", weights_only=True),
+                      strict=True)
+    m.eval()
+    x = np.random.default_rng(6).standard_normal(
+        (2, 3, cfg.embedding_size)).astype(np.float32)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x)).numpy()
+    got = np.asarray(audio_net.apply(params, cfg, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_predictor_from_checkpoint_pt(tmp_path):
     from icassp2022_depression_tpu import serve
 
