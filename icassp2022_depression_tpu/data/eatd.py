@@ -72,7 +72,16 @@ def silence_fallback(sr: int, amplitude: float = 1e-4,
 def _read_label_and_texts(d: Path, read_text: bool):
     """Shared per-speaker metadata assembly (label + optional transcripts)
     — one definition for the stdlib and native decode paths."""
-    sds = float((d / "new_label.txt").read_text().splitlines()[0])
+    label_path = d / "new_label.txt"
+    lines = label_path.read_text().splitlines()
+    try:
+        sds = float(lines[0])
+    except (IndexError, ValueError):
+        # surface the offending file: a raw IndexError/ValueError from a
+        # 114-speaker corpus pass is undebuggable without the path
+        raise ValueError(
+            f"{label_path}: first line must be a numeric SDS score, got "
+            f"{lines[0]!r}" if lines else f"{label_path}: file is empty")
     texts = None
     if read_text:
         txts = []

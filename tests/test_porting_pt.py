@@ -415,3 +415,34 @@ def test_predictor_from_checkpoint_pt(tmp_path):
         want = m(torch.from_numpy(x)).numpy()
     got = pred.predict_features(audio_feats=x)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("task", ["audio_clf", "audio_reg", "text_clf",
+                                  "text_reg", "fuse_clf", "fuse_reg"])
+def test_export_import_inverse_all_six_tasks(tmp_path, task):
+    """export_reference_pt and the *_from_state_dict importers are exact
+    inverses for EVERY task layout — the reg variants differ from clf in
+    head Sequential indices (``head_input_dropout``), LayerNorm presence
+    (``input_layernorm``/``audio_layernorm``) and the fusion per-fold
+    geometry, so each pins a distinct key map."""
+    from icassp2022_depression_tpu.models import fusion
+
+    key = jax.random.PRNGKey(["audio_clf", "audio_reg", "text_clf",
+                              "text_reg", "fuse_clf", "fuse_reg"].index(task))
+    if task.startswith("fuse"):
+        cfg = C.replace(C.FUSE_CLF if task == "fuse_clf" else C.FUSE_REG,
+                        audio_embed_size=12, text_embed_size=20,
+                        audio_hidden_dims=8, text_hidden_dims=8)
+        kind, params = "fusion", fusion.init(key, cfg)
+    else:
+        base = {"audio_clf": C.AUDIO_CLF, "audio_reg": C.AUDIO_REG,
+                "text_clf": C.TEXT_CLF, "text_reg": C.TEXT_REG}[task].model
+        cfg = C.replace(base, embedding_size=24, hidden_dims=8)
+        kind = task.split("_")[0]
+        params = (audio_net if kind == "audio" else text_net).init(key, cfg)
+    porting.export_reference_pt(params, kind, cfg, tmp_path / "x.pt")
+    back = porting.params_from_reference_pt(tmp_path / "x.pt", kind, cfg)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=task),
+        params, back)
