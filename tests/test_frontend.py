@@ -350,8 +350,11 @@ def test_flat_packed_extraction_boundary_lengths():
     import jax.numpy as jnp
 
     rng = np.random.default_rng(13)
-    lengths = [1, 2, 512, 2047, 2048, 2049, 15360, 16383, 16384,
-               16385, 17000, 32768 - 100, 32768]
+    # 1023/1024/1025 straddle the reflected-tail length (n_fft//2 = 1024):
+    # multi-bounce (t_room > n-1), the exact single-bounce boundary
+    # (t_room == n-1, the full w[n-2::-1] tail) and the common t_room < n-1
+    lengths = [1, 2, 512, 1023, 1024, 1025, 2047, 2048, 2049, 15360,
+               16383, 16384, 16385, 17000, 32768 - 100, 32768]
     wavs, srs = [], []
     for i, n in enumerate(lengths):
         w = np.round(rng.standard_normal(n) * 2000)

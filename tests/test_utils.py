@@ -136,6 +136,38 @@ def test_next_pow2_rejects_nonpositive_minimum():
         shapes.next_pow2(5, minimum=0)
 
 
+def test_next_quantized_policy():
+    """1/8-pow2 quantization for large relay-shipped axes: overhead is
+    bounded by 12.5%, values are multiples of pow2-below/8, and the
+    result never drops below the pow2 floor behaviors."""
+    from icassp2022_depression_tpu.utils import shapes
+
+    m = 16384
+    assert shapes.next_quantized(0, minimum=m) == m
+    assert shapes.next_quantized(m, minimum=m) == m
+    # just past the minimum: one 1/8 step above, not a full doubling
+    assert shapes.next_quantized(m + 1, minimum=m) == m + m // 8
+    # pow2 values are fixed points
+    assert shapes.next_quantized(4 * m, minimum=m) == 4 * m
+    rng = np.random.default_rng(0)
+    for n in rng.integers(1, 1 << 27, size=200):
+        n = int(n)
+        q = shapes.next_quantized(n, minimum=m)
+        assert q >= n
+        assert q <= shapes.next_pow2(n, minimum=m)
+        assert (q - n) / n <= 0.125 or q == m
+        # step granularity: q is a multiple of (pow2 below n) / 8
+        p = m
+        while p * 2 < n:
+            p *= 2
+        assert q % (p // 8) == 0
+
+    with pytest.raises(ValueError, match="divide"):
+        shapes.next_quantized(5, minimum=12, frac=8)
+    with pytest.raises(ValueError, match="positive"):
+        shapes.next_quantized(5, minimum=0)
+
+
 def test_probe_weather_reports_link_condition():
     """The relay weather probe (bench context line + `cli doctor`) must
     return positive, JSON-able numbers on any backend."""
