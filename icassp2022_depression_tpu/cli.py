@@ -1010,7 +1010,12 @@ def cmd_warmup(args):
       the real EATD split).
 
     Length-bucket coverage is duration-dependent: buckets outside
-    [--min-seconds, --max-seconds] still compile on first contact."""
+    [--min-seconds, --max-seconds] still compile on first contact.  The
+    flat PCM stream's length is additionally corpus-SIZE dependent
+    (quantized to 1/8-pow2 steps — ``shapes.next_quantized``), so a
+    corpus whose total duration differs from the warmed synthetic one
+    may pay one more bucket-pipeline compile on first contact; the
+    persistent cache keeps it a one-time cost per corpus geometry."""
     import tempfile
     import time
 
