@@ -162,10 +162,13 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
         # compiles for at most a handful of batch shapes
         brows = -(-len(idxs) // 8) * 8
         dtype = np.int16 if is_pcm else np.float32
-        offsets = np.zeros((brows,), np.int32)
-        written = np.zeros((brows,), np.int32)
-        lengths = np.zeros((brows,), np.int32)
-        row_ordinals = np.zeros((brows,), np.int32)
+        # staged as int64 so a too-large batch reaches the explicit guard
+        # below instead of a cryptic numpy OverflowError; cast to the
+        # device's int32 after the guard
+        offsets = np.zeros((brows,), np.int64)
+        written = np.zeros((brows,), np.int64)
+        lengths = np.zeros((brows,), np.int64)
+        row_ordinals = np.zeros((brows,), np.int64)
         pos = 0
         for row, i in enumerate(idxs):
             nw = len(waveforms[i])
@@ -183,6 +186,11 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
         # at bench scale), which dominated extraction time.  One extra
         # row length is reserved so every row's dynamic_slice window
         # fits without start clamping (see `_bucket_pipeline_flat`).
+        if pos + blen > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"bucket of {len(idxs)} utterances packs {pos} samples — "
+                "flat offsets are int32 on device; split the call (e.g. "
+                "extract in per-split or per-speaker-group chunks)")
         flat_len = shapes.next_quantized(max(pos, 1) + blen, minimum=16384)
         flat = np.zeros((flat_len,), dtype)
         for row, i in enumerate(idxs):
@@ -212,8 +220,10 @@ def extract_batch(waveforms: Sequence[np.ndarray], sample_rates: Sequence[int],
             else:
                 flat[end:end + t_room] = w[0]   # edge pad for 1 sample
         staged.append((blen, sr, idxs, jnp.asarray(flat),
-                       jnp.asarray(offsets), jnp.asarray(written),
-                       jnp.asarray(lengths), jnp.asarray(row_ordinals)))
+                       jnp.asarray(offsets.astype(np.int32)),
+                       jnp.asarray(written.astype(np.int32)),
+                       jnp.asarray(lengths.astype(np.int32)),
+                       jnp.asarray(row_ordinals.astype(np.int32))))
 
     # Stage 2: dispatch compute per bucket (transfers already in flight).
     # Readback is deferred and fused into ONE device->host transfer: the

@@ -374,6 +374,53 @@ def test_flat_packed_extraction_boundary_lengths():
                                    err_msg=f"row {i} len={lengths[i]}")
 
 
+def test_flat_transfer_byte_budget(monkeypatch):
+    """Regression guard on the WIRE-BYTE invariant: every host->device
+    array extract_batch ships is the true samples + reflected tails
+    plus at most 12.5% quantization padding and one reserved row
+    (`shapes.next_quantized` flat policy) — a return to pow2 flat
+    lengths (or to shipping padded [B, L] rows) would double transfer
+    time in bad relay weather and must fail here."""
+    import jax.numpy as jnp_real
+
+    from icassp2022_depression_tpu.utils import shapes
+
+    shipped = []
+    orig_asarray = jnp_real.asarray
+
+    def spy_asarray(x, *a, **k):
+        # tracer-safe: only inspect host ndarrays; int16 == the PCM wire
+        if isinstance(x, np.ndarray) and x.dtype == np.int16:
+            shipped.append(x.nbytes)
+        return orig_asarray(x, *a, **k)
+
+    monkeypatch.setattr(jnp_real, "asarray", spy_asarray)
+    rng = np.random.default_rng(5)
+    lengths = [int(16000 * s) for s in
+               (3.0, 4.5, 5.2, 6.8, 2.2, 7.3, 3.9, 5.5)]
+    wavs = [np.round(rng.standard_normal(n) * 2000).astype(np.float64)
+            for n in lengths]
+    audio_fe.extract_batch(wavs, [16000] * len(wavs), CFG)
+    tail = CFG.n_fft // 2
+    true_bytes = sum(2 * (n + tail) for n in lengths)    # int16 wire
+    blens = {shapes.next_pow2(n + tail, minimum=16384) for n in lengths}
+    # per-bucket ceiling: (payload + one reserved row) * 1.125 max padding
+    budget = (true_bytes + 2 * sum(blens)) * 1.125
+    total = sum(shipped)
+    assert shipped, "no int16 wire arrays were shipped"
+    assert total <= budget, (total, budget, shipped)
+
+
+def test_extract_batch_rejects_int32_offset_overflow():
+    """A batch whose flat stream exceeds int32 sample offsets must raise
+    a clear error naming the fix (split the call), not corrupt offsets
+    or crash with a numpy OverflowError.  Uses a broadcast view so the
+    4 GB waveform costs no memory."""
+    big = np.broadcast_to(np.zeros(1, np.int16), (2**31 - 100,))
+    with pytest.raises(ValueError, match="int32"):
+        audio_fe.extract_batch([big], [16000], CFG)
+
+
 def test_extract_batch_empty_waveform_uses_silence_fallback():
     """A zero-length waveform gets the reference's 5 s 1e-4 silence
     fallback (audio_features_whole.py:105-110) instead of pooling a junk
