@@ -248,6 +248,62 @@ def cmd_check_daic(args):
     return 0
 
 
+def cmd_check_cross(args):
+    """Cross-corpus checking: an EATD-trained audio model on DAIC-WOZ.
+
+    The reference ships the DAIC frontend for exactly this purpose
+    (``DAICFeatureExtarction/``, BASELINE config 5) but no evaluation
+    harness — its EATD models consume 3 utterances/speaker while DAIC
+    yields a variable response count.  ``eval/cross_corpus.py`` bridges
+    the shape gap (windows of 3, soft-voted); this subcommand is its
+    product surface, the ``check``/``check-daic`` sibling."""
+    import jax
+
+    from icassp2022_depression_tpu import config as C
+    from icassp2022_depression_tpu.eval import cross_corpus
+    from icassp2022_depression_tpu.frontend import daic as daic_fe
+    from icassp2022_depression_tpu.models import audio_net, porting
+
+    if getattr(args, "daic_dir", None):
+        if not args.eval_csv:
+            raise SystemExit("--daic-dir requires --eval-csv")
+        if args.features:
+            raise SystemExit("--daic-dir and --features are mutually "
+                             "exclusive")
+        queries = Path(args.queries) if args.queries else None
+        x, cl, rl = daic_fe.extract_split(Path(args.daic_dir),
+                                          Path(args.eval_csv), queries)
+        y = cl if args.track == "clf" else rl
+    elif args.features:
+        if args.queries:
+            raise SystemExit("--queries only applies to --daic-dir "
+                             "re-extraction")
+        x, y = daic_fe.load_features(Path(args.features),
+                                     args.eval_split or "test", args.track)
+    else:
+        raise SystemExit("check-cross needs --features (extract-daic npz "
+                         "prefix) or --daic-dir + --eval-csv")
+    base = C.AUDIO_CLF if args.track == "clf" else C.AUDIO_REG
+    mcfg = C.replace(base.model, embedding_size=args.audio_dim)
+    dim = int(x[0].shape[-1]) if len(x) else mcfg.embedding_size
+    if dim != mcfg.embedding_size:
+        raise SystemExit(
+            f"DAIC feature dim {dim} != the EATD audio model's "
+            f"embedding_size {mcfg.embedding_size} — check-cross evaluates "
+            "EATD-trained AUDIO checkpoints on DAIC audio features; pass "
+            "--audio-dim to match the checkpoint's training features "
+            "(e.g. 128 for vggish)")
+    template = audio_net.init(jax.random.PRNGKey(0), mcfg)
+    params = porting.load_params(args.ckpt, "audio", mcfg, template)
+    if args.track == "clf":
+        out = cross_corpus.evaluate_clf(params, x, y, mcfg)
+    else:
+        out = cross_corpus.evaluate_reg(params, x, y, mcfg)
+    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in out.items()}))
+    return 0
+
+
 def _load_clf_inputs(root: Path):
     from icassp2022_depression_tpu.frontend import audio as afe
     from icassp2022_depression_tpu.frontend import text as tfe
