@@ -197,16 +197,37 @@ def _shim_class(module: str, name: str):
 
 class _SafeRefUnpickler(pickle.Unpickler):
     """Unpickler whose globals allowlist is just enough to rebuild raw
-    tensors: ``torch._utils`` rebuild helpers, storage/dtype primitives,
-    ``collections.OrderedDict`` and numpy reconstructors.  All else shims."""
+    tensors; every other global shims.
 
-    _ALLOWED_MODULES = ("torch._utils", "torch.serialization",
-                        "torch.storage", "collections")
+    The allowlist is per-NAME, not per-module: pickle's REDUCE opcode
+    calls whatever ``find_class`` returns with attacker-chosen arguments,
+    so resolving a whole module's namespace (the obvious implementation)
+    would hand the pickle every callable in it — ``numpy.load``,
+    ``torch.serialization.load``, ... — and void the no-execution
+    guarantee.  Only data reconstructors resolve for real:
+
+    * ``torch._utils._rebuild_*`` — the pure tensor/Parameter
+      reconstructor family every torch.save stream uses;
+    * ``torch.serialization._get_layout``, ``torch.storage
+      ._load_from_bytes`` — legacy (pre-zipfile) stream helpers;
+    * ``collections.OrderedDict``, numpy's array reconstructors;
+    * via the ``torch`` module itself: dtypes, ``*Storage`` classes,
+      ``Size``/``device`` (type objects, not code)."""
+
+    _ALLOWED = {
+        "collections": ("OrderedDict",),
+        "torch.serialization": ("_get_layout",),
+        "torch.storage": ("_load_from_bytes",),
+        "numpy": ("ndarray", "dtype"),
+        "numpy.core.multiarray": ("_reconstruct", "scalar"),
+        "numpy._core.multiarray": ("_reconstruct", "scalar"),
+    }
 
     def find_class(self, module, name):  # noqa: D102 (pickle API)
         import importlib
 
-        if module in self._ALLOWED_MODULES or module.startswith("numpy"):
+        if (name in self._ALLOWED.get(module, ())
+                or (module == "torch._utils" and name.startswith("_rebuild"))):
             return getattr(importlib.import_module(module), name)
         if module == "torch":
             import torch

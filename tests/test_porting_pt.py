@@ -217,6 +217,30 @@ def test_pickled_callables_never_execute(tmp_path):
     assert not marker.exists(), "pickled os.system call was executed!"
 
 
+def test_allowed_module_callables_never_execute(tmp_path):
+    """Callables living in the allowlisted MODULES (numpy, torch
+    internals) must still shim unless their NAME is allowlisted — pickle
+    REDUCE calls whatever find_class returns with attacker-chosen args,
+    so `numpy.load`/`torch.serialization.load` resolving for real would
+    be arbitrary file ingestion / recursive unrestricted unpickling."""
+    import io
+
+    for module, name in (("numpy", "load"),
+                         ("torch.serialization", "load"),
+                         ("numpy.f2py", "compile"),
+                         ("torch._utils", "classproperty")):
+        # hand-built stream: GLOBAL module.name; one string arg that would
+        # error loudly if the real callable ran (missing file /
+        # not-a-stream); TUPLE1; REDUCE; STOP
+        payload = (b"\x80\x02"
+                   + b"c" + module.encode() + b"\n" + name.encode() + b"\n"
+                   + b"X\x14\x00\x00\x00/definitely/missing_"
+                   + b"\x85R.")
+        obj = porting._SafeRefUnpickler(io.BytesIO(payload)).load()
+        assert isinstance(obj, porting._ShimBase), (
+            f"{module}.{name} resolved for real — REDUCE executed it")
+
+
 def test_checkpoints_load_rejects_pt_with_pointer(tmp_path):
     (tmp_path / "x.pt").write_bytes(b"")
     with pytest.raises(ValueError, match="porting"):
